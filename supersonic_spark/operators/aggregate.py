@@ -1,0 +1,183 @@
+"""Aggregation operators — SURVEY.md §2.4.
+
+Aggregate functions (Aggregation enum, proto/supersonic.proto:91-99):
+SUM MIN MAX COUNT CONCAT FIRST LAST, each with optional DISTINCT
+(cursor/core/aggregate.h:118-123) and optional explicit output type
+(:127-134; defaults: COUNT→UINT64 (here: long), else input type,
+aggregate.h:107-109).  NULL handling: aggregations ignore NULL inputs except
+COUNT(*); NULL is a valid grouping-key value (aggregate_groups.cc:516-519) —
+both match Spark semantics exactly.
+
+Operators:
+- GroupAggregate (aggregate.h:224-228) → groupBy().agg()
+- ScalarAggregate (aggregate.h:338-345) → global agg (1 row even on empty)
+- BoundGroupAggregateWithLimit (aggregate.h:267-276) → key-cap + overflow row
+- BestEffortGroupAggregate / AggregateClusters / HybridGroupAggregate
+  (aggregate.h:233-336) are physical strategies Spark already performs
+  (partial aggregation, sort-based agg, spilling, distinct rewrite —
+  SURVEY.md §4.1); they intentionally share this one logical surface.
+
+Order-dependent aggregations (CONCAT/FIRST/LAST) take an ``order_by``
+argument per SURVEY.md §7.4 item 1: without it the reference's result would
+depend on cursor order, which Spark doesn't have.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class Aggregation(enum.Enum):
+    """proto/supersonic.proto:91-99."""
+
+    SUM = "SUM"
+    MIN = "MIN"
+    MAX = "MAX"
+    COUNT = "COUNT"
+    CONCAT = "CONCAT"
+    FIRST = "FIRST"
+    LAST = "LAST"
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One AggregationSpecification element (aggregate.h:118-134)."""
+
+    function: Aggregation
+    input: str | None  # None == COUNT(*) (aggregate.h: count w/o input)
+    output: str
+    distinct: bool = False
+    separator: str = ","  # CONCAT separator (aggregation_operators.h:230-233)
+    order_by: tuple = ()  # explicit order for CONCAT/FIRST/LAST
+    output_type: str | None = None  # explicit output type (aggregate.h:127-134)
+
+
+def _one_agg(s: AggSpec) -> Column:
+    c = F.col(s.input) if s.input is not None else None
+    fn = s.function
+    if fn is Aggregation.COUNT:
+        if c is None:
+            out = F.count(F.lit(1))
+        elif s.distinct:
+            out = F.count_distinct(c)
+        else:
+            out = F.count(c)
+    elif fn is Aggregation.SUM:
+        out = F.sum_distinct(c) if s.distinct else F.sum(c)
+    elif fn is Aggregation.MIN:
+        out = F.min(c)
+    elif fn is Aggregation.MAX:
+        out = F.max(c)
+    elif fn is Aggregation.CONCAT:
+        out = _concat_agg(c, s)
+    elif fn is Aggregation.FIRST:
+        out = _first_last(c, s, first=True)
+    elif fn is Aggregation.LAST:
+        out = _first_last(c, s, first=False)
+    else:  # pragma: no cover
+        raise ValueError(fn)
+    if s.output_type:
+        out = out.cast(s.output_type)
+    return out.alias(s.output)
+
+
+def _concat_agg(c: Column, s: AggSpec) -> Column:
+    """CONCAT — string-concat with separator (aggregation_operators.h:230-233).
+
+    Deterministic only given ``order_by`` (sorts the collected structs by the
+    order keys JVM-side); with DISTINCT the value set is sorted by value.
+    """
+    if s.distinct:
+        arr = F.array_sort(F.collect_set(c.cast("string")))
+        return F.array_join(arr, s.separator)
+    if s.order_by:
+        order_cols = [F.col(o) if isinstance(o, str) else o for o in s.order_by]
+        packed = F.array_sort(F.collect_list(F.struct(*order_cols, c.cast("string").alias("__v"))))
+        return F.array_join(F.transform(packed, lambda x: x["__v"]), s.separator)
+    return F.array_join(F.collect_list(c.cast("string")), s.separator)
+
+
+def _first_last(c: Column, s: AggSpec, first: bool) -> Column:
+    """FIRST/LAST — order-defined given ``order_by`` via min_by/max_by over a
+    packed order key (single shuffle, no window)."""
+    if not s.order_by:
+        return F.first(c) if first else F.last(c)
+    order_cols = [F.col(o) if isinstance(o, str) else o for o in s.order_by]
+    key = F.struct(*order_cols)
+    return F.min_by(c, key) if first else F.max_by(c, key)
+
+
+def group_aggregate(df: DataFrame, keys: list, specs: list[AggSpec]) -> DataFrame:
+    """GroupAggregate (aggregate.h:224-228): empty input ⇒ empty output
+    (aggregate.h:218-221 — matches Spark groupBy on empty input)."""
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.groupBy(*key_cols).agg(*[_one_agg(s) for s in specs])
+
+
+def scalar_aggregate(df: DataFrame, specs: list[AggSpec]) -> DataFrame:
+    """ScalarAggregate (aggregate.h:338-345): exactly one row even on empty
+    input — matches Spark's global agg."""
+    return df.agg(*[_one_agg(s) for s in specs])
+
+
+def group_aggregate_with_limit(
+    df: DataFrame,
+    keys: list[str],
+    specs: list[AggSpec],
+    limit: int,
+    key_order=None,
+) -> DataFrame:
+    """BoundGroupAggregateWithLimit (aggregate.h:267-276; NEWS v0.9.4):
+    aggregate only the first ``limit`` unique keys; every other row is lumped
+    into a single overflow row (keys = NULL).
+
+    'First' is cursor-order in the reference; here the kept keys are the
+    ``limit`` smallest by ``key_order`` (default: the keys themselves) —
+    the explicit-order contract.  Implementation: aggregate everything
+    (one shuffle), then split winners/overflow and re-aggregate the small
+    loser set — no per-row second shuffle.
+    """
+    agged = group_aggregate(df, keys, specs)
+    order_cols = [F.col(k) for k in (key_order or keys)]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy(*order_cols)
+    ranked = agged.withColumn("__rk", F.row_number().over(w))
+    winners = ranked.filter(F.col("__rk") <= limit).drop("__rk")
+    losers = ranked.filter(F.col("__rk") > limit).drop("__rk")
+    # Re-aggregate the loser rows into one overflow row with NULL keys.
+    # Only SUM/COUNT/MIN/MAX re-aggregate losslessly from partials; the
+    # reference has the same composition because its overflow row is built
+    # by continued aggregation into one accumulator row.
+    refold = []
+    for s in specs:
+        if s.function in (Aggregation.SUM, Aggregation.MIN, Aggregation.MAX):
+            refold.append(AggSpec(s.function, s.output, s.output))
+        elif s.function is Aggregation.COUNT:
+            refold.append(AggSpec(Aggregation.SUM, s.output, s.output, output_type="long"))
+        elif s.function is Aggregation.CONCAT:
+            refold.append(AggSpec(Aggregation.CONCAT, s.output, s.output, separator=s.separator))
+        else:  # FIRST/LAST degrade to FIRST/LAST of partials
+            refold.append(AggSpec(s.function, s.output, s.output))
+    overflow = scalar_aggregate(losers, refold)
+    for k in keys:
+        overflow = overflow.withColumn(k, F.lit(None).cast(agged.schema[k].dataType))
+    # refolded aggregates can widen (e.g. decimal precision growth on
+    # re-SUM); align to the winners' schema for the union.
+    overflow = overflow.select(
+        *[F.col(c).cast(agged.schema[c].dataType).alias(c) for c in agged.columns]
+    )
+    # empty loser set would still produce one all-NULL row from the scalar
+    # aggregate — drop it (COUNT>0 when available, else any-non-null).
+    counts = [s.output for s in specs if s.function is Aggregation.COUNT]
+    if counts:
+        guard = F.col(counts[0]) > 0
+    else:
+        guard = F.lit(False)
+        for s in specs:
+            guard = guard | F.col(s.output).isNotNull()
+    return winners.unionByName(overflow.filter(guard))

@@ -1,0 +1,74 @@
+"""Stream-combination operators — SURVEY.md §2.6.
+
+MergeUnionAll (merge_union_all.h:30-45): k-way merge of same-schema inputs
+sorted on a shared SortOrder.  The merge-of-sorted-streams is a single-node
+implementation detail; the *semantic* result is UNION ALL + that order, and
+Spark's union + range-partitioned sort reproduces it with distributed
+parallelism (the reference is explicit that blockwise vs row-wise merging is
+an internal tradeoff, merge_union_all.cc:33).
+
+Coalesce (coalesce.h:17-40): HORIZONTAL zip — output schema is the
+concatenation of all children's attributes, row i with row i (not SQL
+COALESCE).  Needs row-id discipline on both sides.
+
+BufferedSplitter/BarrierSplitter (splitter.h:44-99): DAG fan-out of one
+cursor to N readers — Spark DataFrames are natively re-usable in N branches;
+`.cache()` is the buffering knob.
+
+Also exposed (absent in the reference, free in Spark — SURVEY.md §2.6):
+intersect / except / distinct.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+from supersonic_spark.operators.sort import _keys
+
+
+def merge_union_all(inputs: list[DataFrame], order: list) -> DataFrame:
+    """MergeUnionAll — UNION ALL of same-schema inputs, result sorted on
+    ``order`` (merge_union_all.h:30-45)."""
+    if not inputs:
+        raise ValueError("merge_union_all needs ≥1 input")
+    unioned = reduce(lambda a, b: a.unionByName(b), inputs)
+    return unioned.orderBy(*_keys(order))
+
+
+def coalesce_zip(inputs: list[DataFrame], orders: list, row_id: str = "__ss_zip") -> DataFrame:
+    """Coalesce (coalesce.h:17-40) — positional zip of equal-length streams.
+
+    ``orders[i]`` defines input i's row order (the reference zips physical
+    order; SURVEY.md §7.4 requires it explicit here).  Column names must be
+    disjoint across inputs, like the reference (schema concat).
+    """
+    from supersonic_spark.operators.rowid import with_row_id
+
+    if len(inputs) < 2:
+        raise ValueError("coalesce_zip needs ≥2 inputs")
+    indexed = [with_row_id(df, orders[i], row_id) for i, df in enumerate(inputs)]
+    out = indexed[0]
+    for nxt in indexed[1:]:
+        out = out.join(nxt, on=row_id, how="inner")
+    return out.drop(row_id)
+
+
+def splitter(df: DataFrame) -> DataFrame:
+    """BufferedSplitter (splitter.h:99) — fan one stream out to N consumers.
+    Spark shares lineage natively; caching buffers it once like the
+    reference's buffered variant."""
+    return df.cache()
+
+
+def distinct(df: DataFrame) -> DataFrame:
+    return df.distinct()
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)

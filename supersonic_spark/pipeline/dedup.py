@@ -1,0 +1,280 @@
+"""Deduplication operators for web-scale corpora.
+
+Scale design notes (the 100 TB story):
+- exact dedup is one hash-shuffle on a 64-bit digest (never on raw text);
+- MinHash/LSH candidate generation explodes to (doc, band) pairs — the
+  shuffle key is the band bucket, so skew is bounded by band width, and the
+  pair join happens only inside buckets;
+- verification (exact Jaccard) runs only on candidate pairs, which is the
+  whole point of LSH — the quadratic step never touches the full corpus;
+- everything below is pure Spark SQL higher-order functions (JVM codegen,
+  Arrow-free): transform/filter/aggregate over arrays + xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, cols: list[str], keep_order: str | None = None) -> DataFrame:
+    """Keep one representative row per distinct (cols) combination.
+
+    Uses min_by on a representative key (default: first column of the
+    DataFrame) — a single hash aggregation, no window, no sort.
+    """
+    rep = keep_order or df.columns[0]
+    others = [c for c in df.columns if c != rep]
+    agg = [F.min_by(F.struct(*others), _c(rep)).alias("__rest"), F.min(_c(rep)).alias(rep)]
+    out = df.groupBy(*[_c(c) for c in cols]).agg(*agg)
+    return out.select(*cols, rep, *[F.col(f"__rest.{c}").alias(c) for c in others])
+
+
+def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Per distinct value of ``cols``: representative id (min) and group size.
+    The digest-first variant groups on xxhash64(cols) to keep shuffle rows
+    narrow when `cols` are wide text."""
+    return df.groupBy(*[_c(c) for c in cols]).agg(
+        F.min(_c(id_col)).alias("rep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def word_shingles(text, n: int = 3) -> Column:
+    """Distinct word n-grams of ``text`` as an array<string> (JVM-side:
+    split + transform over an index sequence)."""
+    words = F.split(F.trim(_c(text)), r"\s+")
+    k = F.size(words)
+    # guard: sequence(0, k-n) would DESCEND for k<n ([0,-1,...]) — emit empty
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def char_shingles(text, n: int = 5) -> Column:
+    """Distinct character n-grams (classic MinHash shingling)."""
+    t = _c(text)
+    k = F.length(t)
+    grams = F.when(
+        k >= n,
+        F.transform(F.sequence(F.lit(1), k - n + 1), lambda i: t.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """array<long> MinHash signature: h_i = min over shingles of
+    xxhash64(i, shingle).  Seeding by a leading literal column gives
+    ``num_hashes`` independent 64-bit families without Python UDFs."""
+    def mk(i: int):
+        # NB: a `lambda s, i=i` default-arg capture would raise the lambda's
+        # arity to 2 and pyspark would bind the array INDEX to i — closure
+        # factory keeps the arity at 1.
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sigs = [F.array_min(F.transform(shingles, mk(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float | None = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding, verified by
+    exact Jaccard when ``threshold`` is given.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.  The banding join is the
+    only corpus-wide shuffle; its key is (band_index, band_hash).
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        _c(id_col).alias("__id"),
+        word_shingles(text_col, shingle_words).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    banded = sig.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows + 1, rows),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "__sh", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sh").alias("sh_a"),
+            F.col("r.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    out = cand.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------- jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (the oracle-able baseline).
+
+    Blocking = the shingle self-join itself: only pairs sharing ≥1 shingle
+    are materialized.  At 100 TB you run minhash_lsh_pairs instead; this is
+    the ground-truth/verification operator.
+    """
+    sh = df.select(
+        _c(id_col).alias("__id"), word_shingles(text_col, shingle_words).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    exploded = sh.select("__id", F.explode("__sh").alias("__s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__i").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash of a shingle set: bit j of the result is the sign of
+    sum over shingles of ±1 according to bit j of xxhash64(shingle).
+
+    Pure aggregate expression: explode-free (per-row array fold)."""
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def mk(j: int):
+        # closure factory — keeps merge-lambda arity at 2 (see minhash note)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [F.aggregate(hashes, F.lit(0), mk(j)) for j in range(64)]
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out.bitwiseOR(
+            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, shingle_words: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates via 4×16-bit band blocking
+    (a pair within Hamming distance ≤3 of 64 bits must agree exactly on at
+    least one of 4 disjoint 16-bit bands — pigeonhole), verified by popcount.
+    """
+    base = df.select(
+        _c(id_col).alias("__id"), simhash64(word_shingles(text_col, shingle_words)).alias("__h")
+    )
+    bands = base.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("__h"), 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__h", "__b.band", "__b.key")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__h").alias("h_a"),
+            F.col("r.__h").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,109 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.  All pure JVM expressions (split/filter/aggregate/
+regexp/xxhash64) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny high-frequency stopword profiles for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(t), r"\s+")
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text) -> Column:
+    """BPE-approximating token count: words + punctuation marks counted
+    separately (a whitespace+regex proxy for tokenizer-length budgeting)."""
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?\(\)]", ""))
+    return words + punct
+
+
+def _stopword_hits(words: Column, lang: str) -> Column:
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words, lambda w: F.lower(w).isin(*sw)))
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    words = tokens(text)
+    return _stopword_hits(words, lang).cast("double") / F.size(words).cast("double")
+
+
+def lang_id(text) -> Column:
+    """Stopword-profile language guess: argmax of per-language hit ratios,
+    'und' (undetermined) when no profile scores >0."""
+    words = tokens(text)
+    scores = {lang: _stopword_hits(words, lang) for lang in STOPWORDS}
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(STOPWORDS):  # deterministic tie-break: alphabetical
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features: char/word counts, mean word length,
+    punctuation & digit & uppercase ratios, stopword ratio.  One projection,
+    no shuffle."""
+    t = F.col(text_col)
+    words = tokens(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_chars.cast("double") / n_words.cast("double")).alias("mean_word_len"),
+        (
+            F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")).cast("double")
+            / n_chars.cast("double")
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+            / n_chars.cast("double")
+        ).alias("digit_ratio"),
+        stopword_ratio(text_col, "en").alias("stopword_ratio_en"),
+    )
+
+
+def quality_score(text) -> Column:
+    """Scalar quality score in [0,1]: blend of length sanity, stopword
+    presence and low punctuation noise (heuristic, deterministic)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(t).cast("double")
+    len_ok = F.least(n_chars / F.lit(200.0), F.lit(1.0))
+    sw = stopword_ratio(t, "en")
+    sw_ok = F.least(sw * 5.0, F.lit(1.0))
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")).cast("double") / n_chars
+    punct_ok = F.greatest(F.lit(1.0) - punct * 5.0, F.lit(0.0))
+    return (len_ok * 0.4 + sw_ok * 0.4 + punct_ok * 0.2)
+
+
+def doc_fingerprint(text, normalize: bool = True) -> Column:
+    """64-bit content fingerprint for exact-dup detection at scale: hash of
+    whitespace/case-normalized text (xxhash64; see
+    supersonic_spark.functions.hashing_fn for the contract)."""
+    t = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    return F.xxhash64(t)

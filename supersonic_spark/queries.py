@@ -1,0 +1,591 @@
+"""Query catalog: one entry per implemented operator/function family from
+SURVEY.md §2, each with a DuckDB oracle (ANSI SQL) where SQL-expressible.
+
+This is the engine's behavioral spec in executable form — the Spark side is
+built from supersonic_spark operators/functions (dogfooding the library);
+the oracle side is plain SQL over the same parquet views.
+
+Determinism rules used throughout (so value-hash comparison is exact):
+- money/quantity aggregations go through DECIMAL (order-independent, exact)
+  and only the final result is cast to DOUBLE;
+- per-row double arithmetic is IEEE-deterministic in both engines — raw
+  doubles are fine for non-aggregated columns;
+- every LIMIT/window has a unique total order (explicit tie-breakers);
+- order-dependent aggregates (CONCAT/FIRST/LAST) always carry an explicit
+  order (SURVEY.md §7.4 item 1);
+- output column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supersonic_spark.functions import (
+    arithmetic as ar,
+    comparison as cmp_,
+    datetime_fn as dt,
+    logic,
+    math_fn as m,
+    regexp_fn as re_,
+    stateful,
+    strings as st,
+)
+from supersonic_spark.operators import aggregate as agg
+from supersonic_spark.operators import core, join as join_ops, setops
+from supersonic_spark.operators import sort as sort_ops
+from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+from supersonic_spark.operators.sort import SortKey
+from supersonic_spark.pipeline import dedup, multimodal, similarity, textstats
+from supersonic_spark.session import load_tables
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+def _dec(col, p=12, s=2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+# =====================================================================
+# §2.1/2.2 — scan / project / compute / filter / limit / generate
+# =====================================================================
+
+@q(
+    "scan_project",
+    """SELECT p_partkey AS part_id, p_name AS part_name, p_retailprice AS retail
+       FROM part""",
+)
+def q_scan_project(spark, sf_dir):
+    """Project (cursor/core/project.h:30): select+rename, no computation."""
+    t = _t(spark, sf_dir)
+    return core.project(
+        t["part"], {"p_partkey": "part_id", "p_name": "part_name", "p_retailprice": "retail"}
+    )
+
+
+@q(
+    "compute_expr",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+       FROM lineitem""",
+)
+def q_compute_expr(spark, sf_dir):
+    """Compute (cursor/core/compute.h:32): expression tree over each block.
+    Per-row IEEE double arithmetic — bit-deterministic on both engines."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    revenue = ar.multiply("l_extendedprice", ar.minus(F.lit(1.0), "l_discount"))
+    charge = ar.multiply(revenue, ar.plus(F.lit(1.0), "l_tax"))
+    return core.compute(
+        li,
+        {
+            "l_orderkey": F.col("l_orderkey"),
+            "l_linenumber": F.col("l_linenumber"),
+            "revenue": revenue,
+            "charge": charge,
+        },
+    )
+
+
+@q(
+    "filter_predicate",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24""",
+)
+def q_filter_predicate(spark, sf_dir):
+    """Filter (cursor/core/filter.h:35): NULL predicate ⇒ drop (SQL WHERE).
+    Predicates reach the parquet scan as PushedFilters."""
+    t = _t(spark, sf_dir)
+    pred = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & cmp_.greater_or_equal("l_discount", F.lit(0.05))
+        & cmp_.less_or_equal("l_discount", F.lit(0.07))
+        & cmp_.less("l_quantity", F.lit(24.0))
+    )
+    return core.filter_op(
+        t["lineitem"], pred, ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    )
+
+
+@q(
+    "limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+)
+def q_limit_offset(spark, sf_dir):
+    """Limit(offset, limit) (cursor/core/limit.h:29) with explicit order."""
+    t = _t(spark, sf_dir)
+    out = core.limit(t["orders"], 50, offset=100, order=[F.col("o_orderkey")])
+    return out.select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "generate_sequence",
+    """SELECT i AS id, i * 2 AS double_id, i * i AS square, i % 7 AS bucket
+       FROM range(1000) t(i)""",
+)
+def q_generate_sequence(spark, sf_dir):
+    """Generate(count) + Sequence()/Const* synthesis (generate.h:32,
+    terminal_expressions.h:60) == spark.range."""
+    df = core.generate(spark, 1000)
+    return core.compute(
+        df,
+        {
+            "id": F.col("id"),
+            "double_id": F.col("id") * 2,
+            "square": F.col("id") * F.col("id"),
+            "bucket": F.col("id") % 7,
+        },
+    )
+
+
+# =====================================================================
+# §2.4 — aggregations
+# =====================================================================
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("tpch_q1", _Q1_ORACLE)
+def q_tpch_q1(spark, sf_dir):
+    """GroupAggregate (aggregate.h:224-228) — TPC-H Q1 shape.  DECIMAL
+    accumulation ⇒ order-independent exact sums; partial aggregation
+    (BestEffortGroupAggregate, aggregate.h:233-250) is Spark's map-side
+    combine, automatic."""
+    t = _t(spark, sf_dir)
+    li = core.filter_op(
+        t["lineitem"], F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz")
+    )
+    one = F.lit(1).cast("decimal(3,0)")
+    li = core.compute(
+        li,
+        {
+            "l_returnflag": F.col("l_returnflag"),
+            "l_linestatus": F.col("l_linestatus"),
+            "qty_d": _dec("l_quantity"),
+            "price_d": _dec("l_extendedprice"),
+            "disc_price_d": _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2)),
+            "charge_d": _dec("l_extendedprice")
+            * (one - _dec("l_discount", 4, 2))
+            * (one + _dec("l_tax", 4, 2)),
+        },
+    )
+    out = agg.group_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec(Aggregation.SUM, "qty_d", "sum_qty", output_type="double"),
+            AggSpec(Aggregation.SUM, "price_d", "sum_base_price", output_type="double"),
+            AggSpec(Aggregation.SUM, "disc_price_d", "sum_disc_price", output_type="double"),
+            AggSpec(Aggregation.SUM, "charge_d", "sum_charge", output_type="double"),
+            AggSpec(Aggregation.COUNT, None, "count_order"),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        "count_order",
+    )
+
+
+@q(
+    "scalar_aggregate",
+    """SELECT COUNT(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+              MIN(o_totalprice) AS min_total,
+              MAX(o_totalprice) AS max_total,
+              MIN(o_orderpriority) AS min_priority
+       FROM orders""",
+)
+def q_scalar_aggregate(spark, sf_dir):
+    """ScalarAggregate (aggregate.h:338-345): one row even on empty input."""
+    t = _t(spark, sf_dir)
+    ord_ = core.compute(t["orders"], {"total_d": _dec("o_totalprice")}, keep_input=True)
+    return agg.scalar_aggregate(
+        ord_,
+        [
+            AggSpec(Aggregation.COUNT, None, "n_orders"),
+            AggSpec(Aggregation.SUM, "total_d", "sum_total", output_type="double"),
+            AggSpec(Aggregation.MIN, "o_totalprice", "min_total"),
+            AggSpec(Aggregation.MAX, "o_totalprice", "max_total"),
+            AggSpec(Aggregation.MIN, "o_orderpriority", "min_priority"),
+        ],
+    )
+
+
+@q(
+    "distinct_aggregate",
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_suppkey) AS n_suppliers,
+              CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_distinct_qty,
+              COUNT(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_distinct_aggregate(spark, sf_dir):
+    """DISTINCT aggregation (aggregate.h:118-123; hybrid rewrite
+    aggregate_groups.cc:492-533 == Catalyst RewriteDistinctAggregates)."""
+    t = _t(spark, sf_dir)
+    li = core.compute(t["lineitem"], {"qty_d": _dec("l_quantity")}, keep_input=True)
+    return agg.group_aggregate(
+        li,
+        ["l_returnflag"],
+        [
+            AggSpec(Aggregation.COUNT, "l_suppkey", "n_suppliers", distinct=True),
+            AggSpec(Aggregation.SUM, "qty_d", "sum_distinct_qty", distinct=True, output_type="double"),
+            AggSpec(Aggregation.COUNT, None, "n_rows"),
+        ],
+    )
+
+
+@q(
+    "concat_aggregate",
+    """SELECT c_nationkey,
+              string_agg(c_name, ',' ORDER BY c_name) AS names,
+              COUNT(*) AS n
+       FROM (SELECT * FROM customer WHERE c_custkey <= 200) GROUP BY c_nationkey""",
+)
+def q_concat_aggregate(spark, sf_dir):
+    """CONCAT aggregation (proto/supersonic.proto:95; buffer impl
+    aggregation_operators.h:230-233) with explicit value order."""
+    t = _t(spark, sf_dir)
+    cust = core.filter_op(t["customer"], F.col("c_custkey") <= 200)
+    return agg.group_aggregate(
+        cust,
+        ["c_nationkey"],
+        [
+            AggSpec(Aggregation.CONCAT, "c_name", "names", order_by=("c_name",)),
+            AggSpec(Aggregation.COUNT, None, "n"),
+        ],
+    )
+
+
+@q(
+    "first_last_aggregate",
+    """SELECT o_custkey,
+              first(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_order,
+              last(o_orderkey ORDER BY o_orderdate, o_orderkey) AS last_order,
+              COUNT(*) AS n_orders
+       FROM orders GROUP BY o_custkey""",
+)
+def q_first_last_aggregate(spark, sf_dir):
+    """FIRST/LAST (proto/supersonic.proto:96-97) with the explicit-order
+    contract — implemented as min_by/max_by over a packed sort key (single
+    shuffle, no window)."""
+    t = _t(spark, sf_dir)
+    return agg.group_aggregate(
+        t["orders"],
+        ["o_custkey"],
+        [
+            AggSpec(Aggregation.FIRST, "o_orderkey", "first_order", order_by=("o_orderdate", "o_orderkey")),
+            AggSpec(Aggregation.LAST, "o_orderkey", "last_order", order_by=("o_orderdate", "o_orderkey")),
+            AggSpec(Aggregation.COUNT, None, "n_orders"),
+        ],
+    )
+
+
+@q(
+    "group_aggregate_with_limit",
+    """WITH agged AS (
+         SELECT o_orderpriority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+                COUNT(*) AS cnt
+         FROM orders GROUP BY o_orderpriority
+       ), ranked AS (
+         SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS rk FROM agged
+       )
+       SELECT o_orderpriority, sum_total, cnt FROM ranked WHERE rk <= 3
+       UNION ALL
+       SELECT NULL AS o_orderpriority,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+              COUNT(*) AS cnt
+       FROM orders
+       WHERE o_orderpriority IN (SELECT o_orderpriority FROM ranked WHERE rk > 3)
+       HAVING COUNT(*) > 0""",
+)
+def q_group_aggregate_with_limit(spark, sf_dir):
+    """BoundGroupAggregateWithLimit (aggregate.h:267-276): first N unique
+    keys aggregated; the rest lumped into one NULL-keyed overflow row."""
+    t = _t(spark, sf_dir)
+    ord_ = core.compute(t["orders"], {"total_d": _dec("o_totalprice")}, keep_input=True)
+    out = agg.group_aggregate_with_limit(
+        ord_,
+        ["o_orderpriority"],
+        [
+            AggSpec(Aggregation.SUM, "total_d", "sum_total_d"),
+            AggSpec(Aggregation.COUNT, None, "cnt"),
+        ],
+        limit=3,
+    )
+    return out.select(
+        "o_orderpriority", F.col("sum_total_d").cast("double").alias("sum_total"), "cnt"
+    )
+
+
+# =====================================================================
+# §2.5 — sort / top-k
+# =====================================================================
+
+@q(
+    "sort_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q_sort_topk(spark, sf_dir):
+    """ExtendedSort+LIMIT (sort.h:103-106) ⇒ TakeOrderedAndProject (true
+    distributed top-k: k-heap per task, only k rows shuffle)."""
+    t = _t(spark, sf_dir)
+    out = sort_ops.extended_sort(
+        t["orders"],
+        [SortKey("o_totalprice", ascending=False), SortKey("o_orderkey")],
+        limit=10,
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@q(
+    "sort_case_insensitive",
+    """SELECT c_custkey, c_mktsegment FROM customer
+       ORDER BY lower(c_mktsegment) DESC, c_custkey LIMIT 15""",
+)
+def q_sort_case_insensitive(spark, sf_dir):
+    """ExtendedSort per-key case-insensitivity (specification.proto:12-30)."""
+    t = _t(spark, sf_dir)
+    out = sort_ops.extended_sort(
+        t["customer"],
+        [SortKey("c_mktsegment", ascending=False, case_insensitive=True), SortKey("c_custkey")],
+        limit=15,
+    )
+    return out.select("c_custkey", "c_mktsegment")
+
+
+# =====================================================================
+# §2.3 — joins
+# =====================================================================
+
+@q(
+    "hash_join_inner",
+    """SELECT l.l_orderkey,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+              o.o_orderpriority
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         AND l.l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
+)
+def q_hash_join_inner(spark, sf_dir):
+    """HashJoinOperation INNER (hash_join.h:35-69) — TPC-H Q3 shape.
+    Build-side choice == broadcast of the filtered dimension."""
+    t = _t(spark, sf_dir)
+    cust = core.filter_op(t["customer"], F.col("c_mktsegment") == "BUILDING", ["c_custkey"])
+    orders = core.filter_op(
+        t["orders"],
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"),
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = core.filter_op(
+        t["lineitem"],
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz"),
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    j = join_ops.hash_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey",
+        unique_right=True,
+    )
+    j = join_ops.hash_join(
+        li, j.withColumnRenamed("o_orderkey", "l_orderkey"), on="l_orderkey",
+        unique_right=True,
+    )
+    one = F.lit(1).cast("decimal(3,0)")
+    j = core.compute(
+        j,
+        {"rev_d": _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))},
+        keep_input=True,
+    )
+    out = agg.group_aggregate(
+        j,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [AggSpec(Aggregation.SUM, "rev_d", "revenue", output_type="double")],
+    )
+    out = sort_ops.extended_sort(
+        out, [SortKey("revenue", ascending=False), SortKey("l_orderkey")], limit=10
+    )
+    return out.select(
+        "l_orderkey",
+        "revenue",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+
+@q(
+    "hash_join_left",
+    """SELECT n.n_nationkey, n.n_name,
+              COUNT(c.c_custkey) AS cust_cnt,
+              COALESCE(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_acctbal
+       FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_nationkey, n.n_name""",
+)
+def q_hash_join_left(spark, sf_dir):
+    """HashJoin LEFT_OUTER (hash_join.h:37-38)."""
+    t = _t(spark, sf_dir)
+    cust = core.compute(
+        t["customer"], {"c_nationkey": F.col("c_nationkey"), "c_custkey": F.col("c_custkey"),
+                        "bal_d": _dec("c_acctbal")},
+    )
+    j = join_ops.hash_join(
+        t["nation"], cust.withColumnRenamed("c_nationkey", "n_nationkey"), on="n_nationkey",
+        how="left",
+    )
+    out = agg.group_aggregate(
+        j,
+        ["n_nationkey", "n_name"],
+        [
+            AggSpec(Aggregation.COUNT, "c_custkey", "cust_cnt"),
+            AggSpec(Aggregation.SUM, "bal_d", "total_acctbal", output_type="double"),
+        ],
+    )
+    return out.select(
+        "n_nationkey", "n_name", "cust_cnt",
+        F.coalesce(F.col("total_acctbal"), F.lit(0.0)).alias("total_acctbal"),
+    )
+
+
+@q(
+    "rowid_merge_join",
+    """SELECT n.n_nationkey, n.n_name, r.r_name
+       FROM nation n
+       JOIN (SELECT r_name, ROW_NUMBER() OVER (ORDER BY r_name) - 1 AS rid
+             FROM region) r
+         ON n.n_regionkey = r.rid""",
+)
+def q_rowid_merge_join(spark, sf_dir):
+    """RowidMergeJoin (rowid_merge_join.h:24-49): positional join of an INT64
+    key against the right side's row id under an explicit order."""
+    t = _t(spark, sf_dir)
+    out = join_ops.rowid_merge_join(
+        t["nation"], "n_regionkey", t["region"].select("r_name"), ["r_name"]
+    )
+    return out.select("n_nationkey", "n_name", "r_name")
+
+
+@q(
+    "foreign_filter",
+    """WITH d AS (
+         SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS new_fk
+         FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 400000)
+       )
+       SELECT d.new_fk AS l_orderkey, l.l_partkey, l.l_quantity
+       FROM lineitem l JOIN d ON l.l_orderkey = d.o_orderkey""",
+)
+def q_foreign_filter(spark, sf_dir):
+    """ForeignFilter (foreign_filter.h:21-48): semi-join on FK + rewrite the
+    FK to the filtered dimension's new row-id ordinals."""
+    t = _t(spark, sf_dir)
+    dim = core.filter_op(t["orders"], F.col("o_totalprice") > 400000)
+    out = join_ops.foreign_filter(t["lineitem"], "l_orderkey", dim, "o_orderkey")
+    return out.select("l_orderkey", "l_partkey", "l_quantity")
+
+
+@q(
+    "anti_join",
+    """SELECT c_custkey, c_nationkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_anti_join(spark, sf_dir):
+    """Anti-join (superset: reference's closest is ForeignFilter's semi-join
+    complement; free in Spark — SURVEY.md §2.3 'not in the reference')."""
+    t = _t(spark, sf_dir)
+    keys = t["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return t["customer"].join(keys, "c_custkey", "left_anti").select("c_custkey", "c_nationkey")
+
+
+# =====================================================================
+# §2.6 — set / stream combination
+# =====================================================================
+
+@q(
+    "merge_union_all",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+       UNION ALL
+       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       WHERE o_orderstatus = 'O' AND o_totalprice < 5000""",
+)
+def q_merge_union_all(spark, sf_dir):
+    """MergeUnionAll (merge_union_all.h:30-45): UNION ALL + shared order
+    (order is semantically irrelevant to the hash compare; the operator
+    applies it)."""
+    t = _t(spark, sf_dir)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    a = core.filter_op(
+        t["orders"], (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000), cols
+    )
+    b = core.filter_op(
+        t["orders"], (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 5000), cols
+    )
+    return setops.merge_union_all([a, b], [SortKey("o_orderkey")])
+
+
+@q(
+    "coalesce_zip",
+    """WITH c AS (SELECT c_custkey, c_name, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rn
+                  FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 50)),
+            s AS (SELECT s_suppkey, s_name, ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS rn
+                  FROM (SELECT * FROM supplier ORDER BY s_suppkey LIMIT 50))
+       SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name
+       FROM c JOIN s USING (rn)""",
+)
+def q_coalesce_zip(spark, sf_dir):
+    """Coalesce (coalesce.h:17-40): HORIZONTAL positional zip — schema is the
+    concatenation of inputs; row i pairs with row i."""
+    t = _t(spark, sf_dir)
+    c50 = sort_ops.extended_sort(
+        t["customer"].select("c_custkey", "c_name"), [SortKey("c_custkey")], limit=50
+    )
+    s50 = sort_ops.extended_sort(
+        t["supplier"].select("s_suppkey", "s_name"), [SortKey("s_suppkey")], limit=50
+    )
+    out = setops.coalesce_zip([c50, s50], [["c_custkey"], ["s_suppkey"]])
+    return out.select("c_custkey", "c_name", "s_suppkey", "s_name")

@@ -1,0 +1,254 @@
+"""Training-data pipeline queries (beyond-reference mandate): dedup,
+similarity search, text analysis, multimodal plumbing — over the documents
+and embeddings tables.  Registered into supersonic_spark.queries.REGISTRY.
+
+Hash-dependent operators (MinHash, SimHash, fingerprint, LSH ANN) have no
+SQL oracle — xxhash64 is Spark-specific — so they are registered without
+oracle SQL (driver records the weaker rows-only check); their *semantics*
+are pinned by unit tests against exact ground truth instead
+(tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from supersonic_spark.operators import core
+from supersonic_spark.pipeline import dedup, multimodal, similarity, textstats
+from supersonic_spark.queries import _t, q
+
+# =====================================================================
+# dedup
+# =====================================================================
+
+@q(
+    "dedup_exact",
+    """SELECT MIN(doc_id) AS rep_id, COUNT(*) AS dup_count
+       FROM documents GROUP BY text""",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash aggregation keyed on content."""
+    t = _t(spark, sf_dir)
+    out = dedup.duplicate_groups(t["documents"], ["text"], "doc_id")
+    return out.select("rep_id", "dup_count")
+
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents WHERE doc_id < 200)
+  WHERE len(words) >= 3
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(grams) AS n FROM sh) na ON na.doc_id = id_a
+JOIN (SELECT doc_id, len(grams) AS n FROM sh) nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.1
+"""
+
+
+@q("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (the oracle-able ground
+    truth for MinHash)."""
+    t = _t(spark, sf_dir)
+    docs = core.filter_op(t["documents"], F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_words=3, threshold=0.1)
+
+
+@q("dedup_minhash_lsh")  # hash-based: rows-only driver check; unit-tested vs exact
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, Jaccard-verified (shingle→minhash→
+    band→bucket-join)."""
+    t = _t(spark, sf_dir)
+    docs = core.filter_op(t["documents"], F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_words=3, threshold=0.1
+    )
+
+
+@q("dedup_simhash")  # hash-based: rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3 (banded blocking)."""
+    t = _t(spark, sf_dir)
+    docs = core.filter_op(t["documents"], F.col("doc_id") < 200)
+    return dedup.simhash_dedup(docs, "doc_id", "text", shingle_words=3, max_hamming=3)
+
+
+# =====================================================================
+# similarity search
+# =====================================================================
+
+_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT query_id, corpus_id,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    AS similarity
+           FROM q CROSS JOIN c),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY similarity DESC, corpus_id) AS rnk
+           FROM s)
+SELECT query_id, corpus_id, round(similarity, 6) AS similarity, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 5
+"""
+
+
+@q("similarity_cosine_topk", _TOPK_ORACLE)
+def q_similarity_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast queries,
+    ordered-fold double dot products, per-query window ranking."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = similarity.cosine_topk(queries, corpus, k=5)
+    return out.select(
+        "query_id", "corpus_id", F.round("similarity", 6).alias("similarity"), "rank"
+    )
+
+
+@q("similarity_lsh_ann")  # bucketing is hash-based: rows-only; recall unit-tested
+def q_similarity_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the 100 TB scale path)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    return similarity.lsh_topk(queries, corpus, k=5, dim=64, planes=8, tables=4)
+
+
+# =====================================================================
+# text analysis
+# =====================================================================
+
+@q(
+    "text_token_stats",
+    """SELECT doc_id,
+              len(string_split_regex(trim(text), '\\s+'))::INT AS n_tokens,
+              length(text)::INT AS n_chars_actual
+       FROM documents""",
+)
+def q_text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer)."""
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+_QUALITY_ORACLE = """
+SELECT doc_id,
+       length(text)::INT AS n_chars,
+       len(string_split_regex(trim(text), '\\s+'))::INT AS n_words,
+       CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS mean_word_len,
+       CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         / length(text) AS digit_ratio,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(w)))) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio_en
+FROM documents
+"""
+
+
+@q("text_quality", _QUALITY_ORACLE)
+def q_text_quality(spark, sf_dir):
+    """Quality features: length/punct/digit/stopword ratios."""
+    t = _t(spark, sf_dir)
+    return textstats.quality_features(t["documents"], "text", "doc_id")
+
+
+_LANGID_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(words, x -> list_contains(['der','die','das','und','ist','von','mit','den','im','zu'], lower(x)))) AS s_de,
+    len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(x)))) AS s_en,
+    len(list_filter(words, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], lower(x)))) AS s_es,
+    len(list_filter(words, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','ce'], lower(x)))) AS s_fr
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM s
+"""
+
+
+@q("text_lang_id", _LANGID_ORACLE)
+def q_text_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (argmax, alphabetical tie-break)."""
+    t = _t(spark, sf_dir)
+    return t["documents"].select("doc_id", textstats.lang_id("text").alias("lang_guess"))
+
+
+@q("doc_fingerprint")  # xxhash64-based: rows-only
+def q_doc_fingerprint(spark, sf_dir):
+    """64-bit normalized-content fingerprints for exact-dup detection."""
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", textstats.doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+# =====================================================================
+# multimodal plumbing
+# =====================================================================
+
+@q(
+    "multimodal_bytes",
+    """SELECT doc_id, octet_length(encode(text)) AS blob_bytes
+       FROM documents""",
+)
+def q_multimodal_bytes(spark, sf_dir):
+    """Binary-column plumbing: text → binary blob → byte length (the
+    opaque-blob data path used for media)."""
+    t = _t(spark, sf_dir)
+    blob = F.encode(F.col("text"), "UTF-8")
+    return t["documents"].select("doc_id", F.octet_length(blob).cast("long").alias("blob_bytes"))
+
+
+@q("multimodal_decode_stub")  # fake decode kernel: rows-only
+def q_multimodal_decode_stub(spark, sf_dir):
+    """Arrow-batched media decode plumbing with the deterministic fake
+    codec (real codecs not in this container — see pipeline.multimodal)."""
+    t = _t(spark, sf_dir)
+    blobs = t["documents"].select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+    media = multimodal.attach_media(blobs, "blob", media_type="image", fmt="fake")
+    decoded = multimodal.decode_image_meta(media, "blob", fake=True)
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.content_hash").alias("content_hash"),
+        F.col("image_features.width").alias("width"),
+        F.col("image_features.height").alias("height"),
+        F.col("image_features.n_bytes").alias("n_bytes"),
+    )

@@ -1,0 +1,129 @@
+"""SparkSession construction and table loading tuned for the engine.
+
+The reference has no session concept (it is an embedded library wired to a
+BufferAllocator, base/memory/memory.h:100-809).  Its memory quotas, spilling
+and block sizing all map to Spark configuration (SURVEY.md §4.2), so this
+module is where those knobs live.
+
+Scale stance: configs below are chosen so the same logical plans survive a
+1000-executor / 100 TB deployment — AQE on (runtime re-plan, skew-join
+handling, empty-relation propagation == the reference's empty-LHS hash-join
+shortcut, NEWS v0.9.4), partition sizing via maxPartitionBytes, broadcast
+threshold for dimension tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Runtime-settable SQL confs applied to any session we are handed.
+#: (Session-level only; never requires restarting the JVM.)
+RUNTIME_CONF = {
+    # Deterministic timestamp semantics regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # The reference's default error policy is Quiet/Nulling (x/0 → NULL, no
+    # query failure; operators.proto:10-14) — Signaling is opt-in per
+    # expression (functions.policy).  Spark 4's ANSI default would make
+    # every partial function Signaling, so turn it off.
+    "spark.sql.ansi.enabled": "false",
+    # AQE: runtime coalescing, skew-join splitting, empty-relation pruning.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (the only sanctioned Python hot path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep timestamps µs-exact through Arrow.
+    "spark.sql.execution.arrow.pyspark.fallback.enabled": "true",
+    # The driver's events.parquet stores ts as TIMESTAMP(NANOS) which Spark
+    # cannot map to TimestampType (µs); read the raw int64 and convert in
+    # the loader (ns → µs truncation, matching DuckDB's ns→µs cast).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "supersonic_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a local session sized for local[$SPARK_GRAFT_CPUS].
+
+    On a real cluster the same code runs unchanged; only master/partition
+    counts differ (set spark.sql.shuffle.partitions ≈ 2-3× total cores there).
+    """
+    cpus = _default_parallelism()
+    sp = shuffle_partitions if shuffle_partitions is not None else max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply engine conf to an externally-created session (e.g. the driver's).
+
+    Only touches runtime-settable SQL confs; silently skips anything the
+    session refuses.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables and register them as temp views.
+
+    Equivalent of the reference's FileInput (cursor/infrastructure/
+    file_io.h:74-77) with Parquet as the idiomatic on-disk format
+    (SURVEY.md §2.1) — columnar, predicate-pushdown- and pruning-capable.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    apply_runtime_conf(spark)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # nanosAsLong leaves NANOS-encoded timestamps as raw int64;
+            # normalize to µs TimestampType (truncating ns→µs like a
+            # DuckDB/Arrow ns→µs cast). Known case: events.ts.
+            if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+                # integer `div` — a double division of ~1.7e18 ns loses µs
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast(
+                        "timestamp_ntz"  # parquet files are NTZ; keep all tables NTZ
+                    ),
+                )
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

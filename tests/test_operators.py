@@ -1,0 +1,263 @@
+"""Golden unit tests per operator — mirrors the reference's OperationTest
+pattern (testing/operation_testing.h:15-45): small inline inputs, exact
+expected outputs.  The block-size sweep analog (operation_testing.h:43-45)
+is the repartition sweep in test_chunking_robustness.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from supersonic_spark.operators import core, join as join_ops, setops
+from supersonic_spark.operators import sort as sort_ops
+from supersonic_spark.operators.aggregate import (
+    AggSpec,
+    Aggregation,
+    group_aggregate,
+    group_aggregate_with_limit,
+    scalar_aggregate,
+)
+from supersonic_spark.operators.projector import (
+    project_attribute_at,
+    project_named_attribute,
+    project_rename,
+)
+from supersonic_spark.operators.rowid import with_row_id, with_row_id_window
+from supersonic_spark.operators.sort import SortKey
+
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return core.scan_view(
+        spark,
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "b", None)],
+        "id int, tag string, val double",
+    )
+
+
+# --- scan / project / compute / filter / limit (cursor/core) ---
+
+def test_project_named(df):
+    out = core.project(df, project_named_attribute("tag", "id"))
+    assert out.columns == ["tag", "id"]
+    assert rows(out) == [("a", 1), ("b", 2), ("b", 4), (None, 3)]
+
+
+def test_project_positional_and_rename(df):
+    out = core.project(df, project_attribute_at(2, 0))
+    assert out.columns == ["val", "id"]
+    out2 = core.project(df, project_rename({"id": "key"}))
+    assert out2.columns == ["key"]
+
+
+def test_compute(df):
+    out = core.compute(df, {"twice": F.col("id") * 2})
+    assert rows(out) == [(2,), (4,), (6,), (8,)]
+
+
+def test_filter_null_predicate_drops(df):
+    # NULL predicate ⇒ drop (filter.h:44; SQL WHERE semantics)
+    out = core.filter_op(df, F.col("val") > 15.0)
+    assert rows(out, "id") == [(2,), (3,)]
+
+
+def test_limit_offset(spark):
+    df = spark.range(100)
+    out = core.limit(df, 10, offset=5, order=[F.col("id")])
+    assert rows(out) == [(i,) for i in range(5, 15)]
+
+
+def test_generate(spark):
+    assert core.generate(spark, 7).count() == 7
+
+
+def test_scan_view_with_selection(spark):
+    base = core.scan_view(spark, [(10, "x"), (20, "y"), (30, "z")], "k int, v string")
+    # selection vector with repeats and skips (scan_view.h:43-49)
+    out = core.scan_view_with_selection(base, [2, 0, 2], ["k"])
+    assert sorted(r["v"] for r in out.collect()) == ["x", "z", "z"]
+
+
+# --- aggregate (cursor/core/aggregate.h) ---
+
+def test_group_aggregate_null_key_and_null_inputs(df):
+    # NULL is a valid grouping key (aggregate_groups.cc:516-519);
+    # aggregations ignore NULL inputs except COUNT(*)
+    out = group_aggregate(
+        df,
+        ["tag"],
+        [
+            AggSpec(Aggregation.SUM, "val", "s"),
+            AggSpec(Aggregation.COUNT, "val", "c_val"),
+            AggSpec(Aggregation.COUNT, None, "c_star"),
+        ],
+    )
+    assert rows(out) == [("a", 10.0, 1, 1), ("b", 20.0, 1, 2), (None, 30.0, 1, 1)]
+
+
+def test_scalar_aggregate_empty_input_one_row(spark):
+    empty = spark.range(0).select(F.col("id").cast("double").alias("x"))
+    out = scalar_aggregate(
+        empty, [AggSpec(Aggregation.COUNT, None, "c"), AggSpec(Aggregation.SUM, "x", "s")]
+    )
+    assert rows(out) == [(0, None)]  # exactly 1 row (aggregate.h:338-345)
+
+
+def test_group_aggregate_empty_input_empty_output(spark):
+    empty = spark.range(0).select(F.col("id").alias("k"), F.col("id").alias("x"))
+    out = group_aggregate(empty, ["k"], [AggSpec(Aggregation.SUM, "x", "s")])
+    assert out.count() == 0  # aggregate.h:218-221
+
+
+def test_concat_first_last_with_order(spark):
+    df = core.scan_view(
+        spark,
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 1, "z")],
+        "k int, pos int, v string",
+    )
+    out = group_aggregate(
+        df,
+        ["k"],
+        [
+            AggSpec(Aggregation.CONCAT, "v", "cc", separator=",", order_by=("pos",)),
+            AggSpec(Aggregation.FIRST, "v", "f", order_by=("pos",)),
+            AggSpec(Aggregation.LAST, "v", "l", order_by=("pos",)),
+        ],
+    )
+    assert rows(out) == [(1, "a,b,c", "a", "c"), (2, "z", "z", "z")]
+
+
+def test_concat_distinct_sorted(spark):
+    df = core.scan_view(spark, [(1, "b"), (1, "a"), (1, "b")], "k int, v string")
+    out = group_aggregate(
+        df, ["k"], [AggSpec(Aggregation.CONCAT, "v", "cc", distinct=True)]
+    )
+    assert rows(out) == [(1, "a,b")]
+
+
+def test_group_aggregate_with_limit_overflow_row(spark):
+    df = core.scan_view(
+        spark,
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5)],
+        "k string, x int",
+    )
+    out = group_aggregate_with_limit(
+        df,
+        ["k"],
+        [AggSpec(Aggregation.SUM, "x", "s"), AggSpec(Aggregation.COUNT, None, "c")],
+        limit=2,
+    )
+    # first 2 keys kept; c+d+e lumped into NULL-key overflow (aggregate.h:267-276)
+    assert rows(out) == [("a", 1, 1), ("b", 2, 1), (None, 12, 3)]
+
+
+def test_group_aggregate_with_limit_no_overflow(spark):
+    df = core.scan_view(spark, [("a", 1), ("b", 2)], "k string, x int")
+    out = group_aggregate_with_limit(
+        df, ["k"], [AggSpec(Aggregation.SUM, "x", "s")], limit=5
+    )
+    assert rows(out) == [("a", 1), ("b", 2)]
+
+
+# --- sort (cursor/core/sort.h) ---
+
+def test_sort_nulls_and_direction(spark):
+    df = core.scan_view(spark, [(None,), (3,), (1,), (2,)], "x int")
+    asc_nf = [r["x"] for r in sort_ops.sort(df, [SortKey("x", nulls_first=True)]).collect()]
+    assert asc_nf == [None, 1, 2, 3]
+    desc_nl = [
+        r["x"]
+        for r in sort_ops.sort(df, [SortKey("x", ascending=False, nulls_first=False)]).collect()
+    ]
+    assert desc_nl == [3, 2, 1, None]
+
+
+def test_extended_sort_case_insensitive_limit(spark):
+    df = core.scan_view(spark, [("B", 1), ("a", 2), ("C", 3)], "s string, i int")
+    out = sort_ops.extended_sort(df, [SortKey("s", case_insensitive=True)], limit=2)
+    assert [r["s"] for r in out.collect()] == ["a", "B"]
+
+
+def test_sort_permutation(spark):
+    df = core.scan_view(spark, [(30,), (10,), (20,)], "x int")
+    out = sort_ops.sort_permutation(df, [SortKey("x")])
+    assert rows(out) == [(10, 0), (20, 1), (30, 2)]
+
+
+# --- joins (cursor/core/hash_join.h etc.) ---
+
+def test_hash_join_inner_and_left(spark):
+    left = core.scan_view(spark, [(1, "l1"), (2, "l2"), (3, "l3")], "k int, lv string")
+    right = core.scan_view(spark, [(1, "r1"), (3, "r3")], "k int, rv string")
+    inner = join_ops.hash_join(left, right, on="k", how="inner")
+    assert rows(inner) == [(1, "l1", "r1"), (3, "l3", "r3")]
+    left_j = join_ops.hash_join(left, right, on="k", how="left", unique_right=True)
+    assert rows(left_j) == [(1, "l1", "r1"), (2, "l2", None), (3, "l3", "r3")]
+
+
+def test_rowid_merge_join(spark):
+    left = core.scan_view(spark, [(0, "x"), (1, "y"), (1, "z")], "rid bigint, lv string")
+    right = core.scan_view(spark, [("b",), ("a",)], "rv string")
+    # right ordered by rv: a→0, b→1
+    out = join_ops.rowid_merge_join(left, "rid", right, ["rv"])
+    assert rows(out, "lv", "rv") == [("x", "a"), ("y", "b"), ("z", "b")]
+
+
+def test_rowid_merge_join_integrity_error(spark):
+    left = core.scan_view(spark, [(5, "x")], "rid bigint, lv string")
+    right = core.scan_view(spark, [("a",)], "rv string")
+    with pytest.raises(ValueError, match="referential integrity"):
+        join_ops.rowid_merge_join(left, "rid", right, ["rv"], check_integrity=True)
+
+
+def test_foreign_filter_renumbers(spark):
+    fact = core.scan_view(spark, [(10, 1), (30, 2), (30, 3), (99, 4)], "fk int, payload int")
+    dim = core.scan_view(spark, [(10,), (30,), (50,)], "key int")
+    out = join_ops.foreign_filter(fact, "fk", dim, "key")
+    # 10→0, 30→1, 50→2 (foreign_filter.h:36-40); fk=99 dropped (semi-join)
+    assert rows(out, "payload", "fk") == [(1, 0), (2, 1), (3, 1)]
+
+
+# --- set ops (cursor/core/merge_union_all.h, coalesce.h) ---
+
+def test_merge_union_all(spark):
+    a = core.scan_view(spark, [(1,), (3,)], "x int")
+    b = core.scan_view(spark, [(2,), (4,)], "x int")
+    out = setops.merge_union_all([a, b], [SortKey("x")])
+    assert [r["x"] for r in out.collect()] == [1, 2, 3, 4]
+
+
+def test_coalesce_zip(spark):
+    a = core.scan_view(spark, [(2, "b"), (1, "a")], "ak int, av string")
+    b = core.scan_view(spark, [(20, "B"), (10, "A")], "bk int, bv string")
+    out = setops.coalesce_zip([a, b], [["ak"], ["bk"]])
+    assert rows(out, "av", "bv") == [("a", "A"), ("b", "B")]
+
+
+# --- row-id discipline ---
+
+def test_with_row_id_matches_window(spark):
+    df = spark.range(1000).select((F.col("id") * 37 % 1000).alias("x"))
+    fast = rows(with_row_id(df, ["x"]))
+    slow = rows(with_row_id_window(df, ["x"]))
+    assert fast == slow
+
+
+def test_chunking_robustness(spark):
+    """Block-size sweep analog (operation_testing.h:43-45): results must be
+    invariant to partitioning."""
+    data = [(i % 7, float(i)) for i in range(500)]
+    expected = None
+    for parts in (1, 3, 13):
+        df = core.scan_view(spark, data, "k int, v double").repartition(parts)
+        out = rows(
+            group_aggregate(
+                df, ["k"], [AggSpec(Aggregation.SUM, "v", "s"), AggSpec(Aggregation.COUNT, None, "c")]
+            )
+        )
+        if expected is None:
+            expected = out
+        assert out == expected

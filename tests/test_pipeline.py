@@ -1,0 +1,183 @@
+"""Pipeline operator tests: hash-based dedup/similarity operators are pinned
+against exact ground truth here (they have no SQL oracle — see
+supersonic_spark.queries_pipeline docstring).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from supersonic_spark.operators import core
+from supersonic_spark.pipeline import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra tail words here"),  # near dup of 1
+        (4, "completely different content about spark engines and columnar data"),
+        (5, "tiny"),
+    ]
+    return core.scan_view(spark, rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"], keep_order="doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 collapsed into 1
+
+
+def test_duplicate_groups(spark, docs):
+    out = dedup.duplicate_groups(docs, ["text"], "doc_id")
+    groups = {r["rep_id"]: r["dup_count"] for r in out.collect()}
+    assert groups[1] == 2 and groups[3] == 1
+
+
+def test_word_shingles_short_text_empty(spark):
+    df = core.scan_view(spark, [("a b",)], "text string")
+    out = df.select(dedup.word_shingles("text", 3).alias("sh")).collect()
+    assert out[0]["sh"] == []
+
+
+def test_ngram_jaccard_vs_minhash_agreement(spark, docs):
+    """MinHash-LSH candidates (verified at the same threshold) must equal the
+    exact Jaccard pairs — LSH may only lose pairs below the band-recall
+    curve, and at J≥0.5 with 16 bands × 4 rows recall ≈ 1."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in exact
+    assert lsh == exact
+
+
+def test_minhash_jaccard_values_match_exact(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.1).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.1).collect()
+    }
+    for pair, j in lsh.items():
+        assert math.isclose(j, exact[pair])
+
+
+def test_simhash_exact_dup_zero_hamming(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_dedup(docs, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert out[(1, 2)] == 0  # identical text ⇒ identical simhash
+
+
+def test_simhash64_deterministic(spark, docs):
+    a = docs.select(dedup.simhash64(dedup.word_shingles("text", 3)).alias("h")).collect()
+    b = docs.select(dedup.simhash64(dedup.word_shingles("text", 3)).alias("h")).collect()
+    assert [r["h"] for r in a] == [r["h"] for r in b]
+
+
+# --- similarity ---
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float32")
+    base[5] = base[0] * 2.0  # cosine-identical to vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return core.scan_view(spark, rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = vecs.filter(F.col("vec_id") > 0).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = similarity.cosine_topk(q, c, k=3).collect()
+    best = next(r for r in out if r["rank"] == 1)
+    assert best["corpus_id"] == 5  # the scaled copy
+    assert math.isclose(best["similarity"], 1.0, abs_tol=1e-6)
+
+
+def test_lsh_topk_finds_identical(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = vecs.filter(F.col("vec_id") > 0).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = similarity.lsh_topk(q, c, k=3, dim=8, planes=4, tables=4).collect()
+    # a cosine-identical vector always shares every bucket with the query
+    assert any(r["corpus_id"] == 5 and r["rank"] == 1 for r in out)
+
+
+# --- text stats ---
+
+def test_token_and_quality(spark, docs):
+    out = textstats.quality_features(docs, "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_words"] == 12
+    assert by_id[1]["stopword_ratio_en"] == pytest.approx(3 / 12)  # the, over, the
+    assert by_id[5]["n_words"] == 1
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is happy"),
+        (2, "el perro es grande y la casa es bonita"),
+        (3, "qqq www eee rrr"),
+    ]
+    df = core.scan_view(spark, rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lg"] for r in df.select("doc_id", textstats.lang_id("text").alias("lg")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_doc_fingerprint_normalization(spark):
+    df = core.scan_view(spark, [(1, "Hello  World"), (2, "hello world ")], "id long, text string")
+    out = [r["f"] for r in df.select(textstats.doc_fingerprint("text").alias("f")).collect()]
+    assert out[0] == out[1]
+
+
+# --- multimodal ---
+
+def test_multimodal_stub_plumbing(spark, docs):
+    blobs = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+    media = multimodal.attach_media(blobs, "blob", media_type="image", fmt="fake")
+    decoded = multimodal.decode_image_meta(media, "blob", fake=True)
+    out = decoded.select("doc_id", "media_meta", "image_features").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["media_meta"]["media_type"] == "image"
+        assert r["image_features"]["ok"]
+        assert r["image_features"]["n_bytes"] > 0
+        assert 64 <= r["image_features"]["width"] < 64 + 1920
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    blobs = docs.limit(1).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+    decoded = multimodal.decode_image_meta(blobs, "blob", fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decoded.collect()
+
+
+def test_frame_sample_plan(spark):
+    df = core.scan_view(spark, [(1, b"x" * 5125)], "vid long, blob binary")
+    out = multimodal.frame_sample_plan(df, "blob", every_n=2).collect()
+    assert [r["frame_index"] for r in out] == [0, 2, 4]  # 5 stub frames, step 2
