@@ -132,3 +132,19 @@ def parse_string_signaling(spark_type, a) -> Column:
     c = _c(a)
     parsed = c.try_cast(spark_type)
     return signal_if(c.isNotNull() & parsed.isNull(), "unparseable string", parsed)
+
+
+def bool_to_numeric(a) -> Column:
+    """BoolToNumeric (operators.proto:78) — true→1, false→0."""
+    return _c(a).cast("int")
+
+
+def numeric_to_bool(a) -> Column:
+    """NumericToBool (operators.proto:79) — 0→false, nonzero→true."""
+    return _c(a) != 0
+
+
+def copy_(a) -> Column:
+    """Copy (operators.proto:72) — identity (forces a materialized column
+    in the reference; a no-op projection here)."""
+    return _c(a)

@@ -124,6 +124,34 @@ def scalar_aggregate(df: DataFrame, specs: list[AggSpec]) -> DataFrame:
     return df.agg(*[_one_agg(s) for s in specs])
 
 
+# --- physical-strategy aliases -------------------------------------------
+# The reference exposes four *physical* aggregation strategies with one
+# logical meaning; Spark chooses the strategy itself (partial agg, sort-agg,
+# spilling, distinct rewrite — SURVEY.md §4.1), so these are aliases kept so
+# reference users can port call sites 1:1.
+
+def best_effort_group_aggregate(df: DataFrame, keys: list, specs: list[AggSpec]) -> DataFrame:
+    """BestEffortGroupAggregate (aggregate.h:233-250): map-side partial
+    aggregation before a shuffle.  Spark's HashAggregate(partial→final)
+    does exactly this automatically; semantics equal GroupAggregate."""
+    return group_aggregate(df, keys, specs)
+
+
+def aggregate_clusters(df: DataFrame, keys: list, specs: list[AggSpec]) -> DataFrame:
+    """AggregateClusters (aggregate.h:278-295): streaming sort-based
+    aggregation over key-clustered input.  Clustering is a physical
+    precondition, not a semantic change — Catalyst picks SortAggregate
+    when the child ordering allows."""
+    return group_aggregate(df, keys, specs)
+
+
+def hybrid_group_aggregate(df: DataFrame, keys: list, specs: list[AggSpec]) -> DataFrame:
+    """HybridGroupAggregate (aggregate.h:320-336): out-of-core aggregation
+    with the DISTINCT NULL-fanout rewrite (aggregate_groups.cc:492-533) —
+    Catalyst's RewriteDistinctAggregates + automatic spilling."""
+    return group_aggregate(df, keys, specs)
+
+
 def group_aggregate_with_limit(
     df: DataFrame,
     keys: list[str],

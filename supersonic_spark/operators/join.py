@@ -65,6 +65,27 @@ def dedup_cols(cols: list[Column], key_names, df: DataFrame) -> list[Column]:
     return out
 
 
+def lookup_join(
+    probe: DataFrame,
+    index: DataFrame,
+    on,
+    query_id_order=None,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """LookupIndex / MultiLookup (cursor/base/lookup_index.h:23-80): point
+    lookups of a probe block against an index, carrying a ``query_ids``
+    side-vector that says which probe row each match belongs to.
+
+    Spark form: broadcast-hash inner join with an explicit probe row-id
+    column (the query_ids vector).  ``query_id_order`` defines the probe
+    row-id assignment (row-id discipline, SURVEY.md §7.4)."""
+    from supersonic_spark.operators.rowid import with_row_id
+
+    if query_id_order is not None:
+        probe = with_row_id(probe, query_id_order, query_id_col)
+    return probe.join(F.broadcast(index), on=on, how="inner")
+
+
 def rowid_merge_join(
     left: DataFrame,
     left_key: str,

@@ -16,6 +16,8 @@ dim) — reproducible across runs/clusters with no RNG state.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,32 +75,69 @@ def cosine_topk(
     )
 
 
-def _hyperplane(table: int, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random weight in [-1, 1): derived from
-    xxhash64(table, plane, dim) — no RNG state, reproducible anywhere."""
-    h = F.xxhash64(F.lit(table), F.lit(plane), F.lit(dim))
-    return (F.pmod(h, F.lit(2_000_003)).cast("double") - F.lit(1_000_001.0)) / F.lit(1_000_001.0)
+def _hyperplane_weight(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1): SHA-256 of
+    (table, plane, dim) — no RNG state, reproducible on any cluster.
+    Computed driver-side once; ships to executors as a literal array."""
+    import hashlib
+
+    h = hashlib.sha256(f"ss-lsh:{table}:{plane}:{dim}".encode()).digest()
+    v = int.from_bytes(h[:8], "big")
+    return (v % 2_000_003) / 1_000_001.0 - 1.0
 
 
 def _bucket_sketch(vec, table: int, planes: int, dim: int) -> Column:
     """LSH bucket id: sign bits of `planes` random projections packed into a
-    long.  Projections are ordered folds (deterministic)."""
+    long.  Hyperplanes are literal double arrays (precomputed driver-side —
+    keeps the expression tree small and the per-row work a pure
+    multiply-add fold, JVM-side)."""
     bits = []
     for p in range(planes):
+        weights = F.array(
+            *[F.lit(_hyperplane_weight(table, p, d)) for d in range(dim)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                _c(vec),
-                F.array(*[_hyperplane(table, p, d) for d in range(dim)]),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(_c(vec), weights, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bits.append(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+        bits.append(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     out = F.lit(0).cast("long")
     for b in bits:
         out = out.bitwiseOR(b)
     return out
+
+
+def _bucket_sketch_udf(dim: int, planes: int, tables: int):
+    """Vectorized (Arrow-batched) bucket sketch: one numpy matmul per batch
+    computes all `tables` bucket ids → array<long>.  This is the sanctioned
+    Python hot path: ~dim×planes×tables flops per row as BLAS, not 2048
+    expression nodes per row.  Weights derive from _hyperplane_weight, so
+    buckets are reproducible across runs/executors."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    W = np.array(
+        [
+            [_hyperplane_weight(t, p, d) for t in range(tables) for p in range(planes)]
+            for d in range(dim)
+        ]
+    )  # dim × (tables·planes)
+    pow2 = (1 << np.arange(planes)).astype("int64")
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="float64") for e in v])
+        proj = x @ W
+        bits = (proj >= 0).reshape(len(x), tables, planes)
+        ids = (bits * pow2).sum(axis=2).astype("int64")
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_topk(
@@ -115,28 +154,17 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 table; exact
     cosine re-scores candidates.  Corpus-side shuffle key = (table, bucket)."""
+    sketch = _bucket_sketch_udf(dim, planes, tables)
     q = queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
     c = corpus.select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
-    qb = q.select(
-        "__qid",
-        "__qv",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("tbl"), _bucket_sketch("__qv", t, planes, dim).alias("bkt"))
-                for t in range(tables)
-            ])
-        ).alias("__b"),
-    ).select("__qid", "__qv", "__b.tbl", "__b.bkt")
-    cb = c.select(
-        "__cid",
-        "__cv",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("tbl"), _bucket_sketch("__cv", t, planes, dim).alias("bkt"))
-                for t in range(tables)
-            ])
-        ).alias("__b"),
-    ).select("__cid", "__cv", "__b.tbl", "__b.bkt")
+    qb = (
+        q.withColumn("__bkts", sketch("__qv"))
+        .select("__qid", "__qv", F.posexplode("__bkts").alias("tbl", "bkt"))
+    )
+    cb = (
+        c.withColumn("__bkts", sketch("__cv"))
+        .select("__cid", "__cv", F.posexplode("__bkts").alias("tbl", "bkt"))
+    )
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bkt"])
         .select("__qid", "__qv", "__cid", "__cv")

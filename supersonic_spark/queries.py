@@ -589,3 +589,43 @@ def q_coalesce_zip(spark, sf_dir):
     )
     out = setops.coalesce_zip([c50, s50], [["c_custkey"], ["s_suppkey"]])
     return out.select("c_custkey", "c_name", "s_suppkey", "s_name")
+
+
+@q(
+    "setops_intersect_except",
+    """SELECT nk, 'both' AS tag FROM
+         (SELECT DISTINCT c_nationkey AS nk FROM customer
+          INTERSECT SELECT DISTINCT s_nationkey AS nk FROM supplier) t
+       UNION ALL
+       SELECT nk, 'cust_only' AS tag FROM
+         (SELECT DISTINCT c_nationkey AS nk FROM customer
+          EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier) t2""",
+)
+def q_setops_intersect_except(spark, sf_dir):
+    """INTERSECT/EXCEPT/DISTINCT — absent in the reference, free in Spark
+    (SURVEY.md §2.6 last row); exposed as engine superset."""
+    t = _t(spark, sf_dir)
+    cust = setops.distinct(t["customer"].select(F.col("c_nationkey").alias("nk")))
+    supp = setops.distinct(t["supplier"].select(F.col("s_nationkey").alias("nk")))
+    both = setops.intersect(cust, supp).withColumn("tag", F.lit("both"))
+    only = setops.except_all(cust, supp).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only)
+
+
+@q(
+    "scan_view_selection",
+    """WITH base AS (
+         SELECT p_partkey, p_name, ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS rid
+         FROM part
+       ), sel(pos, rid) AS (VALUES (0, 5), (1, 3), (2, 5), (3, 17))
+       SELECT sel.pos, base.p_partkey, base.p_name
+       FROM sel JOIN base USING (rid)""",
+)
+def q_scan_view_selection(spark, sf_dir):
+    """ScanViewWithSelection (scan_view.h:43-49): row-id selection vector
+    with repeats, over an explicit row order."""
+    t = _t(spark, sf_dir)
+    out = core.scan_view_with_selection(
+        t["part"].select("p_partkey", "p_name"), [5, 3, 5, 17], ["p_partkey"]
+    )
+    return out.select("pos", "p_partkey", "p_name")

@@ -1,0 +1,71 @@
+"""File I/O — the reference's FileInput/FileOutput + Sink contract
+(cursor/infrastructure/file_io.h:64-77; Sink::Write/Finalize
+writer.h:36-56).
+
+The reference's on-disk format is a private block stream (file_io.h:16-19)
+— intentionally not reproduced (SURVEY.md §2.1): Parquet is the engine's
+canonical format because predicate pushdown, column pruning, partition
+pruning and splittable scans come from it for free at 100 TB.
+
+Scale defaults here:
+- writes are partitioned (``partition_by``) so downstream scans prune;
+- ``max_records_per_file`` bounds file sizes (small-file and giant-file
+  problems both kill 1000-executor scans);
+- reads never infer schema by default on CSV/JSON (full-scan inference is
+  an accidental extra pass over 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def file_input(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """FileInput (file_io.h:74-77) — read a dataset.
+
+    ``schema`` (TupleSchema | StructType | DDL string) is required for
+    csv/json unless ``options['inferSchema']`` is explicitly set — schema
+    inference is a full extra pass at scale.
+    """
+    from supersonic_spark.schema import TupleSchema
+
+    if isinstance(schema, TupleSchema):
+        schema = schema.to_struct_type()
+    reader = spark.read.format(format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif format in ("csv", "json") and "inferSchema" not in options:
+        raise ValueError(
+            f"{format} read needs an explicit schema (or pass inferSchema=... "
+            "knowingly) — inference is a full extra data pass at scale"
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def file_output(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    **options,
+) -> None:
+    """FileOutput sink (file_io.h:64; Sink contract writer.h:36-56) —
+    Write+Finalize collapse into one atomic Spark write job."""
+    writer = df.write.format(format).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)

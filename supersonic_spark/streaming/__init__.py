@@ -1,0 +1,19 @@
+"""Structured Streaming extension (SURVEY.md §2.9: the reference has NO
+streaming subsystem — this is beyond-reference surface, built so the same
+operator vocabulary runs on unbounded data).
+
+- ``ops`` — streaming variants of the stateless operators (Filter/Compute/
+  Project compose unchanged), event-time windowed aggregation with
+  watermarks, streaming dedup, and a stateful running-sum via
+  ``applyInPandasWithState`` (the streaming analog of the reference's
+  stateful expressions, stateful_expressions.h).
+"""
+
+from supersonic_spark.streaming.ops import (
+    read_stream,
+    stream_dedup,
+    stream_running_sum,
+    windowed_aggregate,
+)
+
+__all__ = ["read_stream", "stream_dedup", "stream_running_sum", "windowed_aggregate"]

@@ -1,0 +1,122 @@
+"""Streaming operators.
+
+Design: stateless operators (Project/Compute/Filter, the whole expression
+library) work on streaming DataFrames unchanged — that is the payoff of the
+expression layer being pure Column functions.  This module adds the
+genuinely streaming-only pieces: watermarks, event-time windows, streaming
+dedup, and custom keyed state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from supersonic_spark.operators.aggregate import AggSpec, _one_agg
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    **options,
+) -> DataFrame:
+    """Streaming FileInput: tail a directory as a stream (schema mandatory —
+    streaming sources cannot infer)."""
+    from supersonic_spark.schema import TupleSchema
+
+    if isinstance(schema, TupleSchema):
+        schema = schema.to_struct_type()
+    reader = spark.readStream.format(format).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    specs: list[AggSpec],
+    keys: Iterable[str] = (),
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling/sliding window aggregation with late-data bound.
+
+    The watermark makes state finite (the 100 TB/continuous story: state
+    size ∝ keys × windows inside the watermark horizon, not history).
+    """
+    wm = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return wm.groupBy(win.alias("window"), *[F.col(k) for k in keys]).agg(
+        *[_one_agg(s) for s in specs]
+    )
+
+
+def stream_dedup(
+    df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup.  With ``ts_col``, uses
+    dropDuplicatesWithinWatermark — state expires with the watermark
+    (unbounded-safe); without, classic dropDuplicates (state grows with
+    distinct keys — only for bounded key domains)."""
+    if ts_col is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+_RSUM_STATE = T.StructType([T.StructField("acc", T.DoubleType(), False)])
+
+
+def stream_running_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Streaming RunningSum (stateful_expressions.h:41-45 made continuous):
+    per-key cumulative sum across micro-batches via applyInPandasWithState.
+
+    Within a micro-batch, rows are accumulated in batch order; state carries
+    the running total between batches.  This is the template for porting the
+    reference's other stateful expressions to streams.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("n", T.LongType(), False),
+            T.StructField(out_col, T.DoubleType(), False),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        acc = state.get[0] if state.exists else 0.0
+        n = 0
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            acc += float(vals.sum())
+            n += len(pdf)
+        state.update((acc,))
+        yield pd.DataFrame({"key": [str(key[0])], "n": [n], out_col: [acc]})
+
+    return (
+        df.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_RSUM_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,173 @@
+"""Tests for sources (FileInput/FileOutput/Table/RepeatingBlock), plan
+composition, Spy instrumentation, lookup join, and streaming ops."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from supersonic_spark.operators import core, join as join_ops
+from supersonic_spark.operators.aggregate import AggSpec, Aggregation, group_aggregate
+from supersonic_spark.plans import Pipeline, spy
+from supersonic_spark.plans.instrument import benchmark_operation
+from supersonic_spark.sources import Table, file_input, file_output
+from supersonic_spark.sources.repeating import repeating_block
+
+from tests.conftest import rows
+
+
+def test_file_roundtrip_parquet(spark, tmp_path):
+    df = core.scan_view(spark, [(1, "a"), (2, "b")], "k int, v string")
+    path = str(tmp_path / "t.parquet")
+    file_output(df, path, partition_by=["k"])
+    back = file_input(spark, path)
+    assert rows(back, "v") == [("a",), ("b",)]
+
+
+def test_file_csv_requires_schema(spark, tmp_path):
+    df = core.scan_view(spark, [(1, "a")], "k int, v string")
+    path = str(tmp_path / "t.csv")
+    file_output(df, path, format="csv", header=True)
+    with pytest.raises(ValueError, match="explicit schema"):
+        file_input(spark, path, format="csv")
+    back = file_input(spark, path, format="csv", schema="k int, v string", header=True)
+    assert rows(back) == [(1, "a")]
+
+
+def test_table_append_and_row_writer(spark):
+    t = Table(spark, "k int, v string")
+    t.add_row(1, "a").add_row(2, "b")
+    t.append_view(core.scan_view(spark, [(3, "c")], "k int, v string"))
+    t.add_row(4, "d")
+    assert rows(t.to_df()) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert t.row_count() == 4
+    t.clear()
+    assert t.to_df().count() == 0
+
+
+def test_repeating_block(spark):
+    block = core.scan_view(spark, [(1,), (2,)], "x int")
+    out = repeating_block(block, 5)
+    assert out.count() == 10
+    out2 = repeating_block(block, 3, copy_col="copy")
+    assert rows(out2.groupBy("copy").count(), "count") == [(2,), (2,), (2,)]
+
+
+def test_pipeline_composition(spark):
+    p = (
+        Pipeline()
+        .then(lambda df: core.filter_op(df, F.col("id") % 2 == 0))
+        .then(lambda df: core.compute(df, {"sq": F.col("id") * F.col("id")}))
+    )
+    out = p(spark.range(10))
+    assert rows(out) == [(0,), (4,), (16,), (36,), (64,)]
+
+
+def test_spy_observe(spark):
+    df = spark.range(100)
+    wired, obs = spy(df)
+    wired.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows_processed"] == 100
+
+
+def test_benchmark_operation(spark):
+    run = benchmark_operation("range", spark.range(1000))
+    assert run.rows == 1000 and run.wall_sec > 0 and run.rows_per_sec > 0
+
+
+def test_lookup_join(spark):
+    probe = core.scan_view(spark, [("b",), ("a",), ("b",)], "k string")
+    index = core.scan_view(spark, [("a", 1), ("b", 2)], "k string, payload int")
+    out = join_ops.lookup_join(probe, index, on="k", query_id_order=["k"])
+    got = rows(out, "query_id", "k", "payload")
+    # probe row ids under order [k]: a→0, b→1, b→2
+    assert got == [(0, "a", 1), (1, "b", 2), (2, "b", 2)]
+
+
+# --- streaming ---
+
+def test_streaming_windowed_aggregate_and_filter(spark, tmp_path):
+    import datetime as dtm
+
+    from supersonic_spark.streaming import read_stream, windowed_aggregate
+
+    src = str(tmp_path / "stream_src")
+    data = [
+        (dtm.datetime(2024, 1, 1, 0, 0, 30), "a", 1.0),
+        (dtm.datetime(2024, 1, 1, 0, 0, 45), "a", 2.0),
+        (dtm.datetime(2024, 1, 1, 0, 1, 10), "b", 5.0),
+    ]
+    core.scan_view(spark, data, "ts timestamp, k string, v double").write.parquet(src)
+
+    stream = read_stream(spark, src, "ts timestamp, k string, v double")
+    assert stream.isStreaming
+    # stateless operators compose unchanged on streams
+    stream = core.filter_op(stream, F.col("v") > 0)
+    agged = windowed_aggregate(
+        stream,
+        "ts",
+        "1 minute",
+        [AggSpec(Aggregation.SUM, "v", "s"), AggSpec(Aggregation.COUNT, None, "c")],
+        keys=["k"],
+    )
+    q = (
+        agged.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["window"].start.minute): (r["s"], r["c"])
+        for r in spark.sql("select * from win_agg").collect()
+    }
+    assert got == {("a", 0): (3.0, 2), ("b", 1): (5.0, 1)}
+
+
+def test_streaming_dedup(spark, tmp_path):
+    import datetime as dtm
+
+    from supersonic_spark.streaming import read_stream, stream_dedup
+
+    src = str(tmp_path / "dedup_src")
+    t0 = dtm.datetime(2024, 1, 1)
+    data = [(t0, "x"), (t0, "x"), (t0, "y")]
+    core.scan_view(spark, data, "ts timestamp, k string").write.parquet(src)
+    stream = read_stream(spark, src, "ts timestamp, k string")
+    deduped = stream_dedup(stream, ["k"], ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.sql("select * from dedup_out").collect())
+    assert got == ["x", "y"]
+
+
+def test_stream_running_sum(spark, tmp_path):
+    from supersonic_spark.streaming import stream_running_sum
+
+    src = str(tmp_path / "rsum_src")
+    core.scan_view(
+        spark, [("u1", 1.0), ("u1", 2.0), ("u2", 10.0)], "k string, v double"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("k string, v double").parquet(src)
+    )
+    out = stream_running_sum(stream, "k", "v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rsum_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r["running_sum"] for r in spark.sql("select * from rsum_out").collect()}
+    assert got == {"u1": 3.0, "u2": 10.0}
