@@ -278,3 +278,79 @@ def simhash_dedup(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT embedding near-dup pairs: (id_a, id_b, cos) with id_a < id_b
+    and cosine similarity ≥ ``threshold``.
+
+    This is the oracle-able ground truth (O(n²) pairs); at 100 TB run
+    :func:`embedding_lsh_pairs`, which prefilters candidates through
+    sign-random-projection buckets so the shuffle key is (table, bucket)
+    instead of a full cross join.  The dot/norm fold is JVM-side
+    (``F.aggregate``/``F.zip_with`` — no Python in the row path).
+    """
+    from supersonic_spark.pipeline.similarity import cosine
+
+    a = df.select(_c(id_col).alias("id_a"), _c(vec_col).alias("__va"))
+    b = df.select(_c(id_col).alias("id_b"), _c(vec_col).alias("__vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
+        F.col("cos") >= F.lit(threshold)
+    )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 12,
+    tables: int = 6,
+) -> DataFrame:
+    """Approximate embedding near-dup: candidates share a sign-random-
+    projection bucket in ≥1 of ``tables`` hash tables; exact cosine then
+    filters to ≥ ``threshold``.
+
+    Scale shape: bucketing is one Arrow-batched matmul per batch
+    (similarity._bucket_sketch_udf); the only corpus-wide shuffle is the
+    (table, bucket) self-join, and buckets shrink as planes grow.  Recall
+    rises with ``tables``, precision cost falls with ``planes``.
+    """
+    from supersonic_spark.pipeline.similarity import _bucket_sketch_udf, cosine
+
+    sketch = _bucket_sketch_udf(dim, planes, tables)
+    base = (
+        df.select(_c(id_col).alias("__id"), _c(vec_col).alias("__v"))
+        .withColumn("__bkts", sketch("__v"))
+        .select("__id", "__v", F.posexplode("__bkts").alias("tbl", "bkt"))
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__v").alias("__va"),
+            F.col("r.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    return cand.select("id_a", "id_b", cos.alias("cos")).filter(
+        F.col("cos") >= F.lit(threshold)
+    )

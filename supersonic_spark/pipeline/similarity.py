@@ -177,3 +177,95 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("similarity").desc(), F.col(corpus_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------------- IVF
+
+def _assign_cells_udf(centroids, nprobe: int):
+    """Arrow-batched cell assignment: one matmul per batch scores every
+    vector against all centroids; returns the ``nprobe`` nearest cell ids
+    (by cosine) as array<int>."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype="float64")  # n_cells × dim
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="float64") for e in v])
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sim = xn @ Cn.T                       # batch × n_cells
+        top = np.argsort(-sim, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_centroids(
+    corpus: DataFrame, corpus_id, corpus_vec, n_cells: int
+) -> list[list[float]]:
+    """Deterministic IVF 'coarse quantizer': pick ``n_cells`` corpus vectors
+    by xxhash64 order of their ids (a reproducible pseudo-random sample —
+    no RNG state, stable across runs/clusters).
+
+    This replaces trained k-means centroids (training is a separate offline
+    job at 100 TB; any centroid set keeps the index correct — only cell
+    balance changes).  Collects n_cells × dim floats to the driver: tiny.
+    """
+    rows = (
+        corpus.select(_c(corpus_vec).alias("v"), _c(corpus_id).alias("i"))
+        .orderBy(F.xxhash64(F.col("i")))
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id,
+    query_vec,
+    corpus_id,
+    corpus_vec,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell (inverted list); each query probes its ``nprobe`` nearest cells and
+    exact cosine re-scores only those cells' vectors.
+
+    Scale shape: the corpus shuffles once on cell id (≈ corpus/n_cells rows
+    per cell); queries broadcast to their probe cells.  Versus LSH:
+    deterministic recall/latency knobs (n_cells, nprobe) and one shuffle key
+    instead of (table, bucket) fan-out.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, corpus_id, corpus_vec, n_cells)
+
+    c_assign = _assign_cells_udf(centroids, 1)
+    q_assign = _assign_cells_udf(centroids, nprobe)
+
+    c = (
+        corpus.select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
+        .withColumn("cell", c_assign("__cv")[0])
+    )
+    qd = (
+        queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
+        .withColumn("cell", F.explode(q_assign("__qv")))
+    )
+    cand = c.join(F.broadcast(qd), "cell").select("__qid", "__qv", "__cid", "__cv")
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col("__cid").alias("corpus_id"),
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -629,3 +629,69 @@ def q_scan_view_selection(spark, sf_dir):
         t["part"].select("p_partkey", "p_name"), [5, 3, 5, 17], ["p_partkey"]
     )
     return out.select("pos", "p_partkey", "p_name")
+
+
+@q(
+    "tpch_q5_shape",
+    """SELECT n.n_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       FROM region r
+       JOIN nation n ON n.n_regionkey = r.r_regionkey
+       JOIN customer c ON c.c_nationkey = n.n_nationkey
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n.n_name
+       ORDER BY revenue DESC, n.n_name""",
+)
+def q_tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join pipeline composed from engine operators.
+    Scale shape: region/nation/supplier/customer broadcast (small dims);
+    the only big shuffles are orders⋈lineitem on orderkey and the final
+    1-key aggregation, which partial-aggregates map-side."""
+    t = _t(spark, sf_dir)
+    region = core.filter_op(t["region"], F.col("r_name") == "ASIA", ["r_regionkey"])
+    nation = join_ops.hash_join(
+        t["nation"].select("n_nationkey", "n_name", "n_regionkey"),
+        region.withColumnRenamed("r_regionkey", "n_regionkey"),
+        on="n_regionkey", unique_right=True,
+    ).select("n_nationkey", "n_name")
+    cust = join_ops.hash_join(
+        t["customer"].select("c_custkey", "c_nationkey"),
+        nation.withColumnRenamed("n_nationkey", "c_nationkey"),
+        on="c_nationkey", broadcast_right=True,
+    )
+    orders = core.filter_op(
+        t["orders"],
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")),
+        ["o_orderkey", "o_custkey"],
+    )
+    ord_c = join_ops.hash_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey", broadcast_right=True,
+    )
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    j = join_ops.hash_join(
+        li, ord_c.withColumnRenamed("o_orderkey", "l_orderkey"), on="l_orderkey",
+    )
+    supp = t["supplier"].select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_nationkey").alias("c_nationkey")
+    )
+    j = join_ops.hash_join(j, supp, on=["l_suppkey", "c_nationkey"], broadcast_right=True)
+    one = F.lit(1).cast("decimal(3,0)")
+    j = core.compute(
+        j,
+        {"rev_d": _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))},
+        keep_input=True,
+    )
+    out = agg.group_aggregate(
+        j, ["n_name"], [AggSpec(Aggregation.SUM, "rev_d", "revenue", output_type="double")]
+    )
+    return sort_ops.extended_sort(
+        out, [SortKey("revenue", ascending=False), SortKey("n_name")]
+    ).select("n_name", "revenue")

@@ -367,3 +367,25 @@ def q_stateful_running_min_flush(spark, sf_dir):
             "value", flush, order=["ts", "event_id"], partition=["user_id"]
         ).alias("run_min"),
     )
+
+
+@q(
+    "stateful_smudge_if",
+    f"""SELECT event_id, user_id,
+              last_value(CASE WHEN NOT COALESCE(event_type <> 'purchase', FALSE)
+                              THEN value END IGNORE NULLS)
+                OVER ({_W}) AS carried_value
+       FROM events""",
+)
+def q_stateful_smudge_if(spark, sf_dir):
+    """SmudgeIf (stateful_expressions.h:64-69): non-purchase rows inherit the
+    last purchase row's value; purchase rows anchor their own."""
+    t = _t(spark, sf_dir)
+    cond = F.col("event_type") != "purchase"
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        stateful.smudge_if(
+            "value", cond, order=["ts", "event_id"], partition=["user_id"]
+        ).alias("carried_value"),
+    )

@@ -252,3 +252,61 @@ def q_multimodal_decode_stub(spark, sf_dir):
         F.col("image_features.height").alias("height"),
         F.col("image_features.n_bytes").alias("n_bytes"),
     )
+
+
+# =====================================================================
+# embedding near-dup + IVF ANN
+# =====================================================================
+
+_EMB_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+"""
+
+
+@q("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (ground truth for the LSH
+    variant); double-precision JVM-side fold, no UDFs."""
+    t = _t(spark, sf_dir)
+    emb = core.filter_op(t["embeddings"], F.col("vec_id") < 200)
+    out = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.3)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@q("dedup_embedding_lsh")  # hash-bucketed candidates: rows-only; recall unit-tested
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Sign-random-projection-bucketed embedding near-dup (the 100 TB scale
+    path for dedup_embedding_cosine)."""
+    t = _t(spark, sf_dir)
+    emb = core.filter_op(t["embeddings"], F.col("vec_id") < 200)
+    out = dedup.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.3, planes=8, tables=8
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+@q("similarity_ivf_ann")  # approximate by construction: rows-only; recall unit-tested
+def q_similarity_ivf_ann(spark, sf_dir):
+    """IVF approximate top-k: cell-partitioned corpus, nprobe cells per
+    query, exact rescoring inside probed cells."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = similarity.ivf_topk(
+        queries, corpus, "query_id", "query_vec", "corpus_id", "corpus_vec",
+        k=5, n_cells=16, nprobe=4,
+    )
+    return out.select("query_id", "corpus_id", F.round("cos", 6).alias("cos"))

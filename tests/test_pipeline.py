@@ -181,3 +181,48 @@ def test_frame_sample_plan(spark):
     df = core.scan_view(spark, [(1, b"x" * 5125)], "vid long, blob binary")
     out = multimodal.frame_sample_plan(df, "blob", every_n=2).collect()
     assert [r["frame_index"] for r in out] == [0, 2, 4]  # 5 stub frames, step 2
+
+
+def test_embedding_cosine_pairs_exact(spark, vecs):
+    out = dedup.embedding_cosine_pairs(vecs, "vec_id", "embedding", threshold=0.999)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 5) in pairs  # the scaled copy is cosine-identical
+    for a, b in pairs:
+        assert a < b
+
+
+def test_embedding_lsh_pairs_finds_identical(spark, vecs):
+    out = dedup.embedding_lsh_pairs(
+        vecs, "vec_id", "embedding", dim=8, threshold=0.999, planes=4, tables=4
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # identical-direction vectors share every bucket → always candidates
+    assert (0, 5) in pairs
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            vecs, "vec_id", "embedding", threshold=0.999
+        ).collect()
+    }
+    assert pairs <= exact  # no false positives after exact rescoring
+
+
+def test_ivf_topk_recall(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = vecs.filter(F.col("vec_id") > 0).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = similarity.ivf_topk(
+        q, c, "query_id", "query_vec", "corpus_id", "corpus_vec",
+        k=3, n_cells=4, nprobe=4,
+    ).collect()
+    # nprobe == n_cells probes every cell → exact: the scaled copy wins
+    assert any(r["corpus_id"] == 5 and math.isclose(r["cos"], 1.0, abs_tol=1e-6) for r in out)
+
+
+def test_ivf_centroids_deterministic(spark, vecs):
+    c1 = similarity.ivf_centroids(vecs, "vec_id", "embedding", 4)
+    c2 = similarity.ivf_centroids(vecs, "vec_id", "embedding", 4)
+    assert c1 == c2 and len(c1) == 4
