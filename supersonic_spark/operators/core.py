@@ -100,3 +100,27 @@ def limit(df: DataFrame, count: int, offset: int = 0, order: list | None = None)
     if order is None:
         raise ValueError("offset>0 requires an explicit order (SURVEY.md §7.4)")
     return df.orderBy(*order).offset(offset).limit(count)
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Redistribute ``df`` round-robin when its plan yields fewer partitions
+    than ``min_partitions`` (default: the cluster's default parallelism).
+
+    For CPU-dense per-row operators (shingling, MinHash, regex scoring,
+    embedding sketches) the work should scale with cores, not with however
+    many input splits the source happened to produce — a single unsplittable
+    file (one parquet row group, a gzip blob) otherwise serializes the whole
+    stage on one task.  The repartition moves the data once; the dense
+    compute it unblocks costs orders of magnitude more than that move.  When
+    the source already has enough splits (the normal 100 TB case) this is a
+    no-op with zero plan change.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan not convertible; don't block
+        return df
+    if current >= min_partitions:
+        return df
+    return df.repartition(min_partitions)

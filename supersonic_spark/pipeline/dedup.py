@@ -48,12 +48,45 @@ def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 # ---------------------------------------------------------------- shingles
 
+def shingles_from_words(words, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED array<string>
+    column.  Pass a real column (see :func:`with_word_shingles`), not a
+    split(...) expression: a HOF lambda capturing an expression re-evaluates
+    it per element — O(words²) re-splitting per document, ~8× slower."""
+    w = _c(words)
+    k = F.size(w)
+    # guard: sequence(0, k-n) would DESCEND for k<n ([0,-1,...]) — emit empty
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def with_word_shingles(
+    df: DataFrame, id_col: str, text_col, n: int = 3, out_col: str = "__sh"
+) -> DataFrame:
+    """(id, shingles) projection with the word array materialized in its own
+    projection step before the gram HOF — the fast path used by every
+    shingling operator here."""
+    wdf = df.select(
+        _c(id_col).alias("__id"), F.split(F.trim(_c(text_col)), r"\s+").alias("__words")
+    )
+    return wdf.select(
+        "__id", shingles_from_words(F.col("__words"), n).alias(out_col)
+    ).filter(F.size(out_col) > 0)
+
+
 def word_shingles(text, n: int = 3) -> Column:
     """Distinct word n-grams of ``text`` as an array<string> (JVM-side:
-    split + transform over an index sequence)."""
+    split + transform over an index sequence).  Column-expression form; for
+    DataFrame pipelines prefer :func:`with_word_shingles`, which avoids the
+    captured-expression re-evaluation pitfall."""
     words = F.split(F.trim(_c(text)), r"\s+")
     k = F.size(words)
-    # guard: sequence(0, k-n) would DESCEND for k<n ([0,-1,...]) — emit empty
     grams = F.when(
         k >= n,
         F.transform(
@@ -77,18 +110,29 @@ def char_shingles(text, n: int = 5) -> Column:
 
 # ---------------------------------------------------------------- minhash
 
+_LONG_MAX = 9223372036854775807
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """array<long> MinHash signature: h_i = min over shingles of
     xxhash64(i, shingle).  Seeding by a leading literal column gives
-    ``num_hashes`` independent 64-bit families without Python UDFs."""
-    def mk(i: int):
-        # NB: a `lambda s, i=i` default-arg capture would raise the lambda's
-        # arity to 2 and pyspark would bind the array INDEX to i — closure
-        # factory keeps the arity at 1.
-        return lambda s: F.xxhash64(F.lit(i), s)
+    ``num_hashes`` independent 64-bit families without Python UDFs.
 
-    sigs = [F.array_min(F.transform(shingles, mk(i))) for i in range(num_hashes)]
-    return F.array(*sigs)
+    Single-pass shape: one ``transform`` emits all ``num_hashes`` hashes per
+    shingle and one ``aggregate`` folds an elementwise min.  HOF lambdas are
+    interpreted per *invocation*, so one pass doing 64 hashes beats 64
+    passes doing one hash by ~the HOF dispatch factor; no shuffle either
+    way."""
+    def all_hashes(s):
+        # NB: no default-arg captures — an extra lambda param would make
+        # pyspark bind the array index to it.
+        return F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
+
+    hashed = F.transform(shingles, all_hashes)
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
+    return F.aggregate(
+        hashed, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    )
 
 
 def minhash_lsh_pairs(
@@ -106,33 +150,35 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.  The banding join is the
     only corpus-wide shuffle; its key is (band_index, band_hash).
     """
+    from supersonic_spark.operators.core import ensure_parallelism
+
     rows = num_hashes // bands
-    base = df.select(
-        _c(id_col).alias("__id"),
-        word_shingles(text_col, shingle_words).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    sig = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-    banded = sig.select(
-        "__id",
-        "__sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("__sig"), b * rows + 1, rows),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("__b"),
-    ).select("__id", "__sh", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
+    base = with_word_shingles(ensure_parallelism(df), id_col, text_col, shingle_words)
+
+    # Signature via explode → 64 codegen'd min-aggregates: whole-stage
+    # codegen end to end (a single-pass HOF fold is shuffle-free but pays
+    # interpreted-lambda dispatch per element — ~4× slower); the map-side
+    # partial agg shrinks the shuffle to one 64-long row per document.
+    ex = base.select("__id", F.explode("__sh").alias("__s"))
+    sig = ex.groupBy("__id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__s{i}") for i in range(num_hashes)]
+    )
+
+    # Banding over the narrow signature only: the (band, bucket) self-join
+    # shuffles 20 bytes × bands per document, never the shingle arrays.
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(f"__s{i}").cast("string")
+                                   for i in range(b * rows, (b + 1) * rows)])
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("__id", F.explode(F.array(*band_cols)).alias("__b")).select(
+        "__id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -143,17 +189,18 @@ def minhash_lsh_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sh").alias("sh_a"),
-            F.col("r.__sh").alias("sh_b"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # Exact-Jaccard verification: fetch each side's shingles once per
+    # surviving candidate pair.
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    out = cand.select(
+    out = pairs.select(
         "id_a",
         "id_b",
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
@@ -178,9 +225,9 @@ def ngram_jaccard_pairs(
     are materialized.  At 100 TB you run minhash_lsh_pairs instead; this is
     the ground-truth/verification operator.
     """
-    sh = df.select(
-        _c(id_col).alias("__id"), word_shingles(text_col, shingle_words).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    sh = with_word_shingles(ensure_parallelism(df), id_col, text_col, shingle_words)
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     exploded = sh.select("__id", F.explode("__sh").alias("__s"))
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -238,9 +285,10 @@ def simhash_dedup(
     (a pair within Hamming distance ≤3 of 64 bits must agree exactly on at
     least one of 4 disjoint 16-bit bands — pigeonhole), verified by popcount.
     """
-    base = df.select(
-        _c(id_col).alias("__id"), simhash64(word_shingles(text_col, shingle_words)).alias("__h")
-    )
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    base = with_word_shingles(ensure_parallelism(df), id_col, text_col, shingle_words)
+    base = base.select("__id", simhash64(F.col("__sh")).alias("__h"))
     bands = base.select(
         "__id",
         "__h",
@@ -297,8 +345,10 @@ def embedding_cosine_pairs(
     instead of a full cross join.  The dot/norm fold is JVM-side
     (``F.aggregate``/``F.zip_with`` — no Python in the row path).
     """
+    from supersonic_spark.operators.core import ensure_parallelism
     from supersonic_spark.pipeline.similarity import cosine
 
+    df = ensure_parallelism(df)
     a = df.select(_c(id_col).alias("id_a"), _c(vec_col).alias("__va"))
     b = df.select(_c(id_col).alias("id_b"), _c(vec_col).alias("__vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -326,11 +376,12 @@ def embedding_lsh_pairs(
     (table, bucket) self-join, and buckets shrink as planes grow.  Recall
     rises with ``tables``, precision cost falls with ``planes``.
     """
+    from supersonic_spark.operators.core import ensure_parallelism
     from supersonic_spark.pipeline.similarity import _bucket_sketch_udf, cosine
 
     sketch = _bucket_sketch_udf(dim, planes, tables)
     base = (
-        df.select(_c(id_col).alias("__id"), _c(vec_col).alias("__v"))
+        ensure_parallelism(df).select(_c(id_col).alias("__id"), _c(vec_col).alias("__v"))
         .withColumn("__bkts", sketch("__v"))
         .select("__id", "__v", F.posexplode("__bkts").alias("tbl", "bkt"))
     )

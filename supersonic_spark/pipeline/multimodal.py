@@ -80,7 +80,12 @@ def _decode_one(blob: bytes, fake: bool) -> tuple:
 def decode_image_meta(df: DataFrame, blob_col: str, fake: bool = False,
                       out_col: str = "image_features") -> DataFrame:
     """Arrow-batched decode: mapInPandas so each Python invocation handles a
-    whole columnar batch (the sanctioned Python path for media kernels)."""
+    whole columnar batch (the sanctioned Python path for media kernels).
+    Input is redistributed when the source yields fewer splits than cores —
+    decode kernels are the most CPU-dense operators in the engine."""
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    df = ensure_parallelism(df)
     # StructType.add mutates in place — build a fresh schema
     out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, IMAGE_FEATURES_TYPE, True)])
     in_cols = df.columns

@@ -59,8 +59,12 @@ def cosine_topk(
     small side by construction); per-query ranking uses a window partitioned
     by query — no global sort.
     """
+    from supersonic_spark.operators.core import ensure_parallelism
+
     q = queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
-    c = corpus.select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
+    c = ensure_parallelism(corpus).select(
+        _c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv")
+    )
     scored = c.join(F.broadcast(q)).select(
         F.col("__qid").alias(query_id),
         F.col("__cid").alias(corpus_id),
@@ -154,9 +158,13 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 table; exact
     cosine re-scores candidates.  Corpus-side shuffle key = (table, bucket)."""
+    from supersonic_spark.operators.core import ensure_parallelism
+
     sketch = _bucket_sketch_udf(dim, planes, tables)
     q = queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
-    c = corpus.select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
+    c = ensure_parallelism(corpus).select(
+        _c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv")
+    )
     qb = (
         q.withColumn("__bkts", sketch("__qv"))
         .select("__qid", "__qv", F.posexplode("__bkts").alias("tbl", "bkt"))
@@ -246,11 +254,14 @@ def ivf_topk(
     if centroids is None:
         centroids = ivf_centroids(corpus, corpus_id, corpus_vec, n_cells)
 
+    from supersonic_spark.operators.core import ensure_parallelism
+
     c_assign = _assign_cells_udf(centroids, 1)
     q_assign = _assign_cells_udf(centroids, nprobe)
 
     c = (
-        corpus.select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
+        ensure_parallelism(corpus)
+        .select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
         .withColumn("cell", c_assign("__cv")[0])
     )
     qd = (

@@ -36,21 +36,26 @@ def bpe_ish_token_count(text) -> Column:
     return words + punct
 
 
-def _stopword_hits(words: Column, lang: str) -> Column:
-    sw = STOPWORDS[lang]
-    return F.size(F.filter(words, lambda w: F.lower(w).isin(*sw)))
+def _stopword_hits(text_or_col, lang: str) -> Column:
+    """Count tokens equal to a stopword.  One compiled-regex pass instead of
+    a per-element higher-order-function filter (HOF lambdas are interpreted
+    element-at-a-time — ~100× slower than codegen'd regexp_count here).
+    A token is a maximal non-whitespace run, so ``(?:^|\\s)w(?=\\s|$)``
+    matches exactly the tokens whose lowercase form equals ``w``; the
+    lookahead keeps consecutive stopwords countable."""
+    t = F.col(text_or_col) if isinstance(text_or_col, str) else text_or_col
+    pat = r"(?:^|\s)(?:" + "|".join(STOPWORDS[lang]) + r")(?=\s|$)"
+    return F.regexp_count(F.lower(F.trim(t)), F.lit(pat))
 
 
 def stopword_ratio(text, lang: str = "en") -> Column:
-    words = tokens(text)
-    return _stopword_hits(words, lang).cast("double") / F.size(words).cast("double")
+    return _stopword_hits(text, lang).cast("double") / F.size(tokens(text)).cast("double")
 
 
 def lang_id(text) -> Column:
     """Stopword-profile language guess: argmax of per-language hit ratios,
     'und' (undetermined) when no profile scores >0."""
-    words = tokens(text)
-    scores = {lang: _stopword_hits(words, lang) for lang in STOPWORDS}
+    scores = {lang: _stopword_hits(text, lang) for lang in STOPWORDS}
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in sorted(STOPWORDS):  # deterministic tie-break: alphabetical
@@ -63,8 +68,12 @@ def lang_id(text) -> Column:
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features: char/word counts, mean word length,
-    punctuation & digit & uppercase ratios, stopword ratio.  One projection,
-    no shuffle."""
+    punctuation & digit & uppercase ratios, stopword ratio.  One projection;
+    input is redistributed first when the source gives fewer splits than
+    cores (regex work dominates the move)."""
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     words = tokens(text_col)
     n_chars = F.length(t)

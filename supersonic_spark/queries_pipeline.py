@@ -153,7 +153,7 @@ def q_similarity_lsh_ann(spark, sf_dir):
 def q_text_token_stats(spark, sf_dir):
     """Token counting (whitespace tokenizer)."""
     t = _t(spark, sf_dir)
-    return t["documents"].select(
+    return core.ensure_parallelism(t["documents"]).select(
         "doc_id",
         textstats.token_count("text").alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
@@ -208,7 +208,9 @@ FROM s
 def q_text_lang_id(spark, sf_dir):
     """Stopword-profile language ID (argmax, alphabetical tie-break)."""
     t = _t(spark, sf_dir)
-    return t["documents"].select("doc_id", textstats.lang_id("text").alias("lang_guess"))
+    return core.ensure_parallelism(t["documents"]).select(
+        "doc_id", textstats.lang_id("text").alias("lang_guess")
+    )
 
 
 @q("doc_fingerprint")  # xxhash64-based: rows-only
