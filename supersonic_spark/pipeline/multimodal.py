@@ -111,3 +111,93 @@ def frame_sample_plan(df: DataFrame, blob_col: str, every_n: int = 30) -> DataFr
     n_frames = (F.octet_length(F.col(blob_col)) / F.lit(1024)).cast("int")  # stub: 1 frame/KiB
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.withColumn("frame_index", F.explode(idx))
+
+
+IMAGE_RESIZE_TYPE = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_image(df: DataFrame, blob_col: str, width: int, height: int,
+                 fake: bool = False, out_col: str = "resized") -> DataFrame:
+    """Resize kernel over mapInPandas (Arrow batches).  Real decoders are
+    not in this container: ``fake=True`` emits a deterministic stand-in
+    (content-hash-seeded bytes of the target size) so the Spark-side
+    plumbing — schema, batching, partitioning — is fully exercised;
+    ``fake=False`` raises NotImplementedError inside the kernel."""
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, IMAGE_RESIZE_TYPE, True)])
+    in_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            res = []
+            for blob in pdf[blob_col]:
+                if not fake:
+                    raise NotImplementedError(
+                        "image resize needs a real codec (PIL/cv2) — not in this container"
+                    )
+                seed = hashlib.sha256(bytes(blob or b"")).digest()
+                data = (seed * (width * height // len(seed) + 1))[: width * height]
+                res.append({"width": width, "height": height, "data": data})
+            out[out_col] = res
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+AUDIO_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_features(df: DataFrame, blob_col: str, fake: bool = False,
+                   out_col: str = "audio_features") -> DataFrame:
+    """Audio feature extraction (RMS energy, zero-crossing count) over
+    mapInPandas.  With ``fake=True`` the blob bytes are interpreted as a
+    raw int8 waveform — deterministic, codec-free — so the numeric path
+    (numpy over Arrow batches) is real even though no audio decoder is."""
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    import numpy as np
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, AUDIO_FEATURES_TYPE, True)])
+    in_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            feats = []
+            for blob in pdf[blob_col]:
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode needs a real codec (soundfile/ffmpeg) — not in this container"
+                    )
+                wave = np.frombuffer(bytes(blob or b""), dtype=np.int8).astype("float64")
+                if len(wave) == 0:
+                    feats.append({"n_bytes": 0, "rms": 0.0, "zero_crossings": 0, "ok": False})
+                    continue
+                rms = float(np.sqrt(np.mean(wave**2)))
+                zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+                feats.append(
+                    {"n_bytes": len(wave), "rms": rms, "zero_crossings": zc, "ok": True}
+                )
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(run, out_schema)

@@ -120,3 +120,23 @@ def stream_running_sum(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    specs: list[AggSpec],
+    keys: Iterable[str] = (),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: rows within ``gap`` of each other merge into one
+    session per key.  Built-in ``session_window`` (state merges sessions
+    incrementally and expires with the watermark); works identically on
+    batch DataFrames, where the gap-merge runs as a regular aggregation."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    return df.groupBy(win.alias("session"), *[F.col(k) for k in keys]).agg(
+        *[_one_agg(s) for s in specs]
+    )

@@ -171,3 +171,48 @@ def test_stream_running_sum(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["key"]: r["running_sum"] for r in spark.sql("select * from rsum_out").collect()}
     assert got == {"u1": 3.0, "u2": 10.0}
+
+
+def test_sessionize_batch(spark):
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+    from supersonic_spark.streaming.ops import sessionize
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", 1.0),
+        ("u1", "2024-01-01 00:03:00", 2.0),   # within 5m gap → same session
+        ("u1", "2024-01-01 01:00:00", 4.0),   # new session
+        ("u2", "2024-01-01 00:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sessionize(
+        df, "ts", "5 minutes",
+        [AggSpec(Aggregation.SUM, "v", "total"), AggSpec(Aggregation.COUNT, "v", "n")],
+        keys=["user"],
+    )
+    got = {(r["user"], r["total"], r["n"]) for r in out.collect()}
+    assert got == {("u1", 3.0, 2), ("u1", 4.0, 1), ("u2", 8.0, 1)}
+
+
+def test_resize_and_audio_kernels(spark):
+    from supersonic_spark.pipeline import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytes([1, 255, 3, 250] * 8)), (2, b"")], "id long, blob binary"
+    )
+    resized = multimodal.resize_image(df, "blob", 8, 4, fake=True)
+    rows = {r["id"]: r["resized"] for r in resized.collect()}
+    assert rows[1]["width"] == 8 and len(rows[1]["data"]) == 32
+    # deterministic: same blob → same bytes
+    again = {r["id"]: r["resized"] for r in multimodal.resize_image(
+        df, "blob", 8, 4, fake=True).collect()}
+    assert again[1]["data"] == rows[1]["data"]
+
+    audio = multimodal.audio_features(df, "blob", fake=True)
+    feats = {r["id"]: r["audio_features"] for r in audio.collect()}
+    assert feats[1]["ok"] and feats[1]["n_bytes"] == 32 and feats[1]["zero_crossings"] > 0
+    assert not feats[2]["ok"] and feats[2]["n_bytes"] == 0
+
+    with pytest.raises(Exception, match="NotImplementedError|real codec|not available"):
+        multimodal.resize_image(df, "blob", 8, 4, fake=False).collect()
