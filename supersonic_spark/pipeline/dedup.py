@@ -30,8 +30,10 @@ def exact_dedup(df: DataFrame, cols: list[str], keep_order: str | None = None) -
     DataFrame) — a single hash aggregation, no window, no sort.
     """
     rep = keep_order or df.columns[0]
-    others = [c for c in df.columns if c != rep]
-    agg = [F.min_by(F.struct(*others), _c(rep)).alias("__rest"), F.min(_c(rep)).alias(rep)]
+    others = [c for c in df.columns if c != rep and c not in cols]
+    agg = [F.min(_c(rep)).alias(rep)]
+    if others:
+        agg.insert(0, F.min_by(F.struct(*others), _c(rep)).alias("__rest"))
     out = df.groupBy(*[_c(c) for c in cols]).agg(*agg)
     return out.select(*cols, rep, *[F.col(f"__rest.{c}").alias(c) for c in others])
 

@@ -389,3 +389,71 @@ def q_stateful_smudge_if(spark, sf_dir):
             "value", cond, order=["ts", "event_id"], partition=["user_id"]
         ).alias("carried_value"),
     )
+
+
+@q(
+    "expr_bitwise",
+    """SELECT l_orderkey, l_linenumber,
+              (l_orderkey & 255)::BIGINT AS and_mask,
+              (l_orderkey | 15)::BIGINT AS or_mask,
+              xor(l_orderkey, l_partkey)::BIGINT AS xor_keys,
+              (~l_orderkey)::BIGINT AS not_key,
+              (l_linenumber::BIGINT << 3)::BIGINT AS shl3,
+              (l_orderkey >> 2)::BIGINT AS shr2,
+              ((~l_orderkey) & l_partkey)::BIGINT AS and_not
+       FROM lineitem""",
+)
+def q_expr_bitwise(spark, sf_dir):
+    """Bitwise family (elementary_expressions.h:96-119): And/Or/Xor/Not,
+    AndNot, ShiftLeft/ShiftRight.  Everything widened to BIGINT on both
+    sides (the reference's smallest-common-containing-type rule, :103-105,
+    pinned at the widest type so the two engines agree)."""
+    t = _t(spark, sf_dir)
+    key = F.col("l_orderkey").cast("long")
+    part = F.col("l_partkey").cast("long")
+    return core.compute(
+        t["lineitem"],
+        {
+            "l_orderkey": F.col("l_orderkey"),
+            "l_linenumber": F.col("l_linenumber"),
+            "and_mask": logic.bitwise_and(key, F.lit(255).cast("long")),
+            "or_mask": logic.bitwise_or(key, F.lit(15).cast("long")),
+            "xor_keys": logic.bitwise_xor(key, part),
+            "not_key": logic.bitwise_not(key),
+            "shl3": logic.shift_left(F.col("l_linenumber").cast("long"), 3),
+            "shr2": logic.shift_right(key, 2),
+            "and_not": logic.bitwise_and_not(key, part),
+        },
+    )
+
+
+@q(
+    "expr_trig",
+    """SELECT l_orderkey, l_linenumber,
+              round(sin(l_quantity), 9) AS sin_q,
+              round(cos(l_quantity), 9) AS cos_q,
+              round(atan2(l_quantity, l_linenumber), 9) AS atan2_ql,
+              round(degrees(l_discount), 9) AS deg_disc,
+              round(radians(l_quantity), 9) AS rad_q,
+              round(atan(l_discount), 9) AS atan_disc
+       FROM lineitem""",
+)
+def q_expr_trig(spark, sf_dir):
+    """Trig family (math_expressions.h:55-76): Sin/Cos/Atan2/Atan/ToDegrees/
+    ToRadians — rounded to 9 dp (libm implementations differ in the last
+    ulp between JVM and DuckDB; DuckDB lacks hyperbolics, which stay pinned
+    by unit tests instead)."""
+    t = _t(spark, sf_dir)
+    return core.compute(
+        t["lineitem"],
+        {
+            "l_orderkey": F.col("l_orderkey"),
+            "l_linenumber": F.col("l_linenumber"),
+            "sin_q": F.round(m.sin("l_quantity"), 9),
+            "cos_q": F.round(m.cos("l_quantity"), 9),
+            "atan2_ql": F.round(m.atan2("l_quantity", "l_linenumber"), 9),
+            "deg_disc": F.round(m.to_degrees("l_discount"), 9),
+            "rad_q": F.round(m.to_radians("l_quantity"), 9),
+            "atan_disc": F.round(m.atan("l_discount"), 9),
+        },
+    )

@@ -1,0 +1,83 @@
+"""Property-based (hypothesis) metamorphic checks over the operator layer.
+
+The reference ships no property tests (SURVEY.md §5) — these go beyond it:
+random small inputs, invariants that must hold for ANY input.  Examples are
+kept low (every example is a Spark job).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st_
+from pyspark.sql import functions as F
+
+from supersonic_spark.functions import stateful
+from supersonic_spark.operators import core, sort as sort_ops
+from supersonic_spark.operators.sort import SortKey
+from supersonic_spark.pipeline import dedup
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st_.lists(
+    st_.tuples(
+        st_.integers(min_value=-100, max_value=100),
+        st_.one_of(st_.none(), st_.floats(allow_nan=False, allow_infinity=False,
+                                          min_value=-1e6, max_value=1e6)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_sort_is_permutation_and_ordered(spark, rows):
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = core.scan_view(spark, data, "id long, k int, v double")
+    out = sort_ops.extended_sort(df, [SortKey("k"), SortKey("id")]).collect()
+    assert sorted(r["id"] for r in out) == list(range(len(data)))  # permutation
+    keys = [(r["k"], r["id"]) for r in out]
+    assert keys == sorted(keys)  # ordered
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_running_sum_matches_prefix_sums(spark, rows):
+    data = [(i, v) for i, (_, v) in enumerate(rows)]
+    df = core.scan_view(spark, data, "id long, v double")
+    out = df.select(
+        "id", stateful.running_sum("v", order=["id"]).alias("rs")
+    ).orderBy("id").collect()
+    acc, expect = 0.0, []
+    any_val = False
+    for _, v in data:
+        if v is not None:
+            acc += v
+            any_val = True
+        expect.append(acc if any_val else None)
+    for r, e in zip(out, expect):
+        if e is None:
+            assert r["rs"] is None
+        else:
+            assert abs(r["rs"] - e) < 1e-6 * max(1.0, abs(e))
+
+
+@given(
+    texts=st_.lists(
+        st_.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=20
+    )
+)
+@_settings
+def test_exact_dedup_idempotent_and_minimal(spark, texts):
+    data = [(i, t) for i, t in enumerate(texts)]
+    df = core.scan_view(spark, data, "doc_id long, text string")
+    once = dedup.exact_dedup(df, ["text"], keep_order="doc_id")
+    twice = dedup.exact_dedup(once, ["text"], keep_order="doc_id")
+    got_once = sorted(r["doc_id"] for r in once.collect())
+    got_twice = sorted(r["doc_id"] for r in twice.collect())
+    assert got_once == got_twice  # idempotent
+    assert len(got_once) == len(set(texts))  # one survivor per distinct text
