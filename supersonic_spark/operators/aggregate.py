@@ -209,3 +209,98 @@ def group_aggregate_with_limit(
         for s in specs:
             guard = guard | F.col(s.output).isNotNull()
     return winners.unionByName(overflow.filter(guard))
+
+
+# --- skew handling (beyond-reference; 100 TB mandate) --------------------
+
+#: per-function (partial, combine) decompositions for two-phase aggregation
+_DECOMPOSABLE = {
+    Aggregation.SUM: (Aggregation.SUM, Aggregation.SUM),
+    Aggregation.COUNT: (Aggregation.COUNT, Aggregation.SUM),
+    Aggregation.MIN: (Aggregation.MIN, Aggregation.MIN),
+    Aggregation.MAX: (Aggregation.MAX, Aggregation.MAX),
+}
+
+
+def salted_group_aggregate(
+    df: DataFrame, keys: list[str], specs: list[AggSpec], salt_buckets: int = 16
+) -> DataFrame:
+    """GroupAggregate for heavy-hitter key skew: aggregate on
+    (keys, salt) first, then combine per key.
+
+    One mega-key no longer lands on one reducer — its rows spread over
+    ``salt_buckets`` partial groups.  Salt is deterministic (xxhash64 of the
+    whole row), so results are stable across runs.  Only decomposable
+    aggregations (SUM/COUNT/MIN/MAX, no DISTINCT) qualify; others raise.
+    Note Spark's map-side partial aggregation already absorbs most skew for
+    these functions — reach for this when partial agg is defeated (high
+    per-partition key cardinality) or under AQE-less engines.
+    """
+    for s in specs:
+        if s.function not in _DECOMPOSABLE or s.distinct:
+            raise ValueError(
+                f"{s.function.name}{' DISTINCT' if s.distinct else ''} is not "
+                "decomposable for salted aggregation"
+            )
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(salt_buckets))
+    phase1 = df.withColumn("__salt", salt).groupBy(
+        *[F.col(k) for k in keys], F.col("__salt")
+    )
+    p1_specs, p2_aggs = [], []
+    for s in specs:
+        pfn, cfn = _DECOMPOSABLE[s.function]
+        p1_specs.append(_one_agg(AggSpec(pfn, s.input, s.output)))
+        combined = _one_agg(AggSpec(cfn, s.output, s.output, output_type=s.output_type))
+        p2_aggs.append(combined)
+    partial = phase1.agg(*p1_specs)
+    return partial.groupBy(*[F.col(k) for k in keys]).agg(*p2_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join under heavy left-side key skew: left rows get a
+    deterministic salt, the right side is replicated ``salt_buckets``×, and
+    the join key becomes (keys, salt) — splitting each hot key's rows
+    across ``salt_buckets`` tasks.
+
+    Right-side replication multiplies its shuffle volume — use when the
+    right side is modest but too big to broadcast and the left has hot
+    keys.  (With AQE on, prefer letting skew-join handle sort-merge skew;
+    this is the explicit form.)
+    """
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt_buckets))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+    )
+    return l_salted.join(r_salted, on=on + ["__salt"], how=how).drop("__salt")
+
+
+def group_aggregate_rollup(df: DataFrame, keys: list, specs: list[AggSpec]) -> DataFrame:
+    """ROLLUP superset (absent in the reference — SURVEY.md §2.4: Spark
+    gives hierarchical subtotals for free; exposed for parity-plus)."""
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.rollup(*key_cols).agg(*[_one_agg(s) for s in specs])
+
+
+def group_aggregate_cube(df: DataFrame, keys: list, specs: list[AggSpec]) -> DataFrame:
+    """CUBE superset — all grouping-set combinations."""
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.cube(*key_cols).agg(*[_one_agg(s) for s in specs])
+
+
+def approx_distinct_aggregate(
+    df: DataFrame, keys: list, input_col: str, output: str, rsd: float = 0.05
+) -> DataFrame:
+    """Approximate COUNT DISTINCT (HyperLogLog++).  The reference's proto
+    reserves an estimated-distinct knob but never implements estimation
+    (proto/specification.proto:33-37) — this completes that intent; at
+    100 TB an exact count-distinct is a full shuffle of the key domain,
+    HLL is a constant-size sketch merge."""
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.groupBy(*key_cols).agg(F.approx_count_distinct(input_col, rsd).alias(output))

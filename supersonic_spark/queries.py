@@ -695,3 +695,63 @@ def q_tpch_q5_shape(spark, sf_dir):
     return sort_ops.extended_sort(
         out, [SortKey("revenue", ascending=False), SortKey("n_name")]
     ).select("n_name", "revenue")
+
+
+@q(
+    "skew_salted_aggregate",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+              MIN(user_id) AS min_user, MAX(user_id) AS max_user
+       FROM events GROUP BY event_type""",
+)
+def q_skew_salted_aggregate(spark, sf_dir):
+    """Two-phase salted aggregation (skew path): identical results to
+    GroupAggregate, shuffle split over (key, salt) then recombined —
+    event_type is a classic low-cardinality hot-key column."""
+    t = _t(spark, sf_dir)
+    ev = core.compute(
+        t["events"],
+        {"event_type": F.col("event_type"), "user_id": F.col("user_id"),
+         "value_d": _dec("value")},
+    )
+    out = agg.salted_group_aggregate(
+        ev,
+        ["event_type"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "value_d", "total", output_type="double"),
+            AggSpec(Aggregation.MIN, "user_id", "min_user"),
+            AggSpec(Aggregation.MAX, "user_id", "max_user"),
+        ],
+        salt_buckets=8,
+    )
+    return out.select("event_type", "n", "total", "min_user", "max_user")
+
+
+@q(
+    "rollup_aggregate",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup_aggregate(spark, sf_dir):
+    """ROLLUP superset: hierarchical subtotals (engine extension beyond the
+    reference's flat GroupAggregate)."""
+    t = _t(spark, sf_dir)
+    li = core.compute(
+        t["lineitem"],
+        {"l_returnflag": F.col("l_returnflag"), "l_linestatus": F.col("l_linestatus"),
+         "qty_d": _dec("l_quantity")},
+    )
+    out = agg.group_aggregate_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec(Aggregation.SUM, "qty_d", "sum_qty", output_type="double"),
+            AggSpec(Aggregation.COUNT, None, "n"),
+        ],
+    )
+    return out.select("l_returnflag", "l_linestatus", "sum_qty", "n")

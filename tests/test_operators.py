@@ -261,3 +261,61 @@ def test_chunking_robustness(spark):
         if expected is None:
             expected = out
         assert out == expected
+
+
+def test_salted_group_aggregate_matches_plain(spark):
+    from supersonic_spark.operators import aggregate as agg
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+
+    rows = [(("hot" if i % 10 else f"k{i}"), float(i % 7), i) for i in range(200)]
+    df = core.scan_view(spark, rows, "k string, v double, uid long")
+    specs = [
+        AggSpec(Aggregation.COUNT, None, "n"),
+        AggSpec(Aggregation.SUM, "v", "total"),
+        AggSpec(Aggregation.MIN, "uid", "lo"),
+        AggSpec(Aggregation.MAX, "uid", "hi"),
+    ]
+    plain = {r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+             for r in agg.group_aggregate(df, ["k"], specs).collect()}
+    salted = {r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+              for r in agg.salted_group_aggregate(df, ["k"], specs, salt_buckets=8).collect()}
+    assert plain == salted
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not\\s+decomposable"):
+        agg.salted_group_aggregate(df, ["k"], [AggSpec(Aggregation.FIRST, "v", "f")])
+
+
+def test_salted_join_matches_plain(spark):
+    from supersonic_spark.operators import aggregate as agg
+
+    left = core.scan_view(
+        spark, [(("hot" if i % 5 else f"k{i}"), i) for i in range(100)], "k string, lv long"
+    )
+    right = core.scan_view(spark, [("hot", 1), ("k5", 2), ("zzz", 3)], "k string, rv long")
+    plain = sorted((r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect())
+    salted = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in agg.salted_join(left, right, ["k"], 4).collect()
+    )
+    assert plain == salted
+
+
+def test_rollup_cube_and_approx_distinct(spark):
+    from supersonic_spark.operators import aggregate as agg
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+
+    df = core.scan_view(
+        spark,
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+        "g1 string, g2 string, v double",
+    )
+    roll = agg.group_aggregate_rollup(df, ["g1", "g2"], [AggSpec(Aggregation.SUM, "v", "s")])
+    assert {(r["g1"], r["g2"], r["s"]) for r in roll.collect()} == {
+        ("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0),
+        ("a", None, 3.0), ("b", None, 4.0), (None, None, 7.0),
+    }
+    cube = agg.group_aggregate_cube(df, ["g1", "g2"], [AggSpec(Aggregation.SUM, "v", "s")])
+    assert (None, "x", 5.0) in {(r["g1"], r["g2"], r["s"]) for r in cube.collect()}
+
+    ad = agg.approx_distinct_aggregate(df, ["g1"], "g2", "nd", rsd=0.01)
+    assert {(r["g1"], r["nd"]) for r in ad.collect()} == {("a", 2), ("b", 1)}
