@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: dedup/similarity — the shapes that dominate at 100 TB.
 HEADLINE = [
     "tpch_q1",
+    "tpch_q5_shape",
     "filter_predicate",
     "hash_join_inner",
     "hash_join_left",
@@ -33,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
+    "similarity_ivf_ann",
     "text_quality",
 ]
 
@@ -50,8 +52,18 @@ def main() -> None:
     # warm the JVM + file listing once (excluded from timing)
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two runs per query: the first pays one-time costs (plan analysis,
+    # whole-stage-codegen JIT, shuffle-file creation) that vary with session
+    # age; the second is the steady-state execution the reference's bench
+    # infra also isolates (OnCreateFinished vs OnBenchmarkFinished,
+    # cursor/core/benchmarks.h:30-57).  Both are reported; `value` sums the
+    # steady-state times.
     results: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         results[name] = round(time.perf_counter() - t0, 3)
@@ -64,6 +76,7 @@ def main() -> None:
                 "value": round(sum(results.values()), 3),
                 "unit": "sec",
                 "queries": results,
+                "cold_queries": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -72,7 +72,10 @@ def get_spark(app_name: str = "supersonic_spark", shuffle_partitions: int | None
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(sp))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local[32] runs all 32 tasks in this one JVM: 16g thrashes GC once
+        # the session accumulates state (observed 5-10× stage slowdowns);
+        # size the heap like the 32-core executor it actually is.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
