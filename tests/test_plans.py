@@ -1,0 +1,77 @@
+"""Physical-plan property regressions — the scale contract, asserted.
+
+A query can be value-correct and still carry a plan that dies at 100 TB
+(unpushed filters, unpruned columns, shuffle joins on broadcastable dims,
+full sorts where top-k suffices).  These tests pin the plan shapes the
+engine promises (README "Design for scale"); `.explain()` output is the
+assertion surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from __spark_entry__ import queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return queries()
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark, qs):
+    plan = _plan(qs["filter_predicate"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan  # filter reaches the scan
+    # projection pruning: the lineitem scan must not read all 11 columns
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("l_comment" not in l for l in read_schemas)
+
+
+def test_topk_plans_take_ordered_not_full_sort(spark, qs):
+    plan = _plan(qs["sort_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # ExtendedSort+LIMIT = true top-k
+
+
+def test_dim_joins_broadcast(spark, qs):
+    plan = _plan(qs["tpch_q5_shape"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") >= 1  # agg shuffle exists
+    # no shuffled sort-merge join of the dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_partial_then_final(spark, qs):
+    plan = _plan(qs["tpch_q1"](spark, SF_DIR))
+    # two HashAggregates around one Exchange = map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_expression_queries_stay_wholestage_codegen(spark, qs):
+    plan = _plan(qs["expr_math"](spark, SF_DIR))
+    # formatted mode marks codegen'd nodes with a leading '*'
+    assert any(line.lstrip().startswith(("* Project", "*(")) or "* Project" in line
+               for line in plan.splitlines())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_python_is_arrow_batched_only(spark, qs):
+    plan = _plan(qs["similarity_lsh_ann"](spark, SF_DIR))
+    # pandas UDF (Arrow) is allowed; row-at-a-time Python is not
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_cartesian_products_in_joins(spark, qs):
+    for name in ("hash_join_inner", "hash_join_left", "rowid_merge_join", "tpch_q5_shape"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
