@@ -140,3 +140,98 @@ def sessionize(
     return df.groupBy(win.alias("session"), *[F.col(k) for k in keys]).agg(
         *[_one_agg(s) for s in specs]
     )
+
+
+_CHANGED_STATE = T.StructType(
+    [T.StructField("last", T.StringType(), True), T.StructField("seen", T.BooleanType(), False)]
+)
+
+
+def stream_changed(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    out_col: str = "changed",
+) -> DataFrame:
+    """Streaming Changed (stateful_expressions.h:30-39 made continuous):
+    per key, flags rows whose value differs from the previous row's value —
+    across micro-batch boundaries (state carries the last value).  Rows
+    within a batch are processed in ``ts_col`` order; the first row ever
+    seen per key is 'changed'."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField(ts_col, T.TimestampType(), True),
+            T.StructField("value", T.StringType(), True),
+            T.StructField(out_col, T.BooleanType(), False),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last, seen = (state.get if state.exists else (None, False))
+        rows = {"key": [], ts_col: [], "value": [], out_col: []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col].astype("string")):
+                v = None if pd.isna(v) else str(v)
+                changed = (not seen) or (v != last)
+                rows["key"].append(str(key[0]))
+                rows[ts_col].append(ts)
+                rows["value"].append(v)
+                rows[out_col].append(bool(changed))
+                last, seen = v, True
+        state.update((last, seen))
+        yield pd.DataFrame(rows)
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_CHANGED_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SMUDGE_STATE = T.StructType([T.StructField("carry", T.DoubleType(), True)])
+
+
+def stream_smudge(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Streaming Smudge/LOCF (stateful_expressions.h:47-52 made continuous):
+    per key, NULL values take the last non-NULL value — carried across
+    micro-batches in keyed state."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField(ts_col, T.TimestampType(), True),
+            T.StructField(out_col, T.DoubleType(), True),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        carry = state.get[0] if state.exists else None
+        rows = {"key": [], ts_col: [], out_col: []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                if not pd.isna(v):
+                    carry = float(v)
+                rows["key"].append(str(key[0]))
+                rows[ts_col].append(ts)
+                rows[out_col].append(carry)
+        state.update((carry,))
+        yield pd.DataFrame(rows)
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_SMUDGE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -216,3 +216,41 @@ def test_resize_and_audio_kernels(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real codec|not available"):
         multimodal.resize_image(df, "blob", 8, 4, fake=False).collect()
+
+
+def test_stream_changed_and_smudge(spark, tmp_path):
+    import datetime as dtm
+
+    from supersonic_spark.streaming.ops import stream_changed, stream_smudge
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, "a", 1.0),
+        ("u1", t0 + dtm.timedelta(seconds=1), "a", None),
+        ("u1", t0 + dtm.timedelta(seconds=2), "b", None),
+        ("u1", t0 + dtm.timedelta(seconds=3), "b", 7.0),
+        ("u2", t0, "z", None),
+    ]
+    src = str(tmp_path / "chg_src")
+    core.scan_view(
+        spark, rows, "k string, ts timestamp, s string, v double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k string, ts timestamp, s string, v double").parquet(src)
+
+    chg = stream_changed(stream, "k", "s", "ts")
+    q = (chg.writeStream.format("memory").queryName("chg_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["key"], r[ "ts"].second): r["changed"]
+           for r in spark.sql("select * from chg_out").collect()}
+    assert got == {("u1", 0): True, ("u1", 1): False, ("u1", 2): True,
+                   ("u1", 3): False, ("u2", 0): True}
+
+    sm = stream_smudge(stream, "k", "v", "ts")
+    q2 = (sm.writeStream.format("memory").queryName("sm_out")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    filled = {(r["key"], r["ts"].second): r["filled"]
+              for r in spark.sql("select * from sm_out").collect()}
+    assert filled == {("u1", 0): 1.0, ("u1", 1): 1.0, ("u1", 2): 1.0,
+                      ("u1", 3): 7.0, ("u2", 0): None}
