@@ -69,3 +69,33 @@ def file_output(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    Bucketing is the co-located-join primitive at 100 TB: two fact tables
+    bucketed the same way on the join key join with NO exchange on either
+    side (and no sort, if ``sort_cols`` matches) — the shuffle is paid once
+    at write time and amortized over every subsequent join/aggregation on
+    that key.  Requires a catalog table (bucket metadata lives there), not
+    a bare path.
+    """
+    writer = df.write.format(format).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a catalog table (bucket-aware — scans preserve bucket info so
+    joins/aggregations on the bucket key skip their exchange)."""
+    return spark.table(table)

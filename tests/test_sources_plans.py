@@ -254,3 +254,27 @@ def test_stream_changed_and_smudge(spark, tmp_path):
               for r in spark.sql("select * from sm_out").collect()}
     assert filled == {("u1", 0): 1.0, ("u1", 1): 1.0, ("u1", 2): 1.0,
                       ("u1", 3): 7.0, ("u2", 0): None}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from supersonic_spark.sources.io import read_table, write_bucketed_table
+
+    left = core.scan_view(spark, [(i, f"l{i}") for i in range(100)], "k long, lv string")
+    right = core.scan_view(spark, [(i, i * 2.0) for i in range(100)], "k long, rv double")
+    write_bucketed_table(left, "bkt_left", ["k"], 4, sort_cols=["k"])
+    write_bucketed_table(right, "bkt_right", ["k"], 4, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would broadcast (which also skips the shuffle);
+        # disable it to show the bucket metadata alone removes the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l, r = read_table(spark, "bkt_left"), read_table(spark, "bkt_right")
+        joined = l.join(r, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: the write paid the shuffle
+        assert "Bucketed: true" in plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
