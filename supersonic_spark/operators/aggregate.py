@@ -166,17 +166,21 @@ def group_aggregate_with_limit(
     'First' is cursor-order in the reference; here the kept keys are the
     ``limit`` smallest by ``key_order`` (default: the keys themselves) —
     the explicit-order contract.  Implementation: aggregate everything
-    (one shuffle), then split winners/overflow and re-aggregate the small
-    loser set — no per-row second shuffle.
+    (one shuffle), pick winners with distributed top-k (TakeOrdered — no
+    single-task global window even at billions of distinct keys), then
+    split losers out with a broadcast null-safe anti-join (winners are
+    ≤ ``limit`` rows, small by definition).
     """
     agged = group_aggregate(df, keys, specs)
     order_cols = [F.col(k) for k in (key_order or keys)]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy().orderBy(*order_cols)
-    ranked = agged.withColumn("__rk", F.row_number().over(w))
-    winners = ranked.filter(F.col("__rk") <= limit).drop("__rk")
-    losers = ranked.filter(F.col("__rk") > limit).drop("__rk")
+    winners = agged.orderBy(*order_cols).limit(limit)
+    # NULL is a valid grouping-key value (aggregate_groups.cc:516-519) —
+    # the anti-join must match it, hence eqNullSafe instead of `on=keys`.
+    cond = None
+    for k in keys:
+        c = agged[k].eqNullSafe(winners[k])
+        cond = c if cond is None else (cond & c)
+    losers = agged.join(F.broadcast(winners), on=cond, how="left_anti")
     # Re-aggregate the loser rows into one overflow row with NULL keys.
     # Only SUM/COUNT/MIN/MAX re-aggregate losslessly from partials; the
     # reference has the same composition because its overflow row is built
