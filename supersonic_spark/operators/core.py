@@ -64,12 +64,19 @@ def project(df: DataFrame, projector) -> DataFrame:
 def compute(df: DataFrame, exprs: dict[str, Column], keep_input: bool = False) -> DataFrame:
     """Compute — evaluate an expression tree per block (compute.h:32,36).
 
-    ``exprs`` maps output name → Column.  With ``keep_input`` the input
+    ``exprs`` maps output name → Column, or → SQL string parsed by
+    ``F.expr`` (the engine's analog of the reference's serialized
+    expression trees, BuildExpressionFromProto
+    serialization/build_expression_from_proto.h:29-31 / SURVEY.md §2.8:
+    SQL text is the serialized form).  With ``keep_input`` the input
     attributes are passed through first (the reference's Compute emits only
     computed columns; pass-through is a Projector concatenation there).
     """
     cols = [F.col(c) for c in df.columns] if keep_input else []
-    cols += [e.alias(name) for name, e in exprs.items()]
+    cols += [
+        (F.expr(e) if isinstance(e, str) else e).alias(name)
+        for name, e in exprs.items()
+    ]
     return df.select(*cols)
 
 

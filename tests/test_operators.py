@@ -319,3 +319,10 @@ def test_rollup_cube_and_approx_distinct(spark):
 
     ad = agg.approx_distinct_aggregate(df, ["g1"], "g2", "nd", rsd=0.01)
     assert {(r["g1"], r["nd"]) for r in ad.collect()} == {("a", 2), ("b", 1)}
+
+
+def test_compute_accepts_sql_expression_strings(spark):
+    df = core.scan_view(spark, [(1, 2), (3, 4)], "a int, b int")
+    out = core.compute(df, {"s": "a + b", "p": F.col("a") * F.col("b")}, keep_input=True)
+    rows = {(r["a"], r["s"], r["p"]) for r in out.collect()}
+    assert rows == {(1, 3, 2), (3, 7, 12)}
