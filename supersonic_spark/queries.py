@@ -755,3 +755,115 @@ def q_rollup_aggregate(spark, sf_dir):
         ],
     )
     return out.select("l_returnflag", "l_linestatus", "sum_qty", "n")
+
+
+@q(
+    "tpch_q6_shape",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q_tpch_q6_shape(spark, sf_dir):
+    """TPC-H Q6 shape: multi-predicate scan + scalar aggregate.  All four
+    predicates reach the parquet scan (PushedFilters) — the plan is one
+    codegen'd scan stage plus a 1-row final agg."""
+    t = _t(spark, sf_dir)
+    li = core.filter_op(
+        t["lineitem"],
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24),
+        ["l_extendedprice", "l_discount"],
+    )
+    li = core.compute(li, {"rev_d": _dec("l_extendedprice") * _dec("l_discount", 4, 2)})
+    return agg.scalar_aggregate(
+        li,
+        [
+            AggSpec(Aggregation.SUM, "rev_d", "revenue", output_type="double"),
+            AggSpec(Aggregation.COUNT, None, "n"),
+        ],
+    )
+
+
+@q(
+    "tpch_q10_shape",
+    """SELECT c.c_custkey, c.c_name,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+              n.n_name
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON n.n_nationkey = c.c_nationkey
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         AND l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, n.n_name
+       ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+)
+def q_tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Scale shape: nation broadcast; customer⋈orders and orders⋈lineitem
+    shuffle on their keys; top-k is TakeOrdered, not a global sort."""
+    t = _t(spark, sf_dir)
+    orders = core.filter_op(
+        t["orders"],
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz")),
+        ["o_orderkey", "o_custkey"],
+    )
+    li = core.filter_op(
+        t["lineitem"], F.col("l_returnflag") == "R",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    j = join_ops.hash_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), on="l_orderkey"
+    )
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    j = join_ops.hash_join(j, cust, on="o_custkey")
+    nat = t["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    j = join_ops.hash_join(j, nat, on="c_nationkey", broadcast_right=True)
+    one = F.lit(1).cast("decimal(3,0)")
+    j = core.compute(
+        j,
+        {"rev_d": _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))},
+        keep_input=True,
+    )
+    out = agg.group_aggregate(
+        j,
+        [F.col("o_custkey").alias("c_custkey"), F.col("c_name"), F.col("n_name")],
+        [AggSpec(Aggregation.SUM, "rev_d", "revenue", output_type="double")],
+    )
+    out = sort_ops.extended_sort(
+        out, [SortKey("revenue", ascending=False), SortKey("c_custkey")], limit=20
+    )
+    return out.select("c_custkey", "c_name", "revenue", "n_name")
+
+
+@q(
+    "json_extract_props",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+              event_type
+       FROM events
+       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""",
+)
+def q_json_extract_props(spark, sf_dir):
+    """Semi-structured extraction (beyond-reference; training-data pipelines
+    carry JSON sidecar columns): get_json_object stays JVM-side, and the
+    derived predicate filters before any shuffle."""
+    t = _t(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ev = core.compute(
+        t["events"],
+        {"event_id": F.col("event_id"), "prop_k": k, "event_type": F.col("event_type")},
+    )
+    return core.filter_op(ev, F.col("prop_k") >= 50)
