@@ -110,6 +110,18 @@ def char_shingles(text, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def with_char_shingles(
+    df: DataFrame, id_col: str, text_col, n: int = 5, out_col: str = "__sh"
+) -> DataFrame:
+    """(id, char-shingles) projection; the text column is materialized in
+    its own projection step before the substring HOF (same captured-
+    expression pitfall as word shingles)."""
+    tdf = df.select(_c(id_col).alias("__id"), _c(text_col).alias("__text"))
+    return tdf.select(
+        "__id", char_shingles(F.col("__text"), n).alias(out_col)
+    ).filter(F.size(out_col) > 0)
+
+
 # ---------------------------------------------------------------- minhash
 
 _LONG_MAX = 9223372036854775807
@@ -145,17 +157,22 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_words: int = 3,
     threshold: float | None = 0.5,
+    shingle: str = "word",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding, verified by
     exact Jaccard when ``threshold`` is given.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.  The banding join is the
     only corpus-wide shuffle; its key is (band_index, band_hash).
+    ``shingle``: "word" (n = ``shingle_words`` words) or "char" (n =
+    ``shingle_words`` characters — for short texts where word grams are too
+    coarse).
     """
     from supersonic_spark.operators.core import ensure_parallelism
 
     rows = num_hashes // bands
-    base = with_word_shingles(ensure_parallelism(df), id_col, text_col, shingle_words)
+    make = with_word_shingles if shingle == "word" else with_char_shingles
+    base = make(ensure_parallelism(df), id_col, text_col, shingle_words)
 
     # Signature via explode → 64 codegen'd min-aggregates: whole-stage
     # codegen end to end (a single-pass HOF fold is shuffle-free but pays

@@ -867,3 +867,31 @@ def q_json_extract_props(spark, sf_dir):
         {"event_id": F.col("event_id"), "prop_k": k, "event_type": F.col("event_type")},
     )
     return core.filter_op(ev, F.col("prop_k") >= 50)
+
+
+@q(
+    "sort_nulls_ordering",
+    """SELECT o_orderkey, flag_val
+       FROM (SELECT o_orderkey,
+                    CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS flag_val
+             FROM orders)
+       ORDER BY flag_val DESC NULLS LAST, o_orderkey
+       LIMIT 50""",
+)
+def q_sort_nulls_ordering(spark, sf_dir):
+    """Sort NULL placement (sort.cc:44-46,72-77: NULLs partitioned to one
+    end, caller-chosen): DESC with NULLS LAST through ExtendedSort."""
+    t = _t(spark, sf_dir)
+    o = core.compute(
+        t["orders"],
+        {
+            "o_orderkey": F.col("o_orderkey"),
+            "flag_val": F.when(F.col("o_orderstatus") != "O", F.col("o_totalprice")),
+        },
+    )
+    out = sort_ops.extended_sort(
+        o,
+        [SortKey("flag_val", ascending=False, nulls_first=False), SortKey("o_orderkey")],
+        limit=50,
+    )
+    return out.select("o_orderkey", "flag_val")

@@ -226,3 +226,12 @@ def test_ivf_centroids_deterministic(spark, vecs):
     c1 = similarity.ivf_centroids(vecs, "vec_id", "embedding", 4)
     c2 = similarity.ivf_centroids(vecs, "vec_id", "embedding", 4)
     assert c1 == c2 and len(c1) == 4
+
+
+def test_minhash_char_shingles_mode(spark, docs):
+    out = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_words=5,
+        threshold=0.3, shingle="char",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs  # exact dup caught in char mode too
