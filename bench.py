@@ -20,23 +20,37 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 #: headline queries: coverage across scan/filter/agg/join/sort/window/
-#: dedup/similarity — the shapes that dominate at 100 TB.
-HEADLINE = [
-    "tpch_q1",
-    "tpch_q5_shape",
-    "filter_predicate",
-    "hash_join_inner",
-    "hash_join_left",
-    "distinct_aggregate",
-    "sort_topk",
-    "first_last_aggregate",
-    "stateful_running_sum",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "similarity_cosine_topk",
-    "similarity_ivf_ann",
-    "text_quality",
-]
+#: dedup/similarity — the shapes that dominate at 100 TB.  Values are the
+#: input tables each query scans (for rows-processed / rows-per-sec
+#: reporting per BASELINE.md's benchmark.proto vocabulary).
+HEADLINE: dict[str, list[str]] = {
+    "tpch_q1": ["lineitem"],
+    "tpch_q5_shape": ["region", "nation", "customer", "supplier", "orders", "lineitem"],
+    "filter_predicate": ["lineitem"],
+    "hash_join_inner": ["customer", "orders", "lineitem"],
+    "hash_join_left": ["customer", "orders", "lineitem"],
+    "distinct_aggregate": ["lineitem"],
+    "sort_topk": ["orders"],
+    "first_last_aggregate": ["events"],
+    "stateful_running_sum": ["events"],
+    "dedup_exact": ["documents"],
+    "dedup_minhash_lsh": ["documents"],
+    "similarity_cosine_topk": ["embeddings"],
+    "similarity_ivf_ann": ["embeddings"],
+    "text_quality": ["documents"],
+}
+
+
+def _table_rows(sf_dir: str) -> dict[str, int]:
+    """Input-table row counts from parquet footers (no Spark jobs)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for tables in HEADLINE.values():
+        for t in tables:
+            if t not in out:
+                out[t] = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).metadata.num_rows
+    return out
 
 
 def main() -> None:
@@ -68,6 +82,15 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         results[name] = round(time.perf_counter() - t0, 3)
 
+    # rows processed (input rows scanned) and steady-state rows/s — the
+    # reference's benchmark.proto vocabulary (rows_processed, throughput).
+    trows = _table_rows(sf_dir)
+    rows_processed = {n: sum(trows[t] for t in tabs) for n, tabs in HEADLINE.items()}
+    rows_per_sec = {
+        n: round(rows_processed[n] / results[n]) if results[n] > 0 else None
+        for n in HEADLINE
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -77,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "cold_queries": cold,
+                "rows_processed": rows_processed,
+                "rows_per_sec": rows_per_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
