@@ -308,3 +308,27 @@ def approx_distinct_aggregate(
     HLL is a constant-size sketch merge."""
     key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     return df.groupBy(*key_cols).agg(F.approx_count_distinct(input_col, rsd).alias(output))
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_share: float = 0.01, max_keys: int = 100
+) -> DataFrame:
+    """Keys whose row share is ≥ ``min_share``: (key, n, share), heaviest
+    first, capped at ``max_keys``.
+
+    The skew-diagnosis companion to :func:`salted_group_aggregate` /
+    :func:`salted_join` — run it on a join/group key before committing a
+    plan shape at scale.  Exact counts via one partial-aggregated shuffle
+    (the candidate set is bounded because at most 1/min_share keys can
+    exceed the share), then distributed top-k.
+    """
+    total = df.count()
+    if total == 0:
+        return df.select(
+            F.col(col).alias("key"), F.lit(0).alias("n"), F.lit(0.0).alias("share")
+        ).limit(0)
+    counted = df.groupBy(F.col(col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    out = counted.withColumn("share", F.col("n") / F.lit(float(total))).filter(
+        F.col("share") >= min_share
+    )
+    return out.orderBy(F.col("n").desc(), F.col("key")).limit(max_keys)

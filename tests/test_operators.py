@@ -326,3 +326,14 @@ def test_compute_accepts_sql_expression_strings(spark):
     out = core.compute(df, {"s": "a + b", "p": F.col("a") * F.col("b")}, keep_input=True)
     rows = {(r["a"], r["s"], r["p"]) for r in out.collect()}
     assert rows == {(1, 3, 2), (3, 7, 12)}
+
+
+def test_heavy_hitters(spark):
+    from supersonic_spark.operators.aggregate import heavy_hitters
+
+    rows = [("hot",)] * 60 + [("warm",)] * 25 + [(f"k{i}",) for i in range(15)]
+    df = core.scan_view(spark, rows, "k string")
+    got = [(r["key"], r["n"], round(r["share"], 2)) for r in
+           heavy_hitters(df, "k", min_share=0.10).collect()]
+    assert got == [("hot", 60, 0.6), ("warm", 25, 0.25)]
+    assert heavy_hitters(df.limit(0), "k").count() == 0

@@ -278,3 +278,18 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    from supersonic_spark.sources.io import file_input, file_output
+
+    df = core.scan_view(
+        spark, [(i, "a" if i % 2 else "b", i * 1.0) for i in range(100)],
+        "id long, part string, v double",
+    )
+    path = str(tmp_path / "partds")
+    file_output(df, path, partition_by=["part"], mode="overwrite")
+    back = file_input(spark, path).filter(F.col("part") == "a")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan  # pruning reaches the scan
+    assert back.count() == 50
