@@ -895,3 +895,64 @@ def q_sort_nulls_ordering(spark, sf_dir):
         limit=50,
     )
     return out.select("o_orderkey", "flag_val")
+
+
+@q(
+    "streaming_window_agg",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def q_streaming_window_agg(spark, sf_dir):
+    """Structured Streaming end-to-end with BATCH-EQUAL semantics: the
+    events table is consumed as a file stream, aggregated in 1-hour
+    event-time tumbling windows, and the drained (availableNow) result
+    hash-matches the batch SQL oracle — the replayable-source guarantee.
+
+    Event time is TimestampType (watermarks reject NTZ); the session is
+    pinned to UTC so values equal the NTZ batch reads."""
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+    from supersonic_spark.streaming.ops import windowed_aggregate
+
+    load_tables(spark, sf_dir)  # applies runtime conf (UTC, nanosAsLong)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        # file streams take a directory; the glob narrows it to this table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("value_d", F.col("value").cast("decimal(12,2)"))
+    )
+    agged = windowed_aggregate(
+        stream,
+        "ts",
+        "1 hour",
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "value_d", "total", output_type="double"),
+        ],
+        keys=["event_type"],
+        watermark="1 hour",
+    )
+    sink = "ss_stream_window_agg"
+    for q_ in spark.streams.active:
+        if q_.name == sink:
+            q_.stop()
+    (
+        agged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.table(sink).select(
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
