@@ -72,3 +72,15 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
+
+
+def union_all(inputs: list[DataFrame]) -> DataFrame:
+    """UNION ALL of same-schema inputs (by name).  The reference declares
+    PARALLEL_UNION (cursors.proto:38) without an open-source implementation
+    — in Spark a plain union IS parallel: each input's partitions scan
+    concurrently with no interleaving guarantee (append MergeUnionAll's
+    order contract when determinism is needed)."""
+    out = inputs[0]
+    for df in inputs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -337,3 +337,34 @@ def test_heavy_hitters(spark):
            heavy_hitters(df, "k", min_share=0.10).collect()]
     assert got == [("hot", 60, 0.6), ("warm", 25, 0.25)]
     assert heavy_hitters(df.limit(0), "k").count() == 0
+
+
+def test_union_all(spark):
+    from supersonic_spark.operators import setops
+
+    a = core.scan_view(spark, [(1,)], "x int")
+    b = core.scan_view(spark, [(2,)], "x int")
+    c = core.scan_view(spark, [(3,)], "x int")
+    assert sorted(r["x"] for r in setops.union_all([a, b, c]).collect()) == [1, 2, 3]
+
+
+def test_oracle_queries_invariant_to_partitioning(spark):
+    """Chunking-robustness on the query surface (SURVEY §5 adopted item 3):
+    results must not depend on spark.sql.shuffle.partitions."""
+    from __spark_entry__ import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        baselines = {}
+        for parts in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in ("tpch_q1", "dedup_exact", "stateful_running_sum", "merge_union_all"):
+                rows = sorted(map(tuple, qs[name](spark, sf).collect()))
+                if name in baselines:
+                    assert rows == baselines[name], f"{name} varies with partitions={parts}"
+                else:
+                    baselines[name] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
