@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+JSON line: {"metric": ..., "value": total_steady_sec, "unit": "sec",
+"queries": {name: steady_sec, ...}, "cold_queries": {name: first_run_sec},
+"rows_processed": {name: input_rows}, "rows_per_sec": {name: throughput},
+"sf": ...}.
 
 Per-query timing = full plan execution to a count/collect-free sink
 (df.write.format("noop")) so the measured cost is scan+compute+shuffle,
