@@ -19,6 +19,7 @@ from supersonic_spark.pipeline import dedup
 _settings = settings(
     max_examples=8,
     deadline=None,
+    derandomize=True,  # stable example set — no fresh examples at CI time
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
