@@ -40,6 +40,9 @@ HEADLINE: dict[str, list[str]] = {
     "similarity_cosine_topk": ["embeddings"],
     "similarity_ivf_ann": ["embeddings"],
     "text_quality": ["documents"],
+    "tpch_q6_shape": ["lineitem"],
+    "tpch_q10_shape": ["customer", "orders", "lineitem", "nation"],
+    "json_extract_props": ["events"],
 }
 
 
