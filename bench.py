@@ -37,6 +37,7 @@ HEADLINE: dict[str, list[str]] = {
     "stateful_running_sum": ["events"],
     "dedup_exact": ["documents"],
     "dedup_minhash_lsh": ["documents"],
+    "dedup_minhash_estimate": ["documents"],
     "similarity_cosine_topk": ["embeddings"],
     "similarity_ivf_ann": ["embeddings"],
     "text_quality": ["documents"],

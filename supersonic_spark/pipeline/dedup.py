@@ -166,15 +166,29 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     threshold: float | None = 0.5,
     shingle: str = "word",
+    verify: str = "exact",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding, verified by
-    exact Jaccard when ``threshold`` is given.
+    Jaccard when ``threshold`` is given.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.  The banding join is the
     only corpus-wide shuffle; its key is (band_index, band_hash).
     ``shingle``: "word" (n = ``shingle_words`` words) or "char" (n =
     ``shingle_words`` characters — for short texts where word grams are too
     coarse).
+
+    ``verify``:
+    - ``"exact"``   — fetch both sides' shingle sets per candidate pair and
+      compute true Jaccard (two joins against the wide shingle arrays).
+    - ``"estimate"`` — score pairs by the MinHash estimator (fraction of
+      matching signature components, the standard unbiased Jaccard
+      estimate).  The signature array rides along the banding self-join, so
+      there are NO verification joins: one shuffle end to end.  Trade: the
+      banding shuffle widens by ``num_hashes`` longs per (doc, band) row vs
+      two extra join stages in exact mode; at corpus scale the two-stage
+      latency and the wide shingle fetches dominate, so this is the cheap
+      path when estimator error (sd ≈ sqrt(J(1-J)/num_hashes), ~0.06 at
+      J=0.5 with 64 hashes) is acceptable.
     """
     from supersonic_spark.operators.core import ensure_parallelism
 
@@ -203,6 +217,11 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    if verify == "estimate":
+        return _estimate_pairs_from_sig(sig, band_cols, num_hashes, threshold)
+    if verify != "exact":
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+
     banded = sig.select("__id", F.explode(F.array(*band_cols)).alias("__b")).select(
         "__id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
     )
@@ -235,6 +254,53 @@ def minhash_lsh_pairs(
         "id_a",
         "id_b",
         (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def _estimate_pairs_from_sig(
+    sig: DataFrame, band_cols: list[Column], num_hashes: int, threshold: float | None
+) -> DataFrame:
+    """Estimate-mode tail of :func:`minhash_lsh_pairs`: the signature array
+    rides through the band explode so the (band, bucket) self-join yields
+    both sides' signatures directly — zero verification joins.  The
+    component-match count is a 64-element zip_with fold evaluated only on
+    candidate pairs (post-banding, a vanishing fraction of the corpus)."""
+    banded = sig.select(
+        "__id",
+        F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("__sig"),
+        F.explode(F.array(*band_cols)).alias("__b"),
+    ).select("__id", "__sig", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sig").alias("__sa"),
+            F.col("r.__sig").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("__sa"), F.col("__sb"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = cand.select(
+        "id_a",
+        "id_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"),
     )
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)

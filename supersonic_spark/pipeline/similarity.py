@@ -230,6 +230,53 @@ def ivf_centroids(
     return [list(r.v) for r in rows]
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    corpus_id,
+    corpus_vec,
+    n_cells: int,
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Spherical k-means IVF coarse quantizer, trained driver-side on a
+    deterministic sample.
+
+    The 100 TB shape: training reads a bounded sample (``sample_size`` rows
+    chosen by xxhash64 order of ids — reproducible, no RNG state), and the
+    Lloyd iterations are ``sample_size × n_cells`` numpy flops on the
+    driver — milliseconds.  The big data is touched exactly once, by the
+    cell-assignment pass in :func:`ivf_topk`.  Versus the sampled-vector
+    centroids of :func:`ivf_centroids`, trained centroids even out cell
+    sizes (fewer straggler cells) and raise recall at the same nprobe.
+
+    Deterministic k-means++-style init: seeds are the first ``n_cells``
+    sample vectors in xxhash64 order; assignment ties break to the lowest
+    cell id.  Empty cells re-seed to the vector farthest from its centroid.
+    """
+    rows = (
+        corpus.select(_c(corpus_vec).alias("v"), _c(corpus_id).alias("i"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([list(r.v) for r in rows], dtype="float64")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_cells, len(Xn))
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        sim = Xn @ C.T                                  # sample × k
+        assign = np.argmax(sim, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+            else:                                       # re-seed empty cell
+                worst = int(np.argmin(sim.max(axis=1)))
+                C[j] = Xn[worst]
+    return [list(map(float, c)) for c in C]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -241,6 +288,7 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     centroids: list[list[float]] | None = None,
+    train: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell (inverted list); each query probes its ``nprobe`` nearest cells and
@@ -250,9 +298,17 @@ def ivf_topk(
     per cell); queries broadcast to their probe cells.  Versus LSH:
     deterministic recall/latency knobs (n_cells, nprobe) and one shuffle key
     instead of (table, bucket) fan-out.
+
+    ``train=True`` fits the coarse quantizer with sampled spherical k-means
+    (:func:`ivf_train_centroids`) instead of raw sampled vectors — better
+    cell balance, same index mechanics.
     """
     if centroids is None:
-        centroids = ivf_centroids(corpus, corpus_id, corpus_vec, n_cells)
+        centroids = (
+            ivf_train_centroids(corpus, corpus_id, corpus_vec, n_cells)
+            if train
+            else ivf_centroids(corpus, corpus_id, corpus_vec, n_cells)
+        )
 
     from supersonic_spark.operators.core import ensure_parallelism
 

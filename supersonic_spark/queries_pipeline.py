@@ -77,6 +77,19 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@q("dedup_minhash_estimate")  # hash-based: rows-only; estimator pinned vs exact in tests
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """MinHash+LSH near-dups scored by the signature-match Jaccard
+    *estimator* (verify="estimate"): skips the two wide shingle-fetch joins
+    — the scale path when ~1/sqrt(64) estimator error is acceptable."""
+    t = _t(spark, sf_dir)
+    docs = core.filter_op(t["documents"], F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_words=3,
+        threshold=0.1, verify="estimate",
+    )
+
+
 @q("dedup_simhash")  # hash-based: rows-only
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs within Hamming distance 3 (banded blocking)."""
@@ -297,8 +310,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 @q("similarity_ivf_ann")  # approximate by construction: rows-only; recall unit-tested
 def q_similarity_ivf_ann(spark, sf_dir):
-    """IVF approximate top-k: cell-partitioned corpus, nprobe cells per
-    query, exact rescoring inside probed cells."""
+    """IVF approximate top-k: spherical-k-means coarse quantizer (trained
+    driver-side on a bounded sample), cell-partitioned corpus, nprobe cells
+    per query, exact rescoring inside probed cells."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -309,6 +323,6 @@ def q_similarity_ivf_ann(spark, sf_dir):
     )
     out = similarity.ivf_topk(
         queries, corpus, "query_id", "query_vec", "corpus_id", "corpus_vec",
-        k=5, n_cells=16, nprobe=4,
+        k=5, n_cells=16, nprobe=4, train=True,
     )
     return out.select("query_id", "corpus_id", F.round("cos", 6).alias("cos"))

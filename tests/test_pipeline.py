@@ -76,6 +76,29 @@ def test_minhash_jaccard_values_match_exact(spark, docs):
         assert math.isclose(j, exact[pair])
 
 
+def test_minhash_estimate_mode(spark, docs):
+    """verify="estimate" scores pairs by matching-signature fraction: exact
+    dups estimate 1.0, near dups land within the 64-hash estimator error of
+    exact Jaccard, and candidate generation (banding) is unchanged."""
+    est = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.1, verify="estimate"
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.0).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    for pair, j in est.items():
+        # 3 sigma of the binomial estimator sd at J≈exact[pair], 64 hashes
+        sd = math.sqrt(max(exact[pair] * (1 - exact[pair]), 1e-9) / 64)
+        assert abs(j - exact[pair]) <= max(3 * sd, 1 / 64)
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", verify="bogus")
+
+
 def test_simhash_exact_dup_zero_hamming(spark, docs):
     out = {
         (r["id_a"], r["id_b"]): r["hamming"]
@@ -226,6 +249,43 @@ def test_ivf_centroids_deterministic(spark, vecs):
     c1 = similarity.ivf_centroids(vecs, "vec_id", "embedding", 4)
     c2 = similarity.ivf_centroids(vecs, "vec_id", "embedding", 4)
     assert c1 == c2 and len(c1) == 4
+
+
+def test_ivf_trained_centroids_recall(spark, tables):
+    """Spherical-k-means-trained IVF beats sampled-vector centroids at the
+    same nprobe on the real embeddings table, reaches ≥0.75 recall@5 at
+    nprobe = n_cells/2, and training is deterministic.  (The synthetic
+    embeddings are near-uniform on the sphere — the hardest case for any
+    partitioned ANN index — so absolute recall at small nprobe is
+    intrinsically modest; the trained-vs-sampled ordering is the contract.)
+    """
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    exact = {
+        (r["query_id"], r["corpus_id"])
+        for r in similarity.cosine_topk(q, c, k=5).collect()
+    }
+    cents = similarity.ivf_train_centroids(c, "corpus_id", "corpus_vec", 16)
+    assert cents == similarity.ivf_train_centroids(c, "corpus_id", "corpus_vec", 16)
+
+    def recall(centroids, nprobe):
+        got = {
+            (r["query_id"], r["corpus_id"])
+            for r in similarity.ivf_topk(
+                q, c, "query_id", "query_vec", "corpus_id", "corpus_vec",
+                k=5, n_cells=16, nprobe=nprobe, centroids=centroids,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    sampled = similarity.ivf_centroids(c, "corpus_id", "corpus_vec", 16)
+    assert recall(cents, 4) > recall(sampled, 4)  # 0.50 vs 0.34, deterministic
+    assert recall(cents, 8) >= 0.75
 
 
 def test_minhash_char_shingles_mode(spark, docs):
