@@ -956,3 +956,136 @@ def q_streaming_window_agg(spark, sf_dir):
         "n",
         "total",
     )
+
+
+@q(
+    "streaming_sliding_agg",
+    """WITH e AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS tb, event_type, value
+                  FROM events),
+        x AS (SELECT CAST(tb AS TIMESTAMP) AS win_start, event_type, value FROM e
+              UNION ALL
+              SELECT CAST(tb - INTERVAL 30 MINUTE AS TIMESTAMP), event_type, value FROM e)
+       SELECT win_start, event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM x GROUP BY win_start, event_type""",
+)
+def q_streaming_sliding_agg(spark, sf_dir):
+    """Sliding event-time windows on a stream with BATCH-EQUAL semantics:
+    1-hour windows every 30 minutes (each event lands in exactly 2 windows),
+    drained via availableNow and hash-matched against a batch SQL oracle
+    that materializes both window starts per event.  Epoch-aligned window
+    origins on both engines make the comparison exact."""
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+    from supersonic_spark.streaming.ops import windowed_aggregate
+
+    load_tables(spark, sf_dir)  # applies runtime conf (UTC, nanosAsLong)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("value_d", F.col("value").cast("decimal(12,2)"))
+    )
+    agged = windowed_aggregate(
+        stream,
+        "ts",
+        "1 hour",
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "value_d", "total", output_type="double"),
+        ],
+        keys=["event_type"],
+        slide="30 minutes",
+        watermark="1 hour",
+    )
+    sink = "ss_stream_sliding_agg"
+    for q_ in spark.streams.active:
+        if q_.name == sink:
+            q_.stop()
+    (
+        agged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.table(sink).select(
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@q(
+    "streaming_session_agg",
+    """WITH o AS (
+         SELECT user_id, ts, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), s AS (
+         SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+         FROM o
+       )
+       SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM s GROUP BY user_id, sess""",
+)
+def q_streaming_session_agg(spark, sf_dir):
+    """Session windows (6-hour gap merge) on a stream with BATCH-EQUAL
+    semantics: per-user sessions via the built-in session_window state
+    (incremental merge, watermark-bounded), hash-matched against a batch
+    lag/cumsum sessionization oracle.  Session start identifies the
+    session; a new session begins when the gap to the previous event is
+    ≥ the 6-hour gap (session end is exclusive)."""
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+    from supersonic_spark.streaming.ops import sessionize
+
+    load_tables(spark, sf_dir)  # applies runtime conf (UTC, nanosAsLong)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("value_d", F.col("value").cast("decimal(12,2)"))
+    )
+    agged = sessionize(
+        stream,
+        "ts",
+        "6 hours",
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "value_d", "total", output_type="double"),
+        ],
+        keys=["user_id"],
+        watermark="1 hour",
+    )
+    sink = "ss_stream_session_agg"
+    for q_ in spark.streams.active:
+        if q_.name == sink:
+            q_.stop()
+    (
+        agged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.table(sink).select(
+        "user_id",
+        F.col("session.start").cast("timestamp_ntz").alias("session_start"),
+        "n",
+        "total",
+    )

@@ -11,9 +11,24 @@ operator vocabulary runs on unbounded data).
 
 from supersonic_spark.streaming.ops import (
     read_stream,
+    sessionize,
+    stream_changed,
     stream_dedup,
+    stream_running_min_with_flush,
     stream_running_sum,
+    stream_smudge,
+    stream_smudge_if,
     windowed_aggregate,
 )
 
-__all__ = ["read_stream", "stream_dedup", "stream_running_sum", "windowed_aggregate"]
+__all__ = [
+    "read_stream",
+    "sessionize",
+    "stream_changed",
+    "stream_dedup",
+    "stream_running_min_with_flush",
+    "stream_running_sum",
+    "stream_smudge",
+    "stream_smudge_if",
+    "windowed_aggregate",
+]

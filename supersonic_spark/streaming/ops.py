@@ -235,3 +235,101 @@ def stream_smudge(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SMUDGE_IF_STATE = T.StructType([T.StructField("carry", T.DoubleType(), True)])
+
+
+def stream_smudge_if(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    cond_col: str,
+    ts_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Streaming SmudgeIf (stateful_expressions.h:64-69 made continuous):
+    per key, rows where ``cond_col`` holds inherit the last anchor row's
+    value; rows where it doesn't anchor a new value — the anchor carried
+    across micro-batches in keyed state.  Matches the batch
+    ``functions.stateful.smudge_if`` semantics: NULL cond counts as false
+    (anchor); a NULL-valued anchor row inherits the previous anchor."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField(ts_col, T.TimestampType(), True),
+            T.StructField(out_col, T.DoubleType(), True),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        carry = state.get[0] if state.exists else None
+        rows = {"key": [], ts_col: [], out_col: []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v, c in zip(pdf[ts_col], pdf[value_col], pdf[cond_col]):
+                anchored = (pd.isna(c) or not bool(c))
+                if anchored and not pd.isna(v):
+                    carry = float(v)
+                rows["key"].append(str(key[0]))
+                rows[ts_col].append(ts)
+                rows[out_col].append(carry)
+        state.update((carry,))
+        yield pd.DataFrame(rows)
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_SMUDGE_IF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_RMIN_STATE = T.StructType([T.StructField("cur_min", T.DoubleType(), True)])
+
+
+def stream_running_min_with_flush(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    flush_col: str,
+    ts_col: str,
+    out_col: str = "running_min",
+) -> DataFrame:
+    """Streaming RunningMinWithFlush (stateful_expressions.h:54-61 made
+    continuous): per key, emits the running minimum including the current
+    row; after a row whose ``flush_col`` is true, the minimum restarts on
+    the NEXT row.  The open segment's minimum is the only keyed state, so
+    state size is one double per key regardless of stream length."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField(ts_col, T.TimestampType(), True),
+            T.StructField(out_col, T.DoubleType(), True),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cur = state.get[0] if state.exists else None
+        rows = {"key": [], ts_col: [], out_col: []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v, fl in zip(pdf[ts_col], pdf[value_col], pdf[flush_col]):
+                if not pd.isna(v) and (cur is None or float(v) < cur):
+                    cur = float(v)
+                rows["key"].append(str(key[0]))
+                rows[ts_col].append(ts)
+                rows[out_col].append(cur)
+                if not pd.isna(fl) and bool(fl):
+                    cur = None                     # restart on the next row
+        state.update((cur,))
+        yield pd.DataFrame(rows)
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_RMIN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -256,6 +256,58 @@ def test_stream_changed_and_smudge(spark, tmp_path):
                       ("u1", 3): 7.0, ("u2", 0): None}
 
 
+def test_stream_smudge_if_and_running_min_flush(spark, tmp_path):
+    """The two remaining stateful streams match their batch window
+    equivalents row for row (metamorphic: stream-drain == batch window)."""
+    import datetime as dtm
+
+    from supersonic_spark.functions import stateful
+    from supersonic_spark.streaming.ops import (
+        stream_running_min_with_flush,
+        stream_smudge_if,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        # k, ts, v, cond (inherit when true), flush
+        ("u1", t0, 5.0, False, False),
+        ("u1", t0 + dtm.timedelta(seconds=1), 9.0, True, True),   # inherits 5.0; flush
+        ("u1", t0 + dtm.timedelta(seconds=2), 7.0, False, False),  # anchor 7; min restarts
+        ("u1", t0 + dtm.timedelta(seconds=3), None, False, False),  # NULL anchor inherits 7
+        ("u1", t0 + dtm.timedelta(seconds=4), 6.0, True, False),   # inherits 7
+        ("u2", t0, 3.0, True, False),                              # no anchor yet → NULL
+    ]
+    schema = "k string, ts timestamp, v double, cond boolean, flush boolean"
+    df = core.scan_view(spark, rows, schema)
+    batch = df.select(
+        "k", "ts",
+        stateful.smudge_if("v", "cond", order=["ts"], partition=["k"]).alias("filled"),
+        stateful.running_min_with_flush(
+            "v", "flush", order=["ts"], partition=["k"]
+        ).alias("running_min"),
+    )
+    expect_fill = {(r["k"], r["ts"]): r["filled"] for r in batch.collect()}
+    expect_min = {(r["k"], r["ts"]): r["running_min"] for r in batch.collect()}
+
+    src = str(tmp_path / "sif_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    sif = stream_smudge_if(stream, "k", "v", "cond", "ts")
+    (sif.writeStream.format("memory").queryName("sif_out")
+        .outputMode("append").trigger(availableNow=True).start().awaitTermination(120))
+    got_fill = {(r["key"], r["ts"]): r["filled"]
+                for r in spark.sql("select * from sif_out").collect()}
+    assert got_fill == expect_fill
+
+    rmin = stream_running_min_with_flush(stream, "k", "v", "flush", "ts")
+    (rmin.writeStream.format("memory").queryName("rmin_out")
+        .outputMode("append").trigger(availableNow=True).start().awaitTermination(120))
+    got_min = {(r["key"], r["ts"]): r["running_min"]
+               for r in spark.sql("select * from rmin_out").collect()}
+    assert got_min == expect_min
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     from supersonic_spark.sources.io import read_table, write_bucketed_table
 
