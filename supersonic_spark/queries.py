@@ -898,6 +898,52 @@ def q_sort_nulls_ordering(spark, sf_dir):
 
 
 @q(
+    "enum_dictionary_agg",
+    """WITH e AS (
+         SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                                WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                                WHEN 'view' THEN 4 END AS type_id,
+                value
+         FROM events)
+       SELECT type_id,
+              CASE type_id WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                           WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                           WHEN 4 THEN 'view' END AS type_name,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM e GROUP BY type_id""",
+)
+def q_enum_dictionary_agg(spark, sf_dir):
+    """ENUM attribute end-to-end (tuple_schema.h:42-75): a string column is
+    dictionary-encoded to int ids (encode_column: literal-map lookup), the
+    aggregation keys on the narrow id — the point of enums at scale: 4-byte
+    shuffle keys instead of strings — and the id decodes back to its name
+    for output (decode_column)."""
+    from supersonic_spark.schema import EnumDefinition
+
+    ed = EnumDefinition.from_values(["click", "error", "purchase", "signup", "view"])
+    t = _t(spark, sf_dir)
+    enc = core.compute(
+        t["events"],
+        {
+            "type_id": ed.encode_column("event_type"),
+            "value_d": _dec("value"),
+        },
+    )
+    out = agg.group_aggregate(
+        enc,
+        ["type_id"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "value_d", "total", output_type="double"),
+        ],
+    )
+    return out.select(
+        "type_id", ed.decode_column("type_id").alias("type_name"), "n", "total"
+    )
+
+
+@q(
     "streaming_window_agg",
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
               COUNT(*) AS n,

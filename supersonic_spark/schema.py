@@ -99,19 +99,42 @@ class EnumDefinition:
         return None
 
     def decode_column(self, col) -> "F.Column":
-        """id column -> name column via a literal CASE (broadcast dict)."""
+        """id column -> name column via a literal map lookup (the dictionary
+        ships inside the plan — the expression-level analog of a broadcast
+        dict; unknown ids decode to NULL)."""
         c = F.col(col) if isinstance(col, str) else col
-        expr = F.lit(None).cast(T.StringType())
-        for num, nm in self.number_to_name.items():
-            expr = F.when(c == F.lit(num), F.lit(nm)).otherwise(expr)
-        return expr
+        if not self.number_to_name:
+            return F.lit(None).cast(T.StringType())
+        pairs = [x for num, nm in self.number_to_name.items()
+                 for x in (F.lit(num), F.lit(nm))]
+        return F.element_at(F.create_map(*pairs), c.cast(T.IntegerType()))
 
     def encode_column(self, col) -> "F.Column":
+        """name column -> id column (unknown names encode to NULL)."""
         c = F.col(col) if isinstance(col, str) else col
-        expr = F.lit(None).cast(T.IntegerType())
-        for num, nm in self.number_to_name.items():
-            expr = F.when(c == F.lit(nm), F.lit(num)).otherwise(expr)
-        return expr
+        if not self.number_to_name:
+            return F.lit(None).cast(T.IntegerType())
+        pairs = [x for num, nm in self.number_to_name.items()
+                 for x in (F.lit(nm), F.lit(num))]
+        return F.element_at(F.create_map(*pairs), c).cast(T.IntegerType())
+
+    @classmethod
+    def from_values(cls, values: "list[str]") -> "EnumDefinition":
+        """Build a definition from a name list; ids are assigned 0..n-1 in
+        sorted order (deterministic across runs/clusters)."""
+        return cls({i: v for i, v in enumerate(sorted(set(values)))})
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps({str(k): v for k, v in self.number_to_name.items()},
+                          sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EnumDefinition":
+        import json
+
+        return cls({int(k): v for k, v in json.loads(s).items()})
 
 
 @dataclass(frozen=True)

@@ -71,6 +71,71 @@ def file_output(
     writer.save(path)
 
 
+def write_enum_encoded(
+    df: DataFrame,
+    path: str,
+    enums: dict,
+    mode: str = "error",
+    **kwargs,
+) -> dict:
+    """Write ``df`` with the given string columns dictionary-encoded as
+    ENUM ids (int32) plus a ``_supersonic_enums`` JSON sidecar holding each
+    column's EnumDefinition — the end-to-end form of the reference's ENUM
+    attributes (tuple_schema.h:42-75; NEWS v0.9.4 enum features).
+
+    ``enums`` maps column name -> EnumDefinition | None; None trains the
+    dictionary from the column's distinct values (a map-side-combined
+    distinct — cheap for the low-cardinality columns enums are for; ids are
+    assigned in sorted-name order, deterministic).  Returns the trained
+    definitions.  At 100 TB the ids shrink storage and shuffle width, and
+    parquet dictionary+RLE encodes them further.
+    """
+    from pyspark.sql import functions as F
+
+    from supersonic_spark.schema import EnumDefinition
+
+    resolved: dict[str, EnumDefinition] = {}
+    for col, ed in enums.items():
+        if ed is None:
+            vals = [r[0] for r in df.select(col).where(F.col(col).isNotNull())
+                    .distinct().collect()]
+            ed = EnumDefinition.from_values(vals)
+        resolved[col] = ed
+    out = df
+    for col, ed in resolved.items():
+        out = out.withColumn(col, ed.encode_column(col))
+    file_output(out, path, mode=mode, **kwargs)
+    sidecar = [(c, ed.to_json()) for c, ed in resolved.items()]
+    (df.sparkSession.createDataFrame(sidecar, "column string, enum_json string")
+       .coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "/_supersonic_enums"))
+    return resolved
+
+
+def read_enum_decoded(
+    spark: SparkSession,
+    path: str,
+    decode: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Read a dataset written by :func:`write_enum_encoded`.  With
+    ``decode=True`` ENUM id columns come back as their names (the reference's
+    name-based print path); with ``decode=False`` ids stay ints and the
+    definitions are attached to ``df.enum_definitions`` either way."""
+    from supersonic_spark.schema import EnumDefinition
+
+    df = file_input(spark, path, **kwargs)
+    side = spark.read.schema("column string, enum_json string").json(
+        path.rstrip("/") + "/_supersonic_enums"
+    )
+    enums = {r["column"]: EnumDefinition.from_json(r["enum_json"]) for r in side.collect()}
+    if decode:
+        for col, ed in enums.items():
+            if col in df.columns:
+                df = df.withColumn(col, ed.decode_column(col))
+    df.enum_definitions = enums
+    return df
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

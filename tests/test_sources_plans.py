@@ -308,6 +308,40 @@ def test_stream_smudge_if_and_running_min_flush(spark, tmp_path):
     assert got_min == expect_min
 
 
+def test_enum_encoded_roundtrip(spark, tmp_path):
+    """ENUM end-to-end: dictionary-encode on write (ids + JSON sidecar),
+    decode on read; trained dictionaries are deterministic (sorted-name
+    ids), unknown-at-read ids decode to NULL, and the encoded file really
+    stores int32 ids."""
+    from supersonic_spark.schema import EnumDefinition
+    from supersonic_spark.sources.io import read_enum_decoded, write_enum_encoded
+
+    df = core.scan_view(
+        spark,
+        [(1, "RED", "S"), (2, "BLUE", "M"), (3, "RED", None), (4, None, "L")],
+        "id long, color string, size string",
+    )
+    path = str(tmp_path / "enum_ds")
+    trained = write_enum_encoded(df, path, {"color": None, "size": None})
+    assert trained["color"].number_to_name == {0: "BLUE", 1: "RED"}
+
+    raw = spark.read.parquet(path)
+    assert dict(raw.dtypes)["color"] == "int"  # ids on disk, not strings
+
+    back = read_enum_decoded(spark, path)
+    got = {r["id"]: (r["color"], r["size"]) for r in back.collect()}
+    assert got == {1: ("RED", "S"), 2: ("BLUE", "M"), 3: ("RED", None), 4: (None, "L")}
+    assert back.enum_definitions["size"].number_to_name == {0: "L", 1: "M", 2: "S"}
+
+    ids = read_enum_decoded(spark, path, decode=False)
+    assert {r["id"]: r["color"] for r in ids.collect()}[1] == 1  # RED -> id 1
+
+    # explicit (untrained) definition + unknown name encodes to NULL
+    ed = EnumDefinition({7: "RED"})
+    enc = df.select(ed.encode_column("color").alias("c")).collect()
+    assert sorted([r["c"] for r in enc], key=lambda x: (x is None, x)) == [7, 7, None, None]
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     from supersonic_spark.sources.io import read_table, write_bucketed_table
 
