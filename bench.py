@@ -43,6 +43,8 @@ HEADLINE: dict[str, list[str]] = {
     "text_quality": ["documents"],
     "tpch_q6_shape": ["lineitem"],
     "tpch_q10_shape": ["customer", "orders", "lineitem", "nation"],
+    "tpch_q3_shape": ["customer", "orders", "lineitem"],
+    "tpch_q18_shape": ["customer", "orders", "lineitem"],
     "json_extract_props": ["events"],
 }
 

@@ -698,6 +698,132 @@ def q_tpch_q5_shape(spark, sf_dir):
 
 
 @q(
+    "tpch_q3_shape",
+    """SELECT l.l_orderkey,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+              o.o_orderdate, o.o_orderpriority
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-06-01'
+         AND l.l_shipdate > TIMESTAMP '1998-06-01'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+       LIMIT 10""",
+)
+def q_tpch_q3_shape(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority): selective dim filter broadcast
+    into the fact join, grouped revenue, true top-k.  Scale shape: the
+    filtered customer segment broadcasts; orders⋈lineitem shuffles on
+    orderkey once; TakeOrderedAndProject caps the sort at k rows per
+    partition — no global sort materialization."""
+    t = _t(spark, sf_dir)
+    cust = core.filter_op(
+        t["customer"], F.col("c_mktsegment") == "BUILDING", ["c_custkey"]
+    )
+    cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
+    orders = core.filter_op(
+        t["orders"], F.col("o_orderdate") < cutoff,
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    ord_c = join_ops.hash_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey", broadcast_right=True,
+    )
+    li = core.filter_op(
+        t["lineitem"], F.col("l_shipdate") > cutoff,
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    j = join_ops.hash_join(
+        li, ord_c.withColumnRenamed("o_orderkey", "l_orderkey"), on="l_orderkey"
+    )
+    one = F.lit(1).cast("decimal(3,0)")
+    j = core.compute(
+        j,
+        {"rev_d": _dec("l_extendedprice") * (one - _dec("l_discount", 4, 2))},
+        keep_input=True,
+    )
+    out = agg.group_aggregate(
+        j,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [AggSpec(Aggregation.SUM, "rev_d", "revenue", output_type="double")],
+    )
+    return sort_ops.extended_sort(
+        out,
+        [SortKey("revenue", ascending=False), SortKey("o_orderdate"), SortKey("l_orderkey")],
+        limit=10,
+    ).select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+@q(
+    "tpch_q18_shape",
+    """WITH big AS (
+         SELECT l_orderkey FROM lineitem
+         GROUP BY l_orderkey
+         HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+       SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+              CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+       GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+       ORDER BY o.o_totalprice DESC, o.o_orderkey
+       LIMIT 100""",
+)
+def q_tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): a grouped HAVING filter
+    produces a key set that semi-joins the fact pipeline.  Scale shape: the
+    big-order key set is the output of a partial-aggregated groupBy (tiny —
+    broadcast back against lineitem and orders), so the heavy table is
+    scanned twice but shuffled only once, on the qualifying keys."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", _dec("l_quantity").alias("qty_d"))
+    big = agg.group_aggregate(
+        li, ["l_orderkey"], [AggSpec(Aggregation.SUM, "qty_d", "sum_qty")]
+    )
+    big = core.filter_op(big, F.col("sum_qty") > 250, ["l_orderkey"])
+    li_big = join_ops.hash_join(
+        li, big, on="l_orderkey", broadcast_right=True, unique_right=True
+    )
+    orders = join_ops.hash_join(
+        t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        big.withColumnRenamed("l_orderkey", "o_orderkey"),
+        on="o_orderkey", broadcast_right=True, unique_right=True,
+    )
+    ord_c = join_ops.hash_join(
+        orders,
+        t["customer"].select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        ),
+        on="o_custkey", broadcast_right=True,
+    )
+    j = join_ops.hash_join(
+        li_big, ord_c.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+    )
+    out = agg.group_aggregate(
+        j,
+        ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "o_totalprice"],
+        [AggSpec(Aggregation.SUM, "qty_d", "total_qty", output_type="double")],
+    )
+    return sort_ops.extended_sort(
+        out,
+        [SortKey("o_totalprice", ascending=False), SortKey("l_orderkey")],
+        limit=100,
+    ).select(
+        "c_name",
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("l_orderkey").alias("o_orderkey"),
+        "o_orderdate",
+        "o_totalprice",
+        "total_qty",
+    )
+
+
+@q(
     "skew_salted_aggregate",
     """SELECT event_type,
               COUNT(*) AS n,
