@@ -115,6 +115,140 @@ def rowid_merge_join(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    how: str = "left",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of (nearest-event) join — beyond-reference time-series operator
+    (the reference has no non-equi joins at all, SURVEY.md §2.3).
+
+    Each left row matches at most ONE right row per ``keys``: the latest
+    right row with ``right_ts <= left_ts`` (direction="backward") or the
+    earliest with ``right_ts >= left_ts`` ("forward"); ties at equal ts
+    match (inclusive, DuckDB/pandas semantics).  ``tolerance`` (numeric
+    delta or SQL interval string like ``"6 hours"``) nulls out matches
+    further than the bound; ``how="inner"`` drops unmatched left rows.
+
+    Scale shape — the reason this isn't a range join: both sides union and
+    shuffle ONCE on ``keys``, then a single ordered window pass carries the
+    last-seen right payload forward (LOCF over the merged timeline — the
+    same discipline as the Smudge family).  No interval explosion, no
+    nested-loop, no per-row probe: O(n log n) in the partition, one
+    exchange total.  Skewed keys salt the same way any window op does.
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    rv_fields = [right_ts] + right_cols
+
+    lv = F.struct(*[F.col(c) for c in left.columns])
+    rv = F.struct(*[F.col(c) for c in rv_fields])
+    lv_type = left.select(lv.alias("s")).schema[0].dataType
+    rv_type = right.select(rv.alias("s")).schema[0].dataType
+
+    lt = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        lv.alias("__lv"),
+        F.lit(None).cast(rv_type).alias("__rv"),
+    )
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lv_type).alias("__lv"),
+        rv.alias("__rv"),
+    )
+    merged = lt.unionByName(rt)
+    ts_ord = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(ts_ord, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = merged.withColumn("__m", F.last("__rv", ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    )
+    if tolerance is not None:
+        delta = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        m_ts = F.col(f"__m.{right_ts}")
+        ok = (
+            (m_ts >= F.col("__ts") - delta)
+            if direction == "backward"
+            else (m_ts <= F.col("__ts") + delta)
+        )
+        out = out.withColumn("__m", F.when(ok, F.col("__m")))
+    if how == "inner":
+        out = out.filter(F.col("__m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    left_names = set(left.columns)
+    return out.select(
+        F.col("__lv.*"),
+        *[
+            F.col(f"__m.{c}").alias(c + suffix if c in left_names else c)
+            for c in rv_fields
+        ],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    lower: str,
+    upper: str,
+    bin_width: float,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval range join — beyond-reference non-equi operator.
+    Matches each left row to every right row whose ``[lower, upper]``
+    interval contains ``left_val`` (plus optional equi ``keys``).
+
+    Scale shape: Spark's native plan for a bare non-equi join is a
+    broadcast-nested-loop (quadratic probes).  Here both sides discretize
+    onto integer bins of ``bin_width`` — the right side explodes to one row
+    per overlapped bin — so the match becomes an EQUI join on (bin, keys)
+    followed by the exact BETWEEN filter.  Shuffle is linear in rows ×
+    interval/bin_width; pick ``bin_width`` near the typical interval length
+    so fan-out stays O(1) per interval.  A left point lies in exactly one
+    bin, so no dedup pass is needed.
+    """
+    keys = keys or []
+    lb = left.withColumn("__bin", F.floor(F.col(left_val) / F.lit(bin_width)))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lower) / F.lit(bin_width)),
+                F.floor(F.col(upper) / F.lit(bin_width)),
+            )
+        ),
+    )
+    out = (
+        lb.join(rb, on=["__bin", *keys], how="inner")
+        .filter((F.col(left_val) >= F.col(lower)) & (F.col(left_val) <= F.col(upper)))
+        .drop("__bin")
+    )
+    return out
+
+
 def foreign_filter(
     fact: DataFrame,
     fk: str,

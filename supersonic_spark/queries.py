@@ -1024,6 +1024,74 @@ def q_sort_nulls_ordering(spark, sf_dir):
 
 
 @q(
+    "asof_join_events",
+    """SELECT l.event_id, l.ts, l.value,
+              r.ts AS view_ts, r.value AS view_value
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_asof_join_events(spark, sf_dir):
+    """As-of join (beyond-reference; time-series staple Spark lacks
+    natively): each purchase matches the user's latest prior-or-equal view
+    event.  One shuffle on user_id, then an ordered LOCF window pass — no
+    interval explosion, no nested loop."""
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    purchases = core.filter_op(
+        ev, F.col("event_type") == "purchase", ["event_id", "user_id", "ts", "value"]
+    )
+    views = core.filter_op(
+        ev, F.col("event_type") == "view", ["user_id", "ts", "value"]
+    )
+    out = join_ops.asof_join(
+        purchases, views, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    )
+    return out.select(
+        "event_id", "ts", "value",
+        F.col("ts_right").alias("view_ts"), F.col("value_right").alias("view_value"),
+    )
+
+
+@q(
+    "range_join_price_bands",
+    """WITH bands AS (
+         SELECT CAST(i AS INT) AS band_id,
+                i * 40000.0 AS lo, i * 40000.0 + 99999.99 AS hi
+         FROM range(0, 11) t(i))
+       SELECT band_id, COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+       GROUP BY band_id""",
+)
+def q_range_join_price_bands(spark, sf_dir):
+    """Range (point-in-interval) join against OVERLAPPING price bands —
+    beyond-reference non-equi join.  Bin-bucketed to an equi join on the
+    bin id (40k-wide bins ≈ 3 bins per 100k interval) instead of Spark's
+    nested-loop default; each order lands in up to 3 bands."""
+    t = _t(spark, sf_dir)
+    bands = core.scan_view(
+        spark,
+        [(i, i * 40000.0, i * 40000.0 + 99999.99) for i in range(11)],
+        "band_id int, lo double, hi double",
+    )
+    j = join_ops.range_join(
+        t["orders"].select("o_orderkey", "o_totalprice"),
+        bands, "o_totalprice", "lo", "hi", bin_width=40000.0,
+    )
+    j = core.compute(j, {"price_d": _dec("o_totalprice")}, keep_input=True)
+    return agg.group_aggregate(
+        j,
+        ["band_id"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "price_d", "total", output_type="double"),
+        ],
+    )
+
+
+@q(
     "enum_dictionary_agg",
     """WITH e AS (
          SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1

@@ -368,3 +368,63 @@ def test_oracle_queries_invariant_to_partitioning(spark):
                     baselines[name] = rows
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dtm.timedelta(minutes=m)
+
+    trades = core.scan_view(
+        spark,
+        [("A", ts(10), 100.0), ("A", ts(30), 101.0), ("B", ts(5), 50.0)],
+        "sym string, ts timestamp, px double",
+    )
+    quotes = core.scan_view(
+        spark,
+        [("A", ts(9), 99.5), ("A", ts(10), 99.9), ("A", ts(29), 100.9),
+         ("B", ts(40), 49.9)],
+        "sym string, ts timestamp, bid double",
+    )
+    # backward: latest quote at-or-before each trade (inclusive at equal ts)
+    back = {
+        (r["sym"], r["ts"].minute): (r["ts_right"].minute if r["ts_right"] else None,
+                                     r["bid"])
+        for r in join_ops.asof_join(
+            trades, quotes, ["sym"], "ts", "ts", ["bid"]
+        ).collect()
+    }
+    assert back == {("A", 10): (10, 99.9), ("A", 30): (29, 100.9), ("B", 5): (None, None)}
+
+    # forward: earliest quote at-or-after
+    fwd = {
+        (r["sym"], r["ts"].minute): r["bid"]
+        for r in join_ops.asof_join(
+            trades, quotes, ["sym"], "ts", "ts", ["bid"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {("A", 10): 99.9, ("A", 30): None, ("B", 5): 49.9}
+
+    # tolerance nulls far matches; inner drops unmatched rows
+    tol = join_ops.asof_join(
+        trades, quotes, ["sym"], "ts", "ts", ["bid"],
+        tolerance="1 minutes", how="inner",
+    )
+    got = {(r["sym"], r["ts"].minute): r["bid"] for r in tol.collect()}
+    assert got == {("A", 10): 99.9, ("A", 30): 100.9}
+
+
+def test_range_join_overlapping_intervals(spark):
+    pts = core.scan_view(spark, [(1, 5.0), (2, 15.0), (3, 45.0)], "id long, v double")
+    ivals = core.scan_view(
+        spark,
+        [("a", 0.0, 10.0), ("b", 5.0, 20.0), ("c", 30.0, 40.0)],
+        "name string, lo double, hi double",
+    )
+    out = join_ops.range_join(pts, ivals, "v", "lo", "hi", bin_width=10.0)
+    got = sorted((r["id"], r["name"]) for r in out.collect())
+    # 5.0 ∈ [0,10] and [5,20] (inclusive bounds); 15 ∈ [5,20]; 45 matches none
+    assert got == [(1, "a"), (1, "b"), (2, "b")]
