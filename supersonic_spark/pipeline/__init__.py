@@ -5,6 +5,8 @@ BASELINE.json north star).
 - ``similarity`` — brute-force cosine top-k; LSH-bucketed ANN
 - ``textstats``  — language-ID, quality scoring, token counting,
                    document fingerprinting
+- ``sampling``   — hash-deterministic splits/samples/shuffle and greedy
+                   sequence packing (reproducible across runs/partitionings)
 - ``multimodal`` — opaque binary media columns with typed metadata;
                    decode/feature steps are Arrow-batched pandas UDFs with
                    the heavy codecs stubbed (not present in this container)

@@ -1,0 +1,150 @@
+"""Deterministic sampling / splitting / ordering for training-data
+pipelines (beyond-reference mandate).
+
+Everything here is HASH-deterministic, not RNG-based: the same row lands in
+the same split/sample/position on every run, any cluster size, any
+partitioning — the property training pipelines need for reproducible
+train/val/test membership and for resumable jobs.  (Spark's ``sample``/
+``sampleBy`` use per-partition RNG streams, so results change with
+partitioning; that footgun is why these exist.)
+
+All expressions are JVM-side (`xxhash64` + arithmetic) — no UDFs, no
+shuffle except where ordering semantically requires one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def _bucket(col, salt: str) -> Column:
+    """Uniform bucket in [0, _BUCKETS) from xxhash64(salt, col) — the
+    split/sample coin flip, derived only from the row's identity."""
+    return F.pmod(F.xxhash64(F.lit(salt), _c(col)), F.lit(_BUCKETS))
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "ss-split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (e.g. ``{"train": .98,
+    "val": .01, "test": .01}``) by hashing ``id_col``.  Deterministic,
+    disjoint, exhaustive; weights are normalized.  One narrow projection —
+    no shuffle, no sampling pass."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {name: weight} dict")
+    total = float(sum(weights.values()))
+    b = _bucket(id_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total * _BUCKETS
+        cond = b < F.lit(int(round(acc)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def sample_by_hash(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "ss-sample"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by identity hash.  Unlike
+    ``df.sample``, membership is a pure function of the row id — stable
+    across runs, partitionings, and cluster sizes."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(_bucket(id_col, salt) < F.lit(int(round(fraction * _BUCKETS))))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "ss-strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible analog of
+    ``sampleBy``): each stratum keeps its own fraction of rows, chosen by
+    identity hash.  Strata absent from ``fractions`` keep
+    ``default_fraction``.  Classic use: downsample over-represented
+    languages/domains in a training corpus."""
+    b = _bucket(id_col, salt)
+    thresh = F.lit(int(round(default_fraction * _BUCKETS)))
+    expr = None
+    for k, frac in fractions.items():
+        cond = _c(strata_col) == F.lit(k)
+        t = F.lit(int(round(float(frac) * _BUCKETS)))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = thresh if expr is None else expr.otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "ss-shuffle"
+) -> DataFrame:
+    """Reproducible global shuffle: order rows by identity hash (ties broken
+    by the id itself).  The exchange is a range partition on the hash —
+    exactly one shuffle, balanced output.  Standard before sequential
+    training reads so corpus order carries no signal."""
+    return df.orderBy(F.xxhash64(F.lit(salt), _c(id_col)), _c(id_col))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    out_col: str = "batch_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign each document a batch id such that
+    every batch's total ``tokens_col`` stays ≤ ``budget`` (documents longer
+    than the budget get a singleton batch).  Output: (id, n_tokens,
+    batch_id), batch ids globally unique.
+
+    Scale shape: packing is a sequential bin-fill, so it runs
+    INDEPENDENTLY PER PARTITION via ``applyInPandas`` over a partition-id
+    group — embarrassingly parallel, one Arrow batch per partition, and
+    batch ids are made global by offsetting with the partition id.  The
+    per-partition greedy fill wastes at most one batch per partition versus
+    a global fill — noise at corpus scale.
+    """
+    import pandas as pd
+
+    spark_part = F.spark_partition_id().alias("__part")
+    base = df.select(
+        _c(id_col).alias("id"), _c(tokens_col).cast("long").alias("n_tokens"), spark_part
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = int(pdf["__part"].iloc[0])
+        # stable order inside the partition: by id (deterministic re-runs)
+        pdf = pdf.sort_values("id")
+        batch_ids, cur_id, cur_tok = [], 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n) if not pd.isna(n) else 0
+            if cur_tok > 0 and cur_tok + n > budget:
+                cur_id += 1
+                cur_tok = 0
+            batch_ids.append(cur_id)
+            cur_tok += n
+        out = pdf[["id", "n_tokens"]].copy()
+        # partition-offset batch ids: globally unique without coordination
+        out[out_col] = [part * (1 << 32) + b for b in batch_ids]
+        return out
+
+    id_type = base.schema["id"].dataType.simpleString()
+    schema = f"id {id_type}, n_tokens long, {out_col} long"
+    return base.groupBy("__part").applyInPandas(pack, schema=schema)

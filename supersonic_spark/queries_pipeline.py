@@ -270,6 +270,38 @@ def q_multimodal_decode_stub(spark, sf_dir):
 
 
 # =====================================================================
+# sampling / splitting / packing
+# =====================================================================
+
+@q("sample_split_hash")  # xxhash64 membership: rows-only; invariants unit-tested
+def q_sample_split_hash(spark, sf_dir):
+    """Deterministic train/val/test assignment by identity hash — every doc
+    in exactly one split, stable across runs and partitionings (unlike
+    RNG-based df.sample)."""
+    from supersonic_spark.pipeline import sampling
+
+    t = _t(spark, sf_dir)
+    out = sampling.split_by_hash(
+        t["documents"], "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split")
+
+
+@q("sample_pack_sequences")  # partition-scoped greedy fill: rows-only; budget unit-tested
+def q_sample_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing for training batches: per-partition bin fill
+    (embarrassingly parallel), globally-unique batch ids via partition
+    offset, every multi-doc batch ≤ the token budget."""
+    from supersonic_spark.pipeline import sampling, textstats
+
+    t = _t(spark, sf_dir)
+    docs = core.ensure_parallelism(t["documents"]).select(
+        "doc_id", textstats.token_count("text").alias("n_tok")
+    )
+    return sampling.pack_sequences(docs, "doc_id", "n_tok", budget=2048)
+
+
+# =====================================================================
 # embedding near-dup + IVF ANN
 # =====================================================================
 

@@ -295,3 +295,84 @@ def test_minhash_char_shingles_mode(spark, docs):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in pairs  # exact dup caught in char mode too
+
+
+# --- sampling / splitting / packing ---
+
+def test_split_by_hash_disjoint_exhaustive_deterministic(spark, tables):
+    from supersonic_spark.pipeline import sampling
+
+    docs = tables["documents"]
+    n = docs.count()
+    out = sampling.split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n                    # exhaustive, disjoint
+    assert 0.6 * n < counts["train"] < 0.95 * n         # proportions roughly hold
+    again = sampling.split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in again.select("doc_id", "split").collect()}
+    assert a == b                                       # deterministic membership
+    # different salt → different assignment (not constant)
+    c = {r["doc_id"]: r["split"] for r in sampling.split_by_hash(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="other"
+    ).select("doc_id", "split").collect()}
+    assert a != c
+
+
+def test_sample_by_hash_is_subset_and_stable_across_partitioning(spark, tables):
+    from supersonic_spark.pipeline import sampling
+
+    docs = tables["documents"]
+    s1 = {r["doc_id"] for r in sampling.sample_by_hash(docs, "doc_id", 0.3).collect()}
+    s2 = {r["doc_id"] for r in sampling.sample_by_hash(
+        docs.repartition(13), "doc_id", 0.3).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()      # partitioning-invariant
+    bigger = {r["doc_id"] for r in sampling.sample_by_hash(docs, "doc_id", 0.6).collect()}
+    assert s1 <= bigger                                 # nested: fraction grows monotonically
+
+
+def test_stratified_sample_by_hash(spark):
+    from supersonic_spark.pipeline import sampling
+
+    df = core.scan_view(
+        spark, [(i, "en" if i % 2 else "de") for i in range(200)], "id long, lang string"
+    )
+    out = sampling.stratified_sample_by_hash(df, "lang", {"en": 1.0, "de": 0.2}, "id")
+    got = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    assert counts["en"] == 100                          # fraction 1.0 keeps all
+    assert 5 <= counts.get("de", 0) <= 40               # ~20 of 100
+
+
+def test_deterministic_shuffle_stable(spark, tables):
+    from supersonic_spark.pipeline import sampling
+
+    docs = tables["documents"].select("doc_id")
+    o1 = [r["doc_id"] for r in sampling.deterministic_shuffle(docs, "doc_id").collect()]
+    o2 = [r["doc_id"] for r in sampling.deterministic_shuffle(
+        docs.repartition(7), "doc_id").collect()]
+    assert o1 == o2 and o1 != sorted(o1)                # same order, actually shuffled
+
+
+def test_pack_sequences_budget_and_determinism(spark, tables):
+    from supersonic_spark.pipeline import sampling, textstats
+
+    docs = tables["documents"].select(
+        "doc_id", textstats.token_count("text").alias("n_tok")
+    )
+    packed = sampling.pack_sequences(docs, "doc_id", "n_tok", budget=500)
+    pdf = packed.toPandas()
+    assert len(pdf) == docs.count()                     # every doc assigned
+    sums = pdf.groupby("batch_id")["n_tokens"].agg(["sum", "count"])
+    # multi-doc batches respect the budget; singletons may exceed it only
+    # when the single document itself is longer than the budget
+    multi = sums[sums["count"] > 1]
+    assert (multi["sum"] <= 500).all()
+    single_over = pdf.merge(sums[sums["count"] == 1], on="batch_id")
+    over = single_over[single_over["sum"] > 500]
+    assert (over["n_tokens"] > 500).all()
+    again = sampling.pack_sequences(docs, "doc_id", "n_tok", budget=500).toPandas()
+    m1 = dict(zip(pdf["id"], pdf["batch_id"]))
+    m2 = dict(zip(again["id"], again["batch_id"]))
+    assert m1 == m2                                     # deterministic
