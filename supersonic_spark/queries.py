@@ -34,7 +34,7 @@ from supersonic_spark.functions import (
     strings as st,
 )
 from supersonic_spark.operators import aggregate as agg
-from supersonic_spark.operators import core, join as join_ops, setops
+from supersonic_spark.operators import analytics, core, join as join_ops, setops
 from supersonic_spark.operators import sort as sort_ops
 from supersonic_spark.operators.aggregate import AggSpec, Aggregation
 from supersonic_spark.operators.sort import SortKey
@@ -1021,6 +1021,112 @@ def q_sort_nulls_ordering(spark, sf_dir):
         limit=50,
     )
     return out.select("o_orderkey", "flag_val")
+
+
+@q(
+    "window_rank_orders",
+    """SELECT o_custkey, o_orderkey,
+              CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+              CAST(RANK() OVER w AS INT) AS rnk,
+              CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+              CAST(NTILE(4) OVER w AS INT) AS quartile
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def q_window_rank_orders(spark, sf_dir):
+    """Ranking-window family (beyond-reference: supersonic has no window
+    functions): row_number/rank/dense_rank/ntile per customer over a total
+    order.  One shuffle on the partition key; no global sort."""
+    t = _t(spark, sf_dir)
+    out = analytics.window_rank(
+        t["orders"].select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        rankers={"rn": "row_number", "rnk": "rank", "drnk": "dense_rank"},
+        ntile={"quartile": 4},
+    )
+    return out.select("o_custkey", "o_orderkey", "rn", "rnk", "drnk", "quartile")
+
+
+@q(
+    "top_n_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders)
+       WHERE rn <= 3""",
+)
+def q_top_n_per_group(spark, sf_dir):
+    """Top-N per key (here: each customer's 3 largest orders) — the window
+    filter prunes to n×groups rows before anything downstream."""
+    t = _t(spark, sf_dir)
+    return analytics.top_n_per_group(
+        t["orders"].select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        n=3,
+    )
+
+
+@q(
+    "pivot_event_types",
+    """SELECT user_id,
+              CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+                            FILTER (event_type = 'click'), 0) AS DOUBLE) AS click,
+              CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+                            FILTER (event_type = 'error'), 0) AS DOUBLE) AS error,
+              CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+                            FILTER (event_type = 'purchase'), 0) AS DOUBLE) AS purchase,
+              CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+                            FILTER (event_type = 'signup'), 0) AS DOUBLE) AS signup,
+              CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2)))
+                            FILTER (event_type = 'view'), 0) AS DOUBLE) AS view
+       FROM events GROUP BY user_id""",
+)
+def q_pivot_event_types(spark, sf_dir):
+    """Pivot (beyond-reference): per-user value totals spread across the 5
+    event types.  The value list is explicit, so Spark skips the implicit
+    distinct-discovery pass — one aggregation, no extra scan."""
+    t = _t(spark, sf_dir)
+    ev = core.compute(
+        t["events"], {"user_id": F.col("user_id"), "event_type": F.col("event_type"),
+                      "value_d": _dec("value")},
+    )
+    out = analytics.pivot_table(
+        ev, ["user_id"], "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+        F.sum("value_d"),
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("double").alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")],
+    )
+
+
+@q(
+    "percentile_aggregate_price",
+    """SELECT o_orderstatus,
+              round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+              round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+              round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+       FROM orders GROUP BY o_orderstatus""",
+)
+def q_percentile_aggregate_price(spark, sf_dir):
+    """Exact grouped percentiles (beyond-reference).  exact=True is the
+    oracle-able form; the scale default approx_percentile (mergeable
+    t-digest, map-side combined) is unit-tested against it instead."""
+    t = _t(spark, sf_dir)
+    out = analytics.percentile_aggregate(
+        t["orders"], ["o_orderstatus"], "o_totalprice", [0.5, 0.95, 0.99],
+        exact=True,
+    )
+    return out.select(
+        "o_orderstatus",
+        *[F.round(F.col(c), 6).alias(c) for c in ("p50", "p95", "p99")],
+    )
 
 
 @q(

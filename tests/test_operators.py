@@ -428,3 +428,29 @@ def test_range_join_overlapping_intervals(spark):
     got = sorted((r["id"], r["name"]) for r in out.collect())
     # 5.0 ∈ [0,10] and [5,20] (inclusive bounds); 15 ∈ [5,20]; 45 matches none
     assert got == [(1, "a"), (1, "b"), (2, "b")]
+
+
+def test_analytics_percentile_approx_near_exact(spark, tables):
+    from supersonic_spark.operators import analytics
+
+    orders = tables["orders"]
+    exact = analytics.percentile_aggregate(
+        orders, ["o_orderstatus"], "o_totalprice", [0.5, 0.95], exact=True
+    ).collect()
+    approx = analytics.percentile_aggregate(
+        orders, ["o_orderstatus"], "o_totalprice", [0.5, 0.95], exact=False
+    ).collect()
+    ex = {r["o_orderstatus"]: (r["p50"], r["p95"]) for r in exact}
+    ap = {r["o_orderstatus"]: (r["p50"], r["p95"]) for r in approx}
+    for k in ex:
+        for e, a in zip(ex[k], ap[k]):
+            assert abs(a - e) / max(abs(e), 1) < 0.05  # sketch within 5%
+
+
+def test_window_rank_rejects_unknown_ranker(spark, tables):
+    from supersonic_spark.operators import analytics
+
+    with pytest.raises(ValueError, match="unknown ranker"):
+        analytics.window_rank(
+            tables["orders"], ["o_custkey"], ["o_orderkey"], {"x": "median_rank"}
+        )
