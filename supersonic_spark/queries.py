@@ -1130,6 +1130,30 @@ def q_percentile_aggregate_price(spark, sf_dir):
 
 
 @q(
+    "udaf_geomean",
+    """SELECT l_returnflag,
+              round(exp(avg(ln(l_extendedprice))), 6) AS geomean_price
+       FROM lineitem WHERE l_extendedprice > 0
+       GROUP BY l_returnflag""",
+)
+def q_udaf_geomean(spark, sf_dir):
+    """The UDAF surface (beyond-reference: the reference's extensibility is
+    compile-time C++ only): an Arrow-batched pandas grouped-agg UDF
+    (geometric mean) evaluated per group, hash-matched against the SQL
+    identity exp(avg(ln(x)))."""
+    from supersonic_spark.functions import udf as udf_fn
+
+    t = _t(spark, sf_dir)
+    li = core.filter_op(
+        t["lineitem"], F.col("l_extendedprice") > 0, ["l_returnflag", "l_extendedprice"]
+    )
+    out = li.groupBy("l_returnflag").agg(
+        udf_fn.geomean("l_extendedprice").alias("geomean_price")
+    )
+    return out.select("l_returnflag", F.round("geomean_price", 6).alias("geomean_price"))
+
+
+@q(
     "asof_join_events",
     """SELECT l.event_id, l.ts, l.value,
               r.ts AS view_ts, r.value AS view_value

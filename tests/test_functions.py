@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dtm
 import math
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -297,3 +298,28 @@ def test_enum_definition(spark):
     df = core.scan_view(spark, [(1,), (2,), (3,)], "c int")
     vals = [r["n"] for r in df.select(ed.decode_column("c").alias("n")).collect()]
     assert vals == ["RED", "BLUE", None]
+
+
+def test_udf_surface_vectorized_and_grouped(spark):
+    """The engine's extensibility surface (SURVEY §2.7: reference has no
+    runtime UDFs): Arrow-batched scalar and grouped-agg pandas UDFs.
+    (pandas is imported at module scope: pyspark resolves the stringified
+    type hints against the function's __globals__.)"""
+    from supersonic_spark.functions import udf as udf_fn
+    from supersonic_spark.operators import core
+
+    @udf_fn.vectorized("double")
+    def plus_one(v: pd.Series) -> pd.Series:
+        return v + 1.0
+
+    df = core.scan_view(
+        spark, [("a", 2.0), ("a", 8.0), ("b", 5.0), ("b", None)], "k string, v double"
+    )
+    got = {r["k"]: r["p"] for r in
+           df.select("k", plus_one("v").alias("p")).collect() if r["p"] is not None}
+    assert got["b"] == 6.0
+
+    gm = {r["k"]: r["g"] for r in
+          df.groupBy("k").agg(udf_fn.geomean("v").alias("g")).collect()}
+    assert gm["a"] == pytest.approx(4.0)  # sqrt(2*8)
+    assert gm["b"] == pytest.approx(5.0)  # NULL ignored
