@@ -46,6 +46,8 @@ HEADLINE: dict[str, list[str]] = {
     "tpch_q3_shape": ["customer", "orders", "lineitem"],
     "tpch_q18_shape": ["customer", "orders", "lineitem"],
     "json_extract_props": ["events"],
+    "asof_join_events": ["events"],
+    "window_rank_orders": ["orders"],
 }
 
 
