@@ -82,3 +82,45 @@ def test_exact_dedup_idempotent_and_minimal(spark, texts):
     got_twice = sorted(r["doc_id"] for r in twice.collect())
     assert got_once == got_twice  # idempotent
     assert len(got_once) == len(set(texts))  # one survivor per distinct text
+
+
+asof_strategy = st_.tuples(
+    # left: (key, ts) pairs; right: (key, ts, value) triples
+    st_.lists(
+        st_.tuples(st_.integers(0, 3), st_.integers(0, 50)),
+        min_size=1, max_size=20,
+    ),
+    st_.lists(
+        st_.tuples(st_.integers(0, 3), st_.integers(0, 50),
+                   st_.floats(allow_nan=False, allow_infinity=False,
+                              min_value=-100, max_value=100)),
+        min_size=0, max_size=20,
+    ),
+)
+
+
+@given(data=asof_strategy)
+@_settings
+def test_asof_join_matches_bruteforce(spark, data):
+    """asof_join(backward) == per-row brute force: the right row with the
+    max ts <= left ts for the same key (unique right (key, ts) assumed)."""
+    from supersonic_spark.operators import join as join_ops
+
+    left_rows, right_rows = data
+    # dedup right on (key, ts) — ties are unordered in any asof definition
+    right_rows = list({(k, t): (k, t, v) for k, t, v in right_rows}.values())
+    left = core.scan_view(
+        spark, [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "id long, k int, ts int",
+    )
+    right = core.scan_view(spark, right_rows, "k int, ts int, v double")
+    got = {
+        r["id"]: (r["ts_right"], r["v"])
+        for r in join_ops.asof_join(
+            left, right, ["k"], "ts", "ts", ["v"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, rv) for rk, rt, rv in right_rows if rk == k and rt <= t]
+        expect = max(cands, key=lambda x: x[0]) if cands else (None, None)
+        assert got[i] == expect, f"row {i} key {k} ts {t}"
