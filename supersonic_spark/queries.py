@@ -1130,6 +1130,47 @@ def q_percentile_aggregate_price(spark, sf_dir):
 
 
 @q(
+    "streaming_enrich_join",
+    """SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       WHERE e.event_type IN ('purchase', 'signup')""",
+)
+def q_streaming_enrich_join(spark, sf_dir):
+    """Stream-static enrichment join with BATCH-EQUAL semantics: the events
+    stream joins the static customer dimension micro-batch by micro-batch
+    (the standard streaming feature-enrichment shape; the dim broadcasts
+    into every batch), drained via availableNow and hash-matched against
+    the batch SQL join."""
+    t = _t(spark, sf_dir)  # registers views + runtime conf
+    static_cust = t["customer"].select("c_custkey", "c_name", "c_mktsegment")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("event_type").isin("purchase", "signup"))
+    )
+    joined = stream.join(
+        static_cust, stream["user_id"] == static_cust["c_custkey"], "inner"
+    ).select("event_id", "event_type", "c_name", "c_mktsegment")
+    sink = "ss_stream_enrich"
+    for q_ in spark.streams.active:
+        if q_.name == sink:
+            q_.stop()
+    (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.table(sink)
+
+
+@q(
     "udaf_geomean",
     """SELECT l_returnflag,
               round(exp(avg(ln(l_extendedprice))), 6) AS geomean_price

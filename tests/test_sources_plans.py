@@ -379,3 +379,21 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(part" in plan  # pruning reaches the scan
     assert back.count() == 50
+
+
+def test_file_roundtrip_all_formats(spark, tmp_path):
+    """FileInput/FileOutput across every batch format Spark ships natively:
+    parquet, orc, csv, json — schema-required reads return identical rows."""
+    from supersonic_spark.sources.io import file_input, file_output
+
+    df = core.scan_view(
+        spark,
+        [(1, "a", 1.5), (2, "b", None), (3, None, -2.25)],
+        "id long, s string, v double",
+    )
+    expect = sorted(map(tuple, df.collect()))
+    for fmt in ("parquet", "orc", "csv", "json"):
+        path = str(tmp_path / f"rt_{fmt}")
+        file_output(df, path, format=fmt, mode="overwrite")
+        back = file_input(spark, path, format=fmt, schema="id long, s string, v double")
+        assert sorted(map(tuple, back.collect())) == expect, fmt
