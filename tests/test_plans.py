@@ -75,3 +75,46 @@ def test_no_cartesian_products_in_joins(spark, qs):
     for name in ("hash_join_inner", "hash_join_left", "rowid_merge_join", "tpch_q5_shape"):
         plan = _plan(qs[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_single_exchange_no_nested_loop(spark, qs):
+    """asof_join's scale contract: the merged-timeline LOCF shape — one
+    shuffle on the key (plus AQE reads), a window, and crucially NO
+    nested-loop/cartesian join and NO per-row range probe."""
+    plan = _plan(qs["asof_join_events"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # the union + window needs exactly one hash repartitioning on user_id
+    # (formatted mode lists the node as "(n) Exchange" with its
+    # hashpartitioning argument on a separate line)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_range_join_is_equi_not_nested_loop(spark, qs):
+    """range_join's scale contract: the bin discretization turns the
+    non-equi BETWEEN into an equi hash join (broadcast or shuffled) —
+    never Spark's nested-loop default for range predicates."""
+    plan = _plan(qs["range_join_price_bands"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # Broadcast- or ShuffledHashJoin on the bin
+
+
+def test_window_rank_single_shuffle(spark, qs):
+    import re
+
+    plan = _plan(qs["window_rank_orders"](spark, SF_DIR))
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1  # partition keys only
+
+
+def test_pivot_no_discovery_scan(spark, qs):
+    """Explicit pivot values: exactly one scan of events (the implicit form
+    adds a distinct-discovery job = a second full scan)."""
+    import re
+
+    plan = _plan(qs["pivot_event_types"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
