@@ -298,6 +298,18 @@ def group_aggregate_cube(df: DataFrame, keys: list, specs: list[AggSpec]) -> Dat
     return df.cube(*key_cols).agg(*[_one_agg(s) for s in specs])
 
 
+def group_aggregate_grouping_sets(
+    df: DataFrame, sets: list[list[str]], keys: list[str], specs: list[AggSpec]
+) -> DataFrame:
+    """Explicit GROUPING SETS — the generic form of rollup/cube: aggregate
+    once per listed key subset, absent keys NULL.  One pass over the data
+    (Spark expands the sets map-side — same Expand trick as the reference's
+    DISTINCT NULL-fanout, hybrid_group_utils.h:15-50)."""
+    key_cols = [F.col(k) for k in keys]
+    set_cols = [[F.col(k) for k in s] for s in sets]
+    return df.groupingSets(set_cols, *key_cols).agg(*[_one_agg(s) for s in specs])
+
+
 def approx_distinct_aggregate(
     df: DataFrame, keys: list, input_col: str, output: str, rsd: float = 0.05
 ) -> DataFrame:

@@ -884,6 +884,36 @@ def q_rollup_aggregate(spark, sf_dir):
 
 
 @q(
+    "grouping_sets_aggregate",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q_grouping_sets_aggregate(spark, sf_dir):
+    """Explicit GROUPING SETS (generic rollup/cube): per-flag totals,
+    per-status totals, and the grand total in ONE pass (map-side Expand —
+    the same trick as the reference's DISTINCT NULL-fanout)."""
+    t = _t(spark, sf_dir)
+    li = core.compute(
+        t["lineitem"],
+        {"l_returnflag": F.col("l_returnflag"), "l_linestatus": F.col("l_linestatus"),
+         "qty_d": _dec("l_quantity")},
+    )
+    out = agg.group_aggregate_grouping_sets(
+        li,
+        [["l_returnflag"], ["l_linestatus"], []],
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec(Aggregation.SUM, "qty_d", "sum_qty", output_type="double"),
+            AggSpec(Aggregation.COUNT, None, "n"),
+        ],
+    )
+    return out.select("l_returnflag", "l_linestatus", "sum_qty", "n")
+
+
+@q(
     "tpch_q6_shape",
     """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                      * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
