@@ -48,6 +48,7 @@ HEADLINE: dict[str, list[str]] = {
     "json_extract_props": ["events"],
     "asof_join_events": ["events"],
     "window_rank_orders": ["orders"],
+    "corpus_curation_pipeline": ["documents"],
 }
 
 

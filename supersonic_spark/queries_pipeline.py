@@ -269,6 +269,71 @@ def q_multimodal_decode_stub(spark, sf_dir):
     )
 
 
+_CURATION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), base AS (
+  SELECT doc_id, text, words, len(words) AS n_words FROM w WHERE len(words) >= 5
+), uniq AS (
+  SELECT MIN(doc_id) AS doc_id, text, MIN(n_words) AS n_words,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM base GROUP BY text
+), s AS (
+  SELECT n_words,
+    len(list_filter(words, x -> list_contains(['der','die','das','und','ist','von','mit','den','im','zu'], lower(x)))) AS s_de,
+    len(list_filter(words, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(x)))) AS s_en,
+    len(list_filter(words, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], lower(x)))) AS s_es,
+    len(list_filter(words, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','ce'], lower(x)))) AS s_fr
+  FROM uniq
+), lang AS (
+  SELECT n_words,
+    CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+         WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS lang_guess
+  FROM s
+)
+SELECT lang_guess, COUNT(*) AS n_docs, SUM(n_words)::BIGINT AS total_tokens
+FROM lang GROUP BY lang_guess
+"""
+
+
+@q("corpus_curation_pipeline", _CURATION_ORACLE)
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """Flagship corpus-curation composition — the canonical training-data
+    flow run as ONE plan: length filter → exact dedup (content-keyed hash
+    agg) → language ID → per-language corpus stats.  Every stage is an
+    engine operator; Catalyst fuses the filter into the scan and
+    partial-aggregates both groupBys map-side."""
+    from supersonic_spark.operators import aggregate as agg_ops
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+
+    t = _t(spark, sf_dir)
+    base = core.ensure_parallelism(t["documents"]).select(
+        "doc_id", "text", textstats.token_count("text").alias("n_words")
+    )
+    base = core.filter_op(base, F.col("n_words") >= 5)
+    uniq = agg_ops.group_aggregate(
+        base,
+        ["text"],
+        [
+            AggSpec(Aggregation.MIN, "doc_id", "doc_id"),
+            AggSpec(Aggregation.MIN, "n_words", "n_words"),
+        ],
+    )
+    lang = uniq.select(textstats.lang_id("text").alias("lang_guess"), "n_words")
+    return agg_ops.group_aggregate(
+        lang,
+        ["lang_guess"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n_docs"),
+            AggSpec(Aggregation.SUM, "n_words", "total_tokens"),
+        ],
+    )
+
+
 # =====================================================================
 # sampling / splitting / packing
 # =====================================================================
