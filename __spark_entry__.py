@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from supersonic_spark.queries import REGISTRY  # noqa: E402
 import supersonic_spark.queries_expr  # noqa: E402,F401  (registers)
 import supersonic_spark.queries_pipeline  # noqa: E402,F401  (registers)
+import supersonic_spark.queries_tpch  # noqa: E402,F401  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -49,6 +49,10 @@ HEADLINE: dict[str, list[str]] = {
     "asof_join_events": ["events"],
     "window_rank_orders": ["orders"],
     "corpus_curation_pipeline": ["documents"],
+    "tpch_q9_shape": ["part", "supplier", "orders", "lineitem", "nation"],
+    "tpch_q13_shape": ["customer", "orders"],
+    "tpch_q16_shape": ["part", "supplier", "lineitem"],
+    "tpch_q21_shape": ["supplier", "orders", "lineitem", "nation"],
 }
 
 

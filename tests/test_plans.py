@@ -118,3 +118,44 @@ def test_pivot_no_discovery_scan(spark, qs):
 
     plan = _plan(qs["pivot_event_types"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_tpch_semi_anti_shapes_are_hash_joins(spark, qs):
+    """Q4's EXISTS and Q16's NOT IN must plan as hash semi-/anti-joins —
+    never a nested-loop correlated probe (which would be per-row at scale)."""
+    plan4 = _plan(qs["tpch_q4_shape"](spark, SF_DIR))
+    assert "LeftSemi" in plan4
+    assert "BroadcastNestedLoopJoin" not in plan4
+    plan16 = _plan(qs["tpch_q16_shape"](spark, SF_DIR))
+    assert "LeftAnti" in plan16
+    assert "BroadcastNestedLoopJoin" not in plan16
+
+
+def test_tpch_q21_no_self_join_explosion(spark, qs):
+    """Q21's EXISTS/NOT-EXISTS pair is computed as one per-order profile
+    aggregation, not two correlated lineitem self-joins: lineitem is
+    scanned at most twice (profile + l1) and nothing goes nested-loop."""
+    plan = _plan(qs["tpch_q21_shape"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l and "lineitem" in l]
+    assert len(scans) <= 2
+
+
+def test_tpch_scalar_subqueries_broadcast_one_row(spark, qs):
+    """Q11/Q15/Q22 thresholds are 1-row broadcasts riding a nested-loop
+    with a single-row build side (constant work), never a shuffle."""
+    for name in ("tpch_q11_shape", "tpch_q15_shape", "tpch_q22_shape"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_tpch_q19_part_prefilter_broadcast(spark, qs):
+    """Q19's OR-band predicate cannot push through the join, but the
+    part-side union-of-bands must: the join stays broadcast and the
+    lineitem scan reads only the 4 referenced columns."""
+    plan = _plan(qs["tpch_q19_shape"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "lineitem" in line:
+            assert "l_shipdate" not in line and "l_returnflag" not in line
