@@ -21,6 +21,7 @@ from supersonic_spark.queries import REGISTRY  # noqa: E402
 import supersonic_spark.queries_expr  # noqa: E402,F401  (registers)
 import supersonic_spark.queries_pipeline  # noqa: E402,F401  (registers)
 import supersonic_spark.queries_tpch  # noqa: E402,F401  (registers)
+import supersonic_spark.queries_analytics  # noqa: E402,F401  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -119,3 +119,113 @@ def percentile_aggregate(
                 F.percentile_approx(v, F.lit(p), F.lit(accuracy)).alias(name)
             )
     return df.groupBy(*_cols(keys)).agg(*aggs)
+
+
+def moving_window_agg(
+    df: DataFrame,
+    partition,
+    order,
+    aggs: dict[str, Column],
+    frame: tuple[int | None, int | None] = (-6, 0),
+    range_frame: bool = False,
+) -> DataFrame:
+    """Frame-spec window aggregation (moving sums/averages/extrema).
+
+    ``aggs`` maps output column -> an aggregate Column (e.g. ``F.sum(x)``)
+    evaluated over the (partition, order, frame) window.  ``frame`` is
+    (start, end) offsets with None = unbounded; ``range_frame`` switches
+    ROWS -> RANGE.  One shuffle on the partition keys; Spark evaluates all
+    frames in a single Window node.
+
+    Determinism: give ``order`` a total order (tie-break!) or equal-key
+    frames are nondeterministic under ROWS.
+    """
+    lo = Window.unboundedPreceding if frame[0] is None else frame[0]
+    hi = Window.unboundedFollowing if frame[1] is None else frame[1]
+    w = Window.partitionBy(*_cols(partition)).orderBy(*_cols(order))
+    w = w.rangeBetween(lo, hi) if range_frame else w.rowsBetween(lo, hi)
+    out = df
+    for name, a in aggs.items():
+        out = out.withColumn(name, a.over(w))
+    return out
+
+
+def funnel(
+    df: DataFrame,
+    user_col,
+    ts_col,
+    step_col,
+    steps: list,
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the earliest time of each step
+    and how deep the user got through ``steps`` in strict time order
+    (step i counts only if its first occurrence is strictly after step
+    i-1's).
+
+    Output: user_col, t_0..t_{n-1} (first-occurrence timestamps, NULL if
+    the step never fired), depth (0..n).
+
+    Scale shape: one conditional-MIN aggregation shuffled on the user key —
+    no self-joins, no per-step scans; event order is resolved by MIN, not
+    by sorting the raw stream.
+    """
+    u = _c(user_col)
+    ts = _c(ts_col)
+    step = _c(step_col)
+    mins = [
+        F.min(F.when(step == s, ts)).alias(f"t_{i}") for i, s in enumerate(steps)
+    ]
+    per_user = df.groupBy(u).agg(*mins)
+    depth = F.lit(0)
+    reached = F.lit(True)
+    prev = None
+    for i in range(len(steps)):
+        t_i = F.col(f"t_{i}")
+        ok = t_i.isNotNull() if prev is None else t_i.isNotNull() & (t_i > prev)
+        reached = reached & ok
+        depth = F.when(reached, i + 1).otherwise(depth)
+        prev = t_i
+    # build depth outermost-first: the expression above nests WHENs so the
+    # deepest satisfied step wins
+    return per_user.withColumn("depth", depth)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col,
+    ts_col,
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention: users bucketed by the period of their first event;
+    for each (cohort, period offset) the number of distinct users active.
+
+    Output: cohort (period-start timestamp), offset (int periods since the
+    cohort period), n_users.
+
+    Scale shape: two shuffles — per-user first-event MIN (user key), then
+    the distinct (user, period) activity matrix grouped by (cohort,
+    offset).  No window functions; everything is hash aggregation.
+    """
+    if granularity not in ("day", "week", "month"):
+        raise ValueError(granularity)
+    u = _c(user_col)
+    ts = _c(ts_col)
+    period = F.date_trunc(granularity, ts)
+    firsts = df.groupBy(u.alias("__user")).agg(
+        F.date_trunc(granularity, F.min(ts)).alias("cohort")
+    )
+    activity = df.select(u.alias("__user"), period.alias("__period")).dropDuplicates()
+    # firsts has user-dimension cardinality — NOT broadcastable at scale;
+    # both sides already hash on __user so this co-partitions with the
+    # dedup above (AQE may still broadcast when stats say it's small).
+    j = activity.join(firsts, on="__user")
+    if granularity == "day":
+        off = F.datediff(F.col("__period"), F.col("cohort"))
+    elif granularity == "week":
+        off = (F.datediff(F.col("__period"), F.col("cohort")) / 7).cast("int")
+    else:
+        off = F.months_between(F.col("__period"), F.col("cohort")).cast("int")
+    j = j.withColumn("offset", off.cast("int"))
+    return j.groupBy("cohort", "offset").agg(
+        F.count_distinct(F.col("__user")).alias("n_users")
+    )

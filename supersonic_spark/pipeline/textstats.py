@@ -116,3 +116,34 @@ def doc_fingerprint(text, normalize: bool = True) -> Column:
     if normalize:
         t = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
     return F.xxhash64(t)
+
+
+def vocab_counts(df: DataFrame, text_col: str, pattern: str = "[^a-z0-9]+") -> DataFrame:
+    """Corpus vocabulary: token -> occurrence count ``n``.
+
+    Tokenizes lowercase text on ``pattern`` (JVM split — no Python in the
+    row path), explodes, drops empties, hash-aggregates.  Scale shape: the
+    explode multiplies rows ~token_count×, but partial aggregation combines
+    map-side before the single shuffle on token, so the exchange carries
+    one (token, count) pair per distinct token per task — vocabulary-sized,
+    not corpus-sized.
+    """
+    t = F.lower(F.col(text_col))
+    tok = F.explode(F.split(t, pattern)).alias("token")
+    out = df.select(tok).filter(F.col("token") != "")
+    return out.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str, k: int, pattern: str = "[^a-z0-9]+"
+) -> DataFrame:
+    """Top-k vocabulary by count (ties broken by token, so the result is a
+    deterministic set).  TakeOrderedAndProject keeps the sort at k rows per
+    partition — no global sort of the vocabulary."""
+    from supersonic_spark.operators.sort import SortKey, extended_sort
+
+    return extended_sort(
+        vocab_counts(df, text_col, pattern),
+        [SortKey("n", ascending=False), SortKey("token")],
+        limit=k,
+    )

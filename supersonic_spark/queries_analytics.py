@@ -1,0 +1,151 @@
+"""Event-analytics + corpus-vocabulary query catalog (beyond-reference:
+supersonic has no window frames, funnels, cohorts, or text analysis —
+SURVEY.md §2.7/§2.9).  All oracle-checked against DuckDB.
+
+Determinism: window frames carry a total order (ts, event_id tie-break);
+money/value sums accumulate in DECIMAL inside the frame; funnel depths and
+cohort offsets are integer arithmetic on MIN timestamps — exact on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from supersonic_spark.operators import aggregate as agg
+from supersonic_spark.operators import analytics, core
+from supersonic_spark.operators import sort as sort_ops
+from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+from supersonic_spark.operators.sort import SortKey
+from supersonic_spark.pipeline import textstats
+from supersonic_spark.queries import _dec, _t, q
+
+
+@q(
+    "moving_window_agg_events",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS mov_sum,
+              COUNT(*) OVER w AS mov_n,
+              CAST(MAX(value) OVER w AS DOUBLE) AS mov_max
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+)
+def q_moving_window_agg_events(spark, sf_dir):
+    """Frame-spec moving aggregates (7-row trailing window per user).
+    Scale shape: one shuffle on user_id; all three frames evaluate in a
+    single Window node; DECIMAL accumulation keeps the trailing sum exact
+    under any frame evaluation order."""
+    t = _t(spark, sf_dir)
+    ev = core.compute(
+        t["events"],
+        {"event_id": F.col("event_id"), "user_id": F.col("user_id"),
+         "ts": F.col("ts"), "value": F.col("value"), "value_d": _dec("value")},
+    )
+    out = analytics.moving_window_agg(
+        ev,
+        partition="user_id",
+        order=["ts", "event_id"],
+        aggs={
+            "mov_sum_d": F.sum("value_d"),
+            "mov_n": F.count(F.lit(1)),
+            "mov_max": F.max("value"),
+        },
+        frame=(-6, 0),
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("mov_sum_d").cast("double").alias("mov_sum"),
+        "mov_n",
+        F.col("mov_max").cast("double").alias("mov_max"),
+    )
+
+
+@q(
+    "funnel_events",
+    """WITH per_user AS (
+         SELECT user_id,
+                MIN(ts) FILTER (event_type = 'view') AS t_0,
+                MIN(ts) FILTER (event_type = 'click') AS t_1,
+                MIN(ts) FILTER (event_type = 'purchase') AS t_2
+         FROM events GROUP BY user_id)
+       SELECT CASE
+                WHEN t_0 IS NOT NULL AND t_1 IS NOT NULL AND t_1 > t_0
+                 AND t_2 IS NOT NULL AND t_2 > t_1 THEN 3
+                WHEN t_0 IS NOT NULL AND t_1 IS NOT NULL AND t_1 > t_0 THEN 2
+                WHEN t_0 IS NOT NULL THEN 1
+                ELSE 0 END AS depth,
+              COUNT(*) AS n_users
+       FROM per_user
+       GROUP BY 1
+       ORDER BY depth""",
+)
+def q_funnel_events(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase, reported as a depth
+    distribution.  Scale shape: the funnel operator is one conditional-MIN
+    aggregation on user_id (no self-joins, no event sorting); the depth
+    distribution is a 4-key map-side-combined count."""
+    t = _t(spark, sf_dir)
+    per_user = analytics.funnel(
+        t["events"], "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    out = agg.group_aggregate(
+        per_user, ["depth"], [AggSpec(Aggregation.COUNT, None, "n_users")]
+    )
+    return sort_ops.sort(out, [SortKey("depth")]).select("depth", "n_users")
+
+
+@q(
+    "cohort_retention_events",
+    """WITH firsts AS (
+         SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+         FROM events GROUP BY user_id),
+       activity AS (
+         SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+         FROM events)
+       SELECT cohort_week,
+              CAST(date_diff('day', cohort_week, period) / 7 AS INT) AS week_offset,
+              COUNT(DISTINCT user_id) AS n_users
+       FROM activity JOIN firsts USING (user_id)
+       GROUP BY cohort_week, week_offset
+       ORDER BY cohort_week, week_offset""",
+)
+def q_cohort_retention_events(spark, sf_dir):
+    """Weekly cohort retention matrix.  Scale shape: two hash shuffles
+    (per-user first-event MIN, then the (cohort, offset) rollup of the
+    distinct user-week activity matrix) — no windows, no broadcast of the
+    user-dimension firsts table (cohort_retention docstring)."""
+    t = _t(spark, sf_dir)
+    out = analytics.cohort_retention(t["events"], "user_id", "ts", granularity="week")
+    out = core.compute(
+        out,
+        {
+            "cohort_week": F.col("cohort"),
+            "week_offset": F.col("offset"),
+            "n_users": F.col("n_users"),
+        },
+    )
+    return sort_ops.sort(out, [SortKey("cohort_week"), SortKey("week_offset")]).select(
+        "cohort_week", "week_offset", "n_users"
+    )
+
+
+@q(
+    "text_vocab_topk",
+    """WITH toks AS (
+         SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+         FROM documents)
+       SELECT token, COUNT(*) AS n
+       FROM toks
+       WHERE token <> ''
+       GROUP BY token
+       ORDER BY n DESC, token
+       LIMIT 100""",
+)
+def q_text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-100 (training-data pipeline: tokenizer vocab /
+    frequency analysis).  Scale shape: explode multiplies rows, but partial
+    aggregation combines per-task before one token shuffle; the final
+    top-k is TakeOrderedAndProject, never a full vocabulary sort."""
+    t = _t(spark, sf_dir)
+    return textstats.vocab_topk(t["documents"], "text", k=100).select("token", "n")

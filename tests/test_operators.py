@@ -454,3 +454,101 @@ def test_window_rank_rejects_unknown_ranker(spark, tables):
         analytics.window_rank(
             tables["orders"], ["o_custkey"], ["o_orderkey"], {"x": "median_rank"}
         )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnel / cohort / moving window frames
+# ---------------------------------------------------------------------------
+
+def test_funnel_depths_strict_ordering(spark):
+    """Depth counts a step only when its first occurrence is strictly after
+    the previous step's — out-of-order and missing steps stop the funnel."""
+    from datetime import datetime as dt
+
+    from supersonic_spark.operators.analytics import funnel
+
+    rows = [
+        # u1: view < click < buy  -> depth 3
+        (1, dt(2024, 1, 1), "view"), (1, dt(2024, 1, 2), "click"),
+        (1, dt(2024, 1, 3), "buy"),
+        # u2: click BEFORE view -> depth 1 (view exists, click not after it)
+        (2, dt(2024, 1, 2), "view"), (2, dt(2024, 1, 1), "click"),
+        # u3: view only -> depth 1
+        (3, dt(2024, 1, 1), "view"),
+        # u4: no funnel steps at all -> depth 0
+        (4, dt(2024, 1, 1), "error"),
+        # u5: view < click, no buy -> depth 2 (later re-views don't matter)
+        (5, dt(2024, 1, 1), "view"), (5, dt(2024, 1, 2), "click"),
+        (5, dt(2024, 1, 3), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "step"])
+    out = funnel(df, "user_id", "ts", "step", ["view", "click", "buy"])
+    got = {r["user_id"]: r["depth"] for r in out.collect()}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+
+def test_cohort_retention_weekly_matrix(spark):
+    from datetime import datetime as dt
+
+    from supersonic_spark.operators.analytics import cohort_retention
+
+    rows = [
+        # u1 first in week of Jan 1 (Mon), active weeks 0, 1 and 3
+        (1, dt(2024, 1, 2)), (1, dt(2024, 1, 9)), (1, dt(2024, 1, 24)),
+        # u2 same cohort, active week 0 only (two events, one distinct week)
+        (2, dt(2024, 1, 3)), (2, dt(2024, 1, 4)),
+        # u3 cohort of Jan 8, active weeks 0 and 1
+        (3, dt(2024, 1, 10)), (3, dt(2024, 1, 16)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = cohort_retention(df, "user_id", "ts", granularity="week")
+    got = {
+        (r["cohort"].strftime("%Y-%m-%d"), r["offset"]): r["n_users"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1, ("2024-01-08", 1): 1,
+    }
+
+
+def test_moving_window_agg_matches_brute_force(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from supersonic_spark.operators.analytics import moving_window_agg
+
+    rng = random.Random(7)
+    rows = [(i % 3, i, rng.randint(-50, 50)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["k", "seq", "v"])
+    out = moving_window_agg(
+        df, "k", "seq",
+        {"mov_sum": F.sum("v"), "mov_min": F.min("v")},
+        frame=(-2, 0),
+    ).collect()
+    by_key = {}
+    for k, seq, v in rows:
+        by_key.setdefault(k, []).append((seq, v))
+    expect = {}
+    for k, items in by_key.items():
+        items.sort()
+        for i, (seq, _) in enumerate(items):
+            window = [v for _, v in items[max(0, i - 2): i + 1]]
+            expect[(k, seq)] = (sum(window), min(window))
+    got = {(r["k"], r["seq"]): (r["mov_sum"], r["mov_min"]) for r in out}
+    assert got == expect
+
+
+def test_moving_window_agg_unbounded_range(spark):
+    from pyspark.sql import functions as F
+
+    from supersonic_spark.operators.analytics import moving_window_agg
+
+    df = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30)], ["k", "seq", "v"]
+    )
+    out = moving_window_agg(
+        df, "k", "seq", {"run": F.sum("v")}, frame=(None, 0)
+    ).collect()
+    assert {(r["seq"]): r["run"] for r in out} == {1: 10, 2: 30, 3: 60}

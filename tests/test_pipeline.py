@@ -376,3 +376,17 @@ def test_pack_sequences_budget_and_determinism(spark, tables):
     m1 = dict(zip(pdf["id"], pdf["batch_id"]))
     m2 = dict(zip(again["id"], again["batch_id"]))
     assert m1 == m2                                     # deterministic
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from supersonic_spark.pipeline.textstats import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "The CAT! sat."), (3, "zz zz aa")],
+        ["doc_id", "text"],
+    )
+    out = vocab_topk(df, "text", k=4).collect()
+    # counts: the=3, cat=2, zz=2, aa/and/hat/sat=1 -> top4 ties broken by token
+    assert [(r["token"], r["n"]) for r in out] == [
+        ("the", 3), ("cat", 2), ("zz", 2), ("aa", 1)
+    ]
