@@ -229,3 +229,37 @@ def cohort_retention(
     return j.groupBy("cohort", "offset").agg(
         F.count_distinct(F.col("__user")).alias("n_users")
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col,
+    lo: float,
+    hi: float,
+    nbins: int,
+    keys=None,
+) -> DataFrame:
+    """Fixed-width histogram over [lo, hi): bin index, bin edges, count.
+    Out-of-range rows are dropped (callers wanting clamp semantics filter
+    or clamp first).  Optional ``keys`` produce one histogram per group.
+
+    Scale shape: pure arithmetic + hash aggregation on (keys, bin) — a
+    few-hundred-key shuffle regardless of input size; never a sort.
+    """
+    v = _c(value_col).cast("double")
+    width = (hi - lo) / nbins
+    bin_ = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    key_cols = _cols(keys)
+    out = (
+        df.filter((v >= lo) & (v < hi))
+        .withColumn("bin", bin_)
+        .groupBy(*key_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        *key_cols,
+        "bin",
+        (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+        "n",
+    )

@@ -147,3 +147,48 @@ def vocab_topk(
         [SortKey("n", ascending=False), SortKey("token")],
         limit=k,
     )
+
+
+def tfidf(
+    df: DataFrame, id_col: str, text_col: str, pattern: str = "[^a-z0-9]+"
+) -> DataFrame:
+    """Per-document TF-IDF: (id, token, tf, doc_freq, tfidf).
+
+    tf = term count in the document; idf = ln((N+1)/(doc_freq+1)) + 1
+    (smoothed, sklearn-style); tfidf rounded to 6dp (ln differs from other
+    engines in the last ulp — the round makes scores portable/comparable).
+
+    Scale shape: (doc, token) counts shuffle once on the pair; doc
+    frequency is a vocabulary-sized rollup of that result (map-side
+    combined); N is a 1-row broadcast; the idf join shuffles on token
+    (vocabulary-sized right side, AQE may broadcast it).  No Python in the
+    row path.
+    """
+    t = F.lower(F.col(text_col))
+    tok = F.explode(F.split(t, pattern)).alias("token")
+    pairs = df.select(F.col(id_col), tok).filter(F.col("token") != "")
+    tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    doc_freq = doc_freq.crossJoin(F.broadcast(n_docs))
+    scored = tf.join(doc_freq, on="token")
+    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0))) + F.lit(1.0)
+    return scored.select(
+        F.col(id_col), F.col("token"), F.col("tf"), F.col("doc_freq"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int,
+    pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (ties broken by token — a
+    deterministic set).  One extra shuffle on the doc id for the ranking
+    window; only k×docs rows survive it."""
+    from supersonic_spark.operators.analytics import top_n_per_group
+
+    scored = tfidf(df, id_col, text_col, pattern)
+    return top_n_per_group(
+        scored, id_col, [F.col("tfidf").desc(), F.col("token")], k
+    ).drop("rn")

@@ -149,3 +149,59 @@ def q_text_vocab_topk(spark, sf_dir):
     top-k is TakeOrderedAndProject, never a full vocabulary sort."""
     t = _t(spark, sf_dir)
     return textstats.vocab_topk(t["documents"], "text", k=100).select("token", "n")
+
+
+@q(
+    "histogram_order_totals",
+    """SELECT bin,
+              0.0 + bin * 25000.0 AS bin_lo,
+              0.0 + (bin + 1) * 25000.0 AS bin_hi,
+              COUNT(*) AS n
+       FROM (SELECT CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0) / 25000.0) AS INT) AS bin
+             FROM orders
+             WHERE o_totalprice >= 0.0 AND o_totalprice < 500000.0)
+       GROUP BY bin
+       ORDER BY bin""",
+)
+def q_histogram_order_totals(spark, sf_dir):
+    """Fixed-width histogram (20 bins over order totals).  Scale shape:
+    pure arithmetic + a 20-key hash aggregation — constant-size shuffle
+    regardless of input rows, no sort, no sketch."""
+    t = _t(spark, sf_dir)
+    out = analytics.histogram(t["orders"], "o_totalprice", 0.0, 500000.0, 20)
+    return sort_ops.sort(out, [SortKey("bin")]).select("bin", "bin_lo", "bin_hi", "n")
+
+
+@q(
+    "text_tfidf_topk",
+    """WITH pairs AS (
+         SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+         FROM documents),
+       tf AS (SELECT doc_id, token, COUNT(*) AS tf
+              FROM pairs WHERE token <> '' GROUP BY doc_id, token),
+       df_ AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+       n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, tf.token AS token, tf, doc_freq,
+                ROUND(tf * (LN((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0), 6) AS tfidf
+         FROM tf JOIN df_ ON tf.token = df_.token CROSS JOIN n)
+       SELECT doc_id, token, tf, doc_freq, tfidf
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, token) AS rn
+             FROM scored)
+       WHERE rn <= 5
+       ORDER BY doc_id, tfidf DESC, token""",
+)
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms (training-data pipeline: salient-term
+    extraction / keyword features).  tfidf is rounded to 6dp on BOTH sides
+    before ranking, so the ln-ulp engine difference can neither change
+    values nor flip the (tfidf, token) tie-broken order.  Scale shape: see
+    textstats.tfidf — pair shuffle, vocabulary rollup, 1-row N broadcast,
+    then one doc-key window keeping 5×docs rows."""
+    t = _t(spark, sf_dir)
+    out = textstats.tfidf_topk(t["documents"], "doc_id", "text", k=5)
+    return sort_ops.sort(
+        out, [SortKey("doc_id"), SortKey("tfidf", ascending=False), SortKey("token")]
+    ).select("doc_id", "token", "tf", "doc_freq", "tfidf")

@@ -552,3 +552,29 @@ def test_moving_window_agg_unbounded_range(spark):
         df, "k", "seq", {"run": F.sum("v")}, frame=(None, 0)
     ).collect()
     assert {(r["seq"]): r["run"] for r in out} == {1: 10, 2: 30, 3: 60}
+
+
+def test_histogram_bins_and_range_drop(spark):
+    from supersonic_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame(
+        [(x,) for x in [0.0, 0.5, 9.9, 10.0, 25.0, 99.9, 100.0, -1.0]], ["v"]
+    )
+    out = histogram(df, "v", 0.0, 100.0, 10).collect()
+    got = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"]) for r in out}
+    # 100.0 and -1.0 are out of [0,100) and dropped
+    assert got == {
+        0: (0.0, 10.0, 3), 1: (10.0, 20.0, 1), 2: (20.0, 30.0, 1),
+        9: (90.0, 100.0, 1),
+    }
+
+
+def test_histogram_grouped_keys(spark):
+    from supersonic_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 6.0)], ["k", "v"]
+    )
+    out = histogram(df, "v", 0.0, 10.0, 2, keys=["k"]).collect()
+    got = {(r["k"], r["bin"]): r["n"] for r in out}
+    assert got == {("a", 0): 2, ("b", 0): 1, ("b", 1): 1}

@@ -390,3 +390,24 @@ def test_vocab_topk_counts_and_tiebreak(spark):
     assert [(r["token"], r["n"]) for r in out] == [
         ("the", 3), ("cat", 2), ("zz", 2), ("aa", 1)
     ]
+
+
+def test_tfidf_scores_and_topk(spark):
+    import math
+
+    from supersonic_spark.pipeline.textstats import tfidf, tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["doc_id"], r["token"]): r for r in tfidf(df, "doc_id", "text").collect()}
+    # apple: tf=2 in doc1, doc_freq=1, N=3 -> 2*(ln(4/2)+1)
+    r = rows[(1, "apple")]
+    assert r["tf"] == 2 and r["doc_freq"] == 1
+    assert abs(r["tfidf"] - round(2 * (math.log(4 / 2) + 1), 6)) < 1e-9
+    # banana appears in 2 docs -> lower idf than cherry (1 doc)
+    assert rows[(2, "banana")]["tfidf"] < rows[(2, "cherry")]["tfidf"]
+    top1 = {r["doc_id"]: r["token"]
+            for r in tfidf_topk(df, "doc_id", "text", k=1).collect()}
+    assert top1 == {1: "apple", 2: "cherry", 3: "durian"}
