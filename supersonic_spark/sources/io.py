@@ -164,3 +164,40 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a catalog table (bucket-aware — scans preserve bucket info so
     joins/aggregations on the bucket key skip their exchange)."""
     return spark.table(table)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "error",
+    row_group_bytes: int | None = None,
+    **options,
+) -> None:
+    """Sort-on-write for data skipping: range-partition on ``sort_cols``
+    (files own disjoint key ranges) and sort within each partition, so
+    every parquet row group carries tight min/max stats on the sort keys.
+
+    At 100 TB this is the scan-pruning lever AFTER partition pruning:
+    a selective filter on the sort key skips whole files (disjoint ranges)
+    and, within touched files, whole row groups (footer stats) — the
+    reader does both automatically.  ``row_group_bytes`` tunes skipping
+    granularity (parquet.block.size; smaller groups = finer skipping,
+    more footer overhead).
+
+    The range partitioner samples the sort keys (one extra lightweight
+    job) — the write itself stays one shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(n_files, *keys)
+        if n_files is not None
+        else df.repartitionByRange(*keys)
+    )
+    out = out.sortWithinPartitions(*keys)
+    if row_group_bytes is not None:
+        options = {"parquet.block.size": str(row_group_bytes), **options}
+    file_output(out, path, mode=mode, **options)

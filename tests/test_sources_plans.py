@@ -397,3 +397,40 @@ def test_file_roundtrip_all_formats(spark, tmp_path):
         file_output(df, path, format=fmt, mode="overwrite")
         back = file_input(spark, path, format=fmt, schema="id long, s string, v double")
         assert sorted(map(tuple, back.collect())) == expect, fmt
+
+
+def test_write_sorted_row_group_stats_enable_skipping(spark, tables, tmp_path):
+    """write_sorted's contract: files own disjoint sort-key ranges and row
+    groups inside each file carry monotonic min/max footer stats — the
+    physical precondition for file- and row-group-level skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from supersonic_spark.sources.io import write_sorted
+
+    path = str(tmp_path / "orders_sorted")
+    write_sorted(
+        tables["orders"], path, ["o_orderkey"], n_files=4,
+        mode="overwrite", row_group_bytes=64 * 1024,
+    )
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 2
+    file_ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_orderkey")
+        groups = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        assert all(g is not None and g.has_min_max for g in groups)
+        # row groups are internally sorted: monotone non-overlapping mins
+        for a, b in zip(groups, groups[1:]):
+            assert a.max <= b.min
+        file_ranges.append((groups[0].min, groups[-1].max))
+    # range partitioning: whole files own disjoint ranges
+    file_ranges.sort()
+    for (_, amax), (bmin, _) in zip(file_ranges, file_ranges[1:]):
+        assert amax <= bmin
+    # the filter that benefits reaches the scan as a pushed filter
+    got = spark.read.parquet(path).filter("o_orderkey = 42")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
