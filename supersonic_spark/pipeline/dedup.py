@@ -502,3 +502,74 @@ def embedding_lsh_pairs(
     return cand.select("id_a", "id_b", cos.alias("cos")).filter(
         F.col("cos") >= F.lit(threshold)
     )
+
+
+# ------------------------------------------------------- duplicate clusters
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list: (id, component)
+    where component = the MIN node id reachable from ``id``.  The transitive
+    closure near-dup pipelines need: LSH/Jaccard emit PAIRS, but removal
+    wants CLUSTERS (A~B, B~C ⇒ {A,B,C} together even if A~C was never
+    emitted).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels.  Converges in
+    O(component diameter) rounds (near-dup clusters are shallow; ``max_iter``
+    is a runaway bound).  Each round is one join + one aggregation, both
+    shuffling on node id; labels are localCheckpoint'ed per round to cut
+    lineage (non-fault-tolerant — an explicit checkpoint dir is the
+    HA-cluster variant).  Convergence detection: labels only ever decrease,
+    so an unchanged SUM(label) is a fixpoint — one tiny action per round.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.persist()
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("__nbr_min", "component")
+            ).alias("component"),
+        )
+        labels = labels.localCheckpoint(eager=True)
+        cur = labels.agg(F.sum("component")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    edges.unpersist()
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Attach near-dup cluster membership to every row: ``component`` (min
+    id of the row's cluster; rows in no pair are their own singleton) and
+    ``is_canonical`` (the keep-one-per-cluster flag).  Downstream removal
+    is ``.filter("is_canonical")``."""
+    cc = connected_components(pairs, src, dst, max_iter).withColumnRenamed(
+        "id", id_col
+    )
+    out = df.join(cc, id_col, "left")
+    out = out.withColumn("component", F.coalesce("component", F.col(id_col)))
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))

@@ -423,3 +423,60 @@ def q_similarity_ivf_ann(spark, sf_dir):
         k=5, n_cells=16, nprobe=4, train=True,
     )
     return out.select("query_id", "corpus_id", F.round("cos", 6).alias("cos"))
+
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents WHERE doc_id < 200)
+  WHERE len(words) >= 3
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN (SELECT doc_id, len(grams) AS n FROM sh) na ON na.doc_id = id_a
+  JOIN (SELECT doc_id, len(grams) AS n FROM sh) nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.1
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@q("dedup_jaccard_clusters", _CLUSTER_ORACLE)
+def q_dedup_jaccard_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (transitive closure of the exact Jaccard pairs):
+    every doc labeled with the min doc_id of its duplicate component —
+    the form removal actually needs (A~B, B~C ⇒ one cluster).  Oracle is a
+    recursive CTE; the engine side is iterative min-label propagation
+    (pipeline.dedup.connected_components — O(diameter) join+agg rounds).
+    """
+    t = _t(spark, sf_dir)
+    docs = core.filter_op(t["documents"], F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      shingle_words=3, threshold=0.1)
+    out = dedup.cluster_dedup(docs, pairs, "doc_id")
+    from supersonic_spark.operators.sort import SortKey
+    from supersonic_spark.operators import sort as sort_ops
+
+    return sort_ops.sort(out, [SortKey("doc_id")]).select("doc_id", "component")

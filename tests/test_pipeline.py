@@ -411,3 +411,27 @@ def test_tfidf_scores_and_topk(spark):
     top1 = {r["doc_id"]: r["token"]
             for r in tfidf_topk(df, "doc_id", "text", k=1).collect()}
     assert top1 == {1: "apple", 2: "cherry", 3: "durian"}
+
+
+def test_connected_components_chain_cycle_isolated(spark):
+    from supersonic_spark.pipeline.dedup import cluster_dedup, connected_components
+
+    # chain 1-2-3-4-5-6 (diameter > 2 forces several propagation rounds),
+    # cycle 10-11-12-10, pair 20-21; 30 isolated (no pairs at all)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (12, 10), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                  10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 12, 20, 21, 30]], ["id"]
+    )
+    out = cluster_dedup(docs, pairs, "id").collect()
+    comp = {r["id"]: (r["component"], r["is_canonical"]) for r in out}
+    assert comp[30] == (30, True)  # isolated row = its own singleton
+    assert comp[1] == (1, True) and comp[6] == (1, False)
+    canonical = [r["id"] for r in out if r["is_canonical"]]
+    assert sorted(canonical) == [1, 10, 20, 30]
