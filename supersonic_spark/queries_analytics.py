@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from supersonic_spark.operators import aggregate as agg
-from supersonic_spark.operators import analytics, core
+from supersonic_spark.operators import analytics, core, join as join_ops
 from supersonic_spark.operators import sort as sort_ops
 from supersonic_spark.operators.aggregate import AggSpec, Aggregation
 from supersonic_spark.operators.sort import SortKey
@@ -205,3 +205,96 @@ def q_text_tfidf_topk(spark, sf_dir):
     return sort_ops.sort(
         out, [SortKey("doc_id"), SortKey("tfidf", ascending=False), SortKey("token")]
     ).select("doc_id", "token", "tf", "doc_freq", "tfidf")
+
+
+@q(
+    "event_transitions",
+    """SELECT prev_type, event_type, COUNT(*) AS n
+       FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_type,
+                    event_type
+             FROM events)
+       WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, event_type
+       ORDER BY prev_type, event_type""",
+)
+def q_event_transitions(spark, sf_dir):
+    """Event-transition (Markov) matrix: per-user previous-event pairing
+    via lag over a total order, then a 25-key count.  Scale shape: one
+    user_id shuffle for the window, map-side-combined rollup after."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t["events"].select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    )
+    ev = core.filter_op(ev, F.col("prev_type").isNotNull())
+    out = agg.group_aggregate(
+        ev, ["prev_type", "event_type"], [AggSpec(Aggregation.COUNT, None, "n")]
+    )
+    return sort_ops.sort(out, [SortKey("prev_type"), SortKey("event_type")]).select(
+        "prev_type", "event_type", "n"
+    )
+
+
+@q(
+    "anomaly_zscore_events",
+    """WITH stats AS (
+         SELECT user_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_v,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*) AS mean_sq,
+                COUNT(*) AS n
+         FROM events GROUP BY user_id)
+       SELECT event_id, user_id,
+              CAST(value AS DOUBLE) AS value,
+              ROUND((value - mean_v) / sqrt(mean_sq - mean_v * mean_v), 6) AS zscore
+       FROM events JOIN stats USING (user_id)
+       WHERE n >= 30
+         AND ABS((value - mean_v) / sqrt(mean_sq - mean_v * mean_v)) > 3.0
+       ORDER BY event_id""",
+)
+def q_anomaly_zscore_events(spark, sf_dir):
+    """Per-user z-score outliers (|z| > 3).  The mean and E[v²] accumulate
+    in DECIMAL (exact, order-independent); only the final z arithmetic is
+    IEEE double, identical per-row on both engines (rounded to 6dp for
+    portability of the reported score).  Scale shape: one user_id shuffle
+    for stats, then a same-key join back — co-partitioned, AQE may
+    broadcast the stats side (user-dimension cardinality)."""
+    t = _t(spark, sf_dir)
+    ev = core.compute(
+        t["events"],
+        {"event_id": F.col("event_id"), "user_id": F.col("user_id"),
+         "value": F.col("value"), "v_d": F.col("value").cast("decimal(18,2)")},
+    )
+    stats = agg.group_aggregate(
+        ev.withColumn("v_sq_d", F.col("v_d") * F.col("v_d")),
+        ["user_id"],
+        [
+            AggSpec(Aggregation.SUM, "v_d", "sum_v", output_type="double"),
+            AggSpec(Aggregation.SUM, "v_sq_d", "sum_sq", output_type="double"),
+            AggSpec(Aggregation.COUNT, None, "n"),
+        ],
+    )
+    stats = core.compute(
+        stats,
+        {"user_id": F.col("user_id"),
+         "mean_v": F.col("sum_v") / F.col("n"),
+         "mean_sq": F.col("sum_sq") / F.col("n"),
+         "n": F.col("n")},
+    )
+    j = join_ops.hash_join(ev.drop("v_d"), stats, on="user_id")
+    z = (F.col("value") - F.col("mean_v")) / F.sqrt(
+        F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")
+    )
+    j = core.filter_op(j, (F.col("n") >= 30) & (F.abs(z) > 3.0))
+    j = core.compute(
+        j,
+        {"event_id": F.col("event_id"), "user_id": F.col("user_id"),
+         "value": F.col("value").cast("double"),
+         "zscore": F.round(z, 6)},
+    )
+    return sort_ops.sort(j, [SortKey("event_id")]).select(
+        "event_id", "user_id", "value", "zscore"
+    )
