@@ -573,3 +573,47 @@ def cluster_dedup(
     out = df.join(cc, id_col, "left")
     out = out.withColumn("component", F.coalesce("component", F.col(id_col)))
     return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    block_prefix: int = 1,
+) -> DataFrame:
+    """Edit-distance near-dup pairs (entity resolution / fuzzy matching):
+    (id_a, id_b, dist) with levenshtein(text_a, text_b) <= ``max_dist``.
+
+    Blocking keeps the self-join off the full cross product: candidates
+    must share a ``block_prefix``-char prefix AND have lengths within
+    ``max_dist`` (a true edit-distance bound; the prefix block is the
+    recall/cost knob — pairs whose first chars differ are not compared,
+    standard blocking tradeoff, documented not hidden).
+
+    Scale shape: one shuffle on the prefix block key; within each block
+    the length band prunes before the quadratic levenshtein, and Spark's
+    3-arg levenshtein early-exits above the threshold.
+    """
+    t = _c(text_col)
+    base = df.select(
+        _c(id_col).alias("__id"),
+        t.alias("__t"),
+        F.substring(t, 1, block_prefix).alias("__blk"),
+        F.length(t).alias("__len"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.__blk") == F.col("b.__blk"))
+        & (F.col("a.__id") < F.col("b.__id"))
+        & (F.abs(F.col("a.__len") - F.col("b.__len")) <= max_dist),
+    )
+    dist = F.levenshtein(F.col("a.__t"), F.col("b.__t"), max_dist)
+    out = cand.select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        dist.alias("dist"),
+    )
+    # 3-arg levenshtein returns -1 when the threshold is exceeded
+    return out.filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))

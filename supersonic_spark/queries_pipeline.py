@@ -480,3 +480,29 @@ def q_dedup_jaccard_clusters(spark, sf_dir):
     from supersonic_spark.operators import sort as sort_ops
 
     return sort_ops.sort(out, [SortKey("doc_id")]).select("doc_id", "component")
+
+
+@q(
+    "dedup_fuzzy_part_names",
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+              levenshtein(a.p_name, b.p_name) AS dist
+       FROM part a
+       JOIN part b
+         ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+        AND a.p_partkey < b.p_partkey
+        AND ABS(length(a.p_name) - length(b.p_name)) <= 2
+       WHERE levenshtein(a.p_name, b.p_name) <= 2
+       ORDER BY id_a, id_b""",
+)
+def q_dedup_fuzzy_part_names(spark, sf_dir):
+    """Edit-distance fuzzy matching over part names (entity resolution):
+    prefix-blocked, length-banded self-join, 3-arg early-exit levenshtein.
+    """
+    t = _t(spark, sf_dir)
+    out = dedup.fuzzy_pairs(t["part"], "p_partkey", "p_name", max_dist=2)
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("id_a"), SortKey("id_b")]).select(
+        "id_a", "id_b", "dist"
+    )

@@ -435,3 +435,18 @@ def test_connected_components_chain_cycle_isolated(spark):
     assert comp[1] == (1, True) and comp[6] == (1, False)
     canonical = [r["id"] for r in out if r["is_canonical"]]
     assert sorted(canonical) == [1, 10, 20, 30]
+
+
+def test_fuzzy_pairs_blocking_and_threshold(spark):
+    from supersonic_spark.pipeline.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "red widget"), (2, "red widgets"), (3, "red gadget"),
+         (4, "blue widget"), (5, "red")],
+        ["id", "name"],
+    )
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_pairs(df, "id", "name", max_dist=2).collect()}
+    # widget~widgets dist 1; widget~gadget dist 2; widgets~gadget dist 3
+    # (cut); blue blocked out (prefix differs); "red" length-banded away
+    assert out == {(1, 2): 1, (1, 3): 2}
