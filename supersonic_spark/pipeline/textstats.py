@@ -179,6 +179,94 @@ def tfidf(
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style filters for
+    pretraining corpora): ``n_words``, ``top_word_frac`` (frequency share of
+    the most common word), ``distinct_word_ratio``, and ``dup_2gram_frac``
+    (fraction of word 2-grams that are repeats).  Highly repetitive docs —
+    boilerplate, keyword stuffing, generation loops — score high on
+    ``top_word_frac``/``dup_2gram_frac`` and low on ``distinct_word_ratio``.
+
+    Scale shape: explode to (doc, word) / (doc, 2-gram) pairs and count —
+    partial aggregation combines map-side, so the two shuffles carry one row
+    per distinct (doc, token), not one per occurrence; the final per-doc
+    rollups are doc-count-sized.  No Python and no per-element HOF in the
+    count path (the 2-gram build materializes the word array first; see
+    dedup.with_word_shingles for why).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+    )
+    words = base.select("__id", F.explode("__words").alias("tok"))
+    wc = words.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wsig = wc.groupBy("__id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("__top_c"),
+        F.count(F.lit(1)).alias("__n_distinct"),
+    )
+    k = F.size("__words")
+    grams = F.when(
+        k >= 2,
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.concat_ws(" ", F.col("__words")[i], F.col("__words")[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gpairs = base.select("__id", F.explode(grams).alias("g"))
+    gc = gpairs.groupBy("__id", "g").agg(F.count(F.lit(1)).alias("c"))
+    gsig = gc.groupBy("__id").agg(
+        F.sum("c").alias("__g_total"), F.count(F.lit(1)).alias("__g_distinct")
+    )
+    nw = F.col("n_words").cast("double")
+    out = wsig.join(gsig, "__id", "left")
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("n_words"),
+        F.round(F.col("__top_c").cast("double") / nw, 6).alias("top_word_frac"),
+        F.round(F.col("__n_distinct").cast("double") / nw, 6).alias("distinct_word_ratio"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0)
+                - F.col("__g_distinct").cast("double") / F.col("__g_total").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+
+
+#: PII patterns in the RE2 ∩ Java-regex common dialect (no lookarounds, no
+#: backrefs) so Spark and any RE2-based oracle agree byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_counts(text) -> list[Column]:
+    """Per-kind PII match counts (one compiled-regex pass each), aliased
+    ``n_<kind>`` — the detection side of a redaction audit."""
+    t = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in sorted(PII_PATTERNS.items())
+    ]
+
+
+def pii_redact(text, replacement: str = "[PII]") -> Column:
+    """Redact emails, IPv4 addresses, and phone numbers with
+    ``replacement``.  Chained JVM regexp_replace — order matters: emails
+    first (an email contains digit runs a later pattern could clip), then
+    phones, then IPs.  No Python in the row path; at 100 TB this is a pure
+    map stage with zero shuffle."""
+    t = F.col(text) if isinstance(text, str) else text
+    for kind in ("email", "phone", "ipv4"):
+        t = F.regexp_replace(t, PII_PATTERNS[kind], replacement)
+    return t
+
+
 def tfidf_topk(
     df: DataFrame, id_col: str, text_col: str, k: int,
     pattern: str = "[^a-z0-9]+",

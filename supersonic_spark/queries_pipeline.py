@@ -482,6 +482,103 @@ def q_dedup_jaccard_clusters(spark, sf_dir):
     return sort_ops.sort(out, [SortKey("doc_id")]).select("doc_id", "component")
 
 
+_REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), wc AS (
+  SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS top_c,
+         count(*) AS n_distinct
+  FROM wc GROUP BY 1
+), base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([words[i] || ' ' || words[i+1]
+                 for i in range(1, len(words))]) AS gm
+  FROM base WHERE len(words) >= 2
+), gc AS (
+  SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2
+), gs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS g_total, count(*) AS g_distinct
+  FROM gc GROUP BY 1
+)
+SELECT ws.doc_id, n_words,
+       round(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac,
+       round(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_word_ratio,
+       round(coalesce(1.0 - CAST(g_distinct AS DOUBLE) / g_total, 0.0), 6)
+         AS dup_2gram_frac
+FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+ORDER BY ws.doc_id
+"""
+
+
+@q("text_repetition_signals", _REPETITION_ORACLE)
+def q_text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: top-word
+    share, distinct-word ratio, duplicate-2-gram fraction."""
+    t = _t(spark, sf_dir)
+    out = textstats.repetition_signals(t["documents"], "doc_id", "text")
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")])
+
+
+_PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+_PII_ORACLE = rf"""
+WITH inj AS (
+  SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+    AS n_email,
+  len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+    AS n_ipv4,
+  len(regexp_extract_all(text, '\+?\d{{3}}[- ]\d{{3}}[- ]\d{{4}}')) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+      '\+?\d{{3}}[- ]\d{{3}}[- ]\d{{4}}', '[PII]', 'g'),
+    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[PII]', 'g') AS redacted
+FROM inj ORDER BY doc_id
+"""
+
+
+@q("text_pii_redact", _PII_ORACLE)
+def q_text_pii_redact(spark, sf_dir):
+    """PII detection + redaction (emails, IPv4, phone numbers) over text
+    with deterministically injected PII — counts per kind plus the redacted
+    text, all JVM regex (zero-shuffle map stage)."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = docs.select(
+        "doc_id",
+        *textstats.pii_counts("text"),
+        textstats.pii_redact("text").alias("redacted"),
+    )
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")])
+
+
 @q(
     "dedup_fuzzy_part_names",
     """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

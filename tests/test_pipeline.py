@@ -437,6 +437,45 @@ def test_connected_components_chain_cycle_isolated(spark):
     assert sorted(canonical) == [1, 10, 20, 30]
 
 
+def test_repetition_signals_golden(spark):
+    from supersonic_spark.pipeline.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "solo")], ["id", "text"]
+    )
+    out = {r["id"]: r for r in repetition_signals(df, "id", "text").collect()}
+    assert out[1]["n_words"] == 4
+    assert out[1]["top_word_frac"] == 0.75
+    assert out[1]["distinct_word_ratio"] == 0.5
+    # 2-grams of doc 1: "a a", "a a", "a b" -> 3 total, 2 distinct
+    assert out[1]["dup_2gram_frac"] == 0.333333
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["distinct_word_ratio"] == 1.0
+    # single-word doc has no 2-grams: coalesced to 0, not NULL
+    assert out[3]["dup_2gram_frac"] == 0.0
+
+
+def test_pii_counts_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from supersonic_spark.pipeline.textstats import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.org or c.d@e.co.uk, call 555-123-4567, host 10.0.0.1"),
+         (2, "clean text, version 1.2 is not an ip")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", *pii_counts("text"), pii_redact("text").alias("red")
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 1, 1)
+    assert out[1]["red"] == "mail [PII] or [PII], call [PII], host [PII]"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 0, 0)
+    assert out[2]["red"] == "clean text, version 1.2 is not an ip"
+
+
 def test_fuzzy_pairs_blocking_and_threshold(spark):
     from supersonic_spark.pipeline.dedup import fuzzy_pairs
 
