@@ -617,3 +617,42 @@ def fuzzy_pairs(
     )
     # 3-arg levenshtein returns -1 when the threshold is exceeded
     return out.filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+
+
+def ngram_overlap(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 8,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one word
+    ``n``-gram with any benchmark/eval document.  Returns
+    (id, n_shared_grams, n_bench_docs) — distinct contaminated grams and how
+    many distinct benchmark docs they hit; downstream drops or flags them.
+
+    Scale shape: both sides shingle to DISTINCT grams (with_word_shingles
+    fast path), explode, and the contaminated set is found by one equi-join
+    keyed on the gram.  With ``hash_grams`` (default) the join key is a
+    64-bit xxhash64 digest, so the shuffle carries 8-byte keys instead of
+    ~50-byte strings; distinct-counts are hash-collision-tolerant (2^-64 per
+    pair).  The benchmark side is typically tiny vs the corpus — mark it
+    broadcastable and the corpus side never shuffles at all.
+    """
+    key = (lambda g: F.xxhash64(g)) if hash_grams else (lambda g: g)
+    a = with_word_shingles(df, id_col, text_col, n)
+    b = with_word_shingles(bench_df, bench_id_col, bench_text_col, n)
+    ae = a.select("__id", F.explode("__sh").alias("__g")).select(
+        "__id", key(F.col("__g")).alias("__k")
+    )
+    be = b.select(F.col("__id").alias("__bid"), F.explode("__sh").alias("__g")).select(
+        "__bid", key(F.col("__g")).alias("__k")
+    )
+    hits = ae.join(be, "__k")
+    return hits.groupBy("__id").agg(
+        F.count_distinct("__k").alias("n_shared_grams"),
+        F.count_distinct("__bid").alias("n_bench_docs"),
+    ).withColumnRenamed("__id", id_col)

@@ -280,3 +280,43 @@ def tfidf_topk(
     return top_n_per_group(
         scored, id_col, [F.col("tfidf").desc(), F.col("token")], k
     ).drop("rn")
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, pattern: str = "[^a-z0-9]+"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under a corpus-trained
+    unigram LM (a cheap KenLM-style fluency/quality proxy: gibberish and
+    rare-token spam score low, typical text scores high).
+
+    p(w) = (count(w) + 1) / (total + V) — add-one smoothed over the corpus
+    itself; output ``avg_logprob`` = mean ln p(w) over the doc's tokens,
+    rounded to 6dp (ln differs across engines in the last ulp).
+
+    Scale shape: (doc, token) pairs shuffle once for per-doc counts; the
+    corpus LM is a vocabulary-sized aggregate of that same result (map-side
+    combined), joined back on token (AQE broadcasts it when small); the
+    constants (total, V) ride a 1-row broadcast.  The per-doc average
+    weights each token occurrence, so it aggregates tf * ln p(w) — no
+    re-explode of the text.
+    """
+    t = F.lower(F.col(text_col))
+    tok = F.explode(F.split(t, pattern)).alias("token")
+    pairs = df.select(F.col(id_col), tok).filter(F.col("token") != "")
+    tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    lm = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    consts = lm.select(
+        F.sum("c").alias("__total"), F.count(F.lit(1)).alias("__v")
+    )
+    lm = lm.crossJoin(F.broadcast(consts))
+    logp = F.log(
+        (F.col("c") + F.lit(1.0))
+        / (F.col("__total").cast("double") + F.col("__v").cast("double"))
+    )
+    scored = tf.join(lm, on="token").groupBy(id_col).agg(
+        F.round(
+            F.sum(F.col("tf") * logp) / F.sum(F.col("tf")).cast("double"), 6
+        ).alias("avg_logprob"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    return scored

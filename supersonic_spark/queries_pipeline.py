@@ -603,3 +603,76 @@ def q_dedup_fuzzy_part_names(spark, sf_dir):
     return sort_ops.sort(out, [SortKey("id_a"), SortKey("id_b")]).select(
         "id_a", "id_b", "dist"
     )
+
+
+_DECONTAM_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+3], ' ')
+                        for i in range(1, len(words) - 2)]) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents)
+  WHERE len(words) >= 4
+), corpus AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 37 <> 0
+), bench AS (
+  SELECT doc_id AS bid, unnest(grams) AS g FROM sh WHERE doc_id % 37 = 0
+)
+SELECT corpus.doc_id,
+       COUNT(DISTINCT corpus.g) AS n_shared_grams,
+       COUNT(DISTINCT bid) AS n_bench_docs
+FROM corpus JOIN bench ON corpus.g = bench.g
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@q("dedup_decontaminate", _DECONTAM_ORACLE)
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any word 4-gram with
+    a held-out eval split (here doc_id % 37 == 0; production default is
+    8-grams — 4 keeps the gate non-trivial on the short synthetic docs).
+    Hash-keyed gram join — distinct counts are hash-invariant, so the
+    oracle joins raw grams."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    corpus = core.filter_op(docs, F.col("doc_id") % 37 != 0)
+    bench = core.filter_op(docs, F.col("doc_id") % 37 == 0)
+    out = dedup.ngram_overlap(corpus, bench, "doc_id", "text", "doc_id", "text", n=4)
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")])
+
+
+_UNIGRAM_LM_ORACLE = r"""
+WITH p AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), pairs AS (
+  SELECT doc_id, token FROM p WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM pairs GROUP BY 1, 2
+), lm AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+), consts AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM lm
+)
+SELECT doc_id,
+       round(sum(tf * ln((c + 1.0) / (total + v))) / CAST(sum(tf) AS DOUBLE), 6)
+         AS avg_logprob,
+       CAST(sum(tf) AS BIGINT) AS n_tokens
+FROM tf JOIN lm USING (token) CROSS JOIN consts
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@q("text_unigram_logprob", _UNIGRAM_LM_ORACLE)
+def q_text_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram LM fluency score: per-doc mean token
+    log-probability (add-one smoothed), a KenLM-style quality proxy."""
+    t = _t(spark, sf_dir)
+    out = textstats.unigram_logprob(t["documents"], "doc_id", "text")
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")])

@@ -489,3 +489,35 @@ def test_fuzzy_pairs_blocking_and_threshold(spark):
     # widget~widgets dist 1; widget~gadget dist 2; widgets~gadget dist 3
     # (cut); blue blocked out (prefix differs); "red" length-banded away
     assert out == {(1, 2): 1, (1, 3): 2}
+
+
+def test_ngram_overlap_golden_and_hash_invariance(spark):
+    from supersonic_spark.pipeline.dedup import ngram_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w")], ["id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(10, "b c d e f"), (11, "q r s t")], ["bid", "btext"]
+    )
+    for hashed in (True, False):
+        out = ngram_overlap(
+            corpus, bench, "id", "text", "bid", "btext", n=3, hash_grams=hashed
+        ).collect()
+        # doc 1 shares "b c d" and "c d e" with bench doc 10; doc 2 is clean
+        assert [(r["id"], r["n_shared_grams"], r["n_bench_docs"]) for r in out] == [
+            (1, 2, 1)
+        ]
+
+
+def test_unigram_logprob_golden(spark):
+    import math
+
+    from supersonic_spark.pipeline.textstats import unigram_logprob
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["id", "text"])
+    out = {r["id"]: r for r in unigram_logprob(df, "id", "text").collect()}
+    # corpus: a=2 b=2 c=1, total=5, V=3; p(a)=p(b)=3/8, p(c)=2/8
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert out[1]["avg_logprob"] == round(math.log(3 / 8), 6)
+    assert out[2]["avg_logprob"] == round((math.log(3 / 8) + math.log(1 / 4)) / 2, 6)
