@@ -159,3 +159,51 @@ def test_tpch_q19_part_prefilter_broadcast(spark, qs):
     for line in plan.splitlines():
         if "ReadSchema" in line and "lineitem" in line:
             assert "l_shipdate" not in line and "l_returnflag" not in line
+
+
+def test_pii_redact_is_zero_shuffle_codegen_map(spark):
+    """PII detect+redact must compile to a pure map stage: no exchange, no
+    Python eval — at 100 TB it's a scan→project pipeline."""
+    from supersonic_spark.pipeline.textstats import pii_counts, pii_redact
+    from supersonic_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    out = docs.select(
+        "doc_id", *pii_counts("text"), pii_redact("text").alias("redacted")
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen spans the project
+    assert "EvalPython" not in plan
+
+
+def test_repetition_signals_partial_agg_no_python(spark):
+    """Both explode paths must map-side combine before their shuffle, with
+    the whole job JVM-side."""
+    from supersonic_spark.pipeline.textstats import repetition_signals
+    from supersonic_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    plan = _plan(repetition_signals(docs, "doc_id", "text"))
+    # word and 2-gram branches: partial+final pairs around their exchanges
+    assert plan.count("HashAggregate") >= 6
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_joins_on_hash_digest(spark, qs):
+    """The gram join must key on the 64-bit digest (narrow shuffle), never a
+    cartesian or Python path."""
+    plan = _plan(qs["dedup_decontaminate"](spark, SF_DIR))
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_unigram_logprob_lm_constants_broadcast(spark, qs):
+    """The (total, V) constants must ride a 1-row broadcast, not a shuffle;
+    token counts partial-aggregate before their exchange."""
+    plan = _plan(qs["text_unigram_logprob"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "EvalPython" not in plan
