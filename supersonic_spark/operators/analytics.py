@@ -263,3 +263,35 @@ def histogram(
         (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
         "n",
     )
+
+
+def key_profile(df: DataFrame, keys: list[str], k: int = 20) -> DataFrame:
+    """Heavy-hitter / skew diagnostic for join & aggregation keys: the top
+    ``k`` key values by row count with their share of all rows, plus
+    corpus-wide ``n_distinct_keys`` and ``total_rows`` on every row.  Run it
+    before sizing a 100 TB join — a key with share ≫ 1/partitions is the one
+    that needs salting (operators.aggregate.salted_join) or AQE skew-split.
+
+    Scale shape: one partial-aggregated shuffle on the key for counts; the
+    totals are a 1-row broadcast over the (already vocabulary-sized) count
+    table; top-k is TakeOrderedAndProject (k rows per partition, no global
+    sort).
+    """
+    from supersonic_spark.operators.sort import SortKey, extended_sort
+
+    counts = df.groupBy(*[_c(x) for x in keys]).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("n_distinct_keys")
+    )
+    topk = extended_sort(
+        counts, [SortKey("n", ascending=False)] + [SortKey(x) for x in keys], limit=k
+    )
+    return topk.crossJoin(F.broadcast(totals)).select(
+        *keys,
+        "n",
+        F.round(F.col("n").cast("double") / F.col("__total").cast("double"), 6).alias(
+            "share"
+        ),
+        "n_distinct_keys",
+        F.col("__total").alias("total_rows"),
+    )

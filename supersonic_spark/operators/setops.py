@@ -24,6 +24,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from supersonic_spark.operators.sort import _keys
 
@@ -84,3 +85,36 @@ def union_all(inputs: list[DataFrame]) -> DataFrame:
     for df in inputs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def upsert_latest(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CDC-style upsert merge: one surviving row per key from
+    ``existing ∪ updates`` — the one with the greatest ``order_col``
+    (version/timestamp); on exact order ties the updates side wins, then
+    ``tiebreak`` (give one whenever order_col can collide — it makes the
+    merge fully deterministic).  Output schema = input schema.
+
+    Scale shape: a single hash aggregation (max_by over a lexicographic
+    (order, src, tiebreak) struct) — one shuffle on the merge key, partial
+    aggregation discards superseded versions map-side.  No window, no sort:
+    a row_number() formulation shuffles the same data but then sorts every
+    group; max_by folds in O(1) state per key.
+    """
+    cols = existing.columns
+    a = existing.select(*cols).withColumn("__src", F.lit(0))
+    b = updates.select(*cols).withColumn("__src", F.lit(1))
+    u = a.unionByName(b)
+    order = [F.col(order_col), F.col("__src")]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    payload = F.struct(*[F.col(c) for c in cols])
+    merged = u.groupBy(*[F.col(x) for x in keys]).agg(
+        F.max_by(payload, F.struct(*order)).alias("__row")
+    )
+    return merged.select(*[F.col(f"__row.{c}").alias(c) for c in cols])

@@ -298,3 +298,52 @@ def q_anomaly_zscore_events(spark, sf_dir):
     return sort_ops.sort(j, [SortKey("event_id")]).select(
         "event_id", "user_id", "value", "zscore"
     )
+
+
+_KEY_PROFILE_ORACLE = """
+WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+             count(*) AS n_distinct_keys FROM c)
+SELECT o_custkey, n,
+       round(CAST(n AS DOUBLE) / total_rows, 6) AS share,
+       n_distinct_keys, total_rows
+FROM c CROSS JOIN t
+ORDER BY n DESC, o_custkey LIMIT 20
+"""
+
+
+@q("key_profile_orders_custkey", _KEY_PROFILE_ORACLE)
+def q_key_profile_orders_custkey(spark, sf_dir):
+    """Join-key skew profile: top-20 heaviest customer keys in orders with
+    their share of all rows — the pre-flight check for salting/AQE sizing."""
+    t = _t(spark, sf_dir)
+    return analytics.key_profile(t["orders"], ["o_custkey"], k=20)
+
+
+_UPSERT_ORACLE = """
+WITH u AS (
+  SELECT *, 0 AS src FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT *, 1 AS src FROM events WHERE event_id % 2 = 1
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, src DESC, event_id DESC) AS rn
+  FROM u
+)
+SELECT event_id, ts, user_id, event_type, value, props
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+@q("upsert_latest_events", _UPSERT_ORACLE)
+def q_upsert_latest_events(spark, sf_dir):
+    """CDC upsert merge: latest event per user from an existing/updates
+    split — one max_by hash aggregation, no window sort."""
+    from supersonic_spark.operators import setops
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    existing = core.filter_op(ev, F.col("event_id") % 2 == 0)
+    updates = core.filter_op(ev, F.col("event_id") % 2 == 1)
+    out = setops.upsert_latest(existing, updates, ["user_id"], "ts", tiebreak="event_id")
+    return sort_ops.sort(out, [SortKey("user_id")])

@@ -578,3 +578,32 @@ def test_histogram_grouped_keys(spark):
     out = histogram(df, "v", 0.0, 10.0, 2, keys=["k"]).collect()
     got = {(r["k"], r["bin"]): r["n"] for r in out}
     assert got == {("a", 0): 2, ("b", 0): 1, ("b", 1): 1}
+
+
+def test_key_profile_shares_and_totals(spark):
+    from supersonic_spark.operators.analytics import key_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, ["k"]
+    )
+    out = key_profile(df, ["k"], k=2).collect()
+    assert [(r["k"], r["n"], r["share"]) for r in out] == [("a", 5, 0.5), ("b", 3, 0.3)]
+    assert all(r["total_rows"] == 10 and r["n_distinct_keys"] == 3 for r in out)
+
+
+def test_upsert_latest_versions_ties_inserts(spark):
+    from supersonic_spark.operators.setops import upsert_latest
+
+    existing = spark.createDataFrame(
+        [(1, "old", 1), (2, "keep", 5)], ["k", "v", "ver"]
+    )
+    updates = spark.createDataFrame(
+        [(1, "new", 2), (2, "upd", 5), (3, "ins", 1)], ["k", "v", "ver"]
+    )
+    out = {r["k"]: r["v"] for r in upsert_latest(existing, updates, ["k"], "ver").collect()}
+    # higher version wins; equal version -> updates side wins; new keys insert
+    assert out == {1: "new", 2: "upd", 3: "ins"}
+    # updates-empty degenerate: existing passes through
+    empty = updates.limit(0)
+    out2 = {r["k"]: r["v"] for r in upsert_latest(existing, empty, ["k"], "ver").collect()}
+    assert out2 == {1: "old", 2: "keep"}
