@@ -201,3 +201,80 @@ def write_sorted(
     if row_group_bytes is not None:
         options = {"parquet.block.size": str(row_group_bytes), **options}
     file_output(out, path, mode=mode, **options)
+
+
+def zorder_key(cols: list, mins: list, maxs: list, bits: int = 16):
+    """Morton (Z-order) interleave of ``cols`` normalized to ``bits``-bit
+    ints via the given per-column [min, max] stats — a single LongType sort
+    key whose order preserves multi-dimensional locality.
+
+    Pure shift/or/multiply JVM expressions (whole-stage codegen; no UDF):
+    column j contributes bit i of its normalized value to output bit
+    ``i * n_cols + j``.  ``bits * len(cols)`` must be ≤ 63.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds 63-bit key space")
+    scale = (1 << bits) - 1
+    parts = []
+    for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        col = F.col(c) if isinstance(c, str) else c
+        span = float(hi - lo) if hi != lo else 1.0
+        norm = F.least(
+            F.lit(scale),
+            F.greatest(
+                F.lit(0),
+                ((col.cast("double") - F.lit(float(lo))) / F.lit(span) * scale).cast(
+                    "long"
+                ),
+            ),
+        )
+        for i in range(bits):
+            parts.append(F.shiftleft(F.shiftright(norm, i).bitwiseAND(F.lit(1)), i * n + j))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "error",
+    bits: int = 16,
+    row_group_bytes: int | None = None,
+    **options,
+) -> None:
+    """Z-order-on-write for MULTI-column data skipping: cluster rows by the
+    Morton interleave of ``zorder_cols`` so row-group min/max stats stay
+    tight on EVERY listed column — selective filters on any of them prune
+    files/row groups, where a lexicographic sort (write_sorted) only skips
+    well on its leading column.
+
+    Cost: one lightweight stats job (min/max per column, a scan-local
+    aggregate) + the same single range-partitioning shuffle as write_sorted.
+    The z-key is a transient column, dropped before the write.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"__lo_{i}") for i, c in enumerate(zorder_cols)],
+        *[F.max(c).alias(f"__hi_{i}") for i, c in enumerate(zorder_cols)],
+    ).collect()[0]
+    mins = [stats[f"__lo_{i}"] for i in range(len(zorder_cols))]
+    maxs = [stats[f"__hi_{i}"] for i in range(len(zorder_cols))]
+    key = zorder_key(zorder_cols, mins, maxs, bits=bits)
+    out = df.withColumn("__zkey", key)
+    out = (
+        out.repartitionByRange(n_files, "__zkey")
+        if n_files is not None
+        else out.repartitionByRange("__zkey")
+    )
+    out = out.sortWithinPartitions("__zkey").drop("__zkey")
+    if row_group_bytes is not None:
+        options = {"parquet.block.size": str(row_group_bytes), **options}
+    file_output(out, path, mode=mode, **options)

@@ -434,3 +434,68 @@ def test_write_sorted_row_group_stats_enable_skipping(spark, tables, tmp_path):
     got = spark.read.parquet(path).filter("o_orderkey = 42")
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_zorder_key_matches_morton_reference(spark):
+    """With identity normalization (lo=0, hi=2^bits-1) the z-key must equal
+    textbook bit interleaving."""
+    from supersonic_spark.sources.io import zorder_key
+
+    bits = 4
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.select(
+        "x", "y", zorder_key(["x", "y"], [0, 0], [15, 15], bits=bits).alias("z")
+    ).collect()
+
+    def morton(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in out:
+        assert r["z"] == morton(r["x"], r["y"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_key(["a", "b"], [0, 0], [1, 1], bits=32)
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tables, tmp_path):
+    """Z-order clustering: every file's min/max range must be narrow on BOTH
+    dimensions (a lexicographic sort is tight only on its leading column),
+    and the write must round-trip all rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from supersonic_spark.sources.io import write_zordered
+
+    df = spark.range(64 * 64).selectExpr(
+        "id", "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y"
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, ["x", "y"], n_files=16, mode="overwrite")
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 8
+    spans = {"x": [], "y": []}
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += md.num_rows
+        for c in ("x", "y"):
+            idx = md.schema.names.index(c)
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans[c].append(max(maxs) - min(mins))
+    assert total == 64 * 64
+    # with ~16 z-tiles over a 64x64 grid, each file covers a fraction of
+    # each axis; a plain y-ignorant sort would give full-span (63) y ranges
+    # in every file
+    for c in ("x", "y"):
+        avg_span = sum(spans[c]) / len(spans[c])
+        assert avg_span <= 40, (c, spans[c])
