@@ -333,3 +333,30 @@ def stream_running_min_with_flush(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_upsert_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming CDC upsert: continuously maintained latest-row-per-key over
+    a stream of change records (the stream twin of setops.upsert_latest).
+
+    Declarative stateful aggregation — max_by over a lexicographic
+    (order, tiebreak) struct under groupBy(keys) — so Spark's state store
+    keeps exactly one row per key, updates fold in map-side, and stale
+    (out-of-order) change records never overwrite newer state.  Run with
+    outputMode("update") to emit only keys whose latest row changed in the
+    micro-batch; no Python state machinery involved.
+    """
+    cols = df.columns
+    order = [F.col(order_col)]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    payload = F.struct(*[F.col(c) for c in cols])
+    agged = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(payload, F.struct(*order)).alias("__row")
+    )
+    return agged.select(*[F.col(f"__row.{c}").alias(c) for c in cols])

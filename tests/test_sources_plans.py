@@ -499,3 +499,34 @@ def test_write_zordered_clusters_both_dimensions(spark, tables, tmp_path):
     for c in ("x", "y"):
         avg_span = sum(spans[c]) / len(spans[c])
         assert avg_span <= 40, (c, spans[c])
+
+
+def test_stream_upsert_latest_state_and_stale_updates(spark, tmp_path):
+    """Cross-micro-batch upsert state: later versions replace state, stale
+    out-of-order records never surface."""
+    import glob as _glob
+
+    from supersonic_spark.streaming.ops import stream_upsert_latest
+
+    src = str(tmp_path / "cdc_src")
+    core.scan_view(spark, [(1, "v2", 2), (2, "a", 1)], "k int, v string, ver int") \
+        .coalesce(1).write.mode("append").parquet(src)
+    core.scan_view(spark, [(1, "stale", 1), (3, "c", 1)], "k int, v string, ver int") \
+        .coalesce(1).write.mode("append").parquet(src)
+    assert len(_glob.glob(src + "/part-*.parquet")) == 2
+
+    stream = spark.readStream.schema("k int, v string, ver int") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_upsert_latest(stream, ["k"], "ver", tiebreak="v")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [(r["k"], r["v"], r["ver"]) for r in spark.sql("select * from cdc_out").collect()]
+    # every emission for k=1 carries ver 2 — the stale ver-1 record never won
+    assert all(ver == 2 for k, v, ver in emitted if k == 1)
+    assert (1, "v2", 2) in emitted and (3, "c", 1) in emitted and (2, "a", 1) in emitted
