@@ -53,6 +53,8 @@ HEADLINE: dict[str, list[str]] = {
     "tpch_q13_shape": ["customer", "orders"],
     "tpch_q16_shape": ["part", "supplier", "lineitem"],
     "tpch_q21_shape": ["supplier", "orders", "lineitem", "nation"],
+    "upsert_latest_events": ["events"],
+    "text_repetition_signals": ["documents"],
 }
 
 
