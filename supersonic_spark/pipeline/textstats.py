@@ -320,3 +320,44 @@ def unigram_logprob(
         F.sum("tf").alias("n_tokens"),
     )
     return scored
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into token-budgeted overlapping chunks — the prep
+    step before embedding or training-window assembly.  Output: (id,
+    chunk_id, chunk_text, n_chunk_tokens); chunk ``i`` starts at token
+    ``i * (chunk_tokens - overlap)`` and carries up to ``chunk_tokens``
+    tokens, so consecutive chunks share ``overlap`` tokens.  Chunks are
+    emitted while they contribute new tokens; a doc shorter than the budget
+    yields exactly one chunk.
+
+    Scale shape: a zero-shuffle map stage — split once into a materialized
+    word array, build chunk texts with slice/array_join over a start-index
+    sequence (JVM expressions), posexplode.  Row count multiplies by
+    ~n_tokens/(chunk-overlap); no Python, no shuffle, parallel by input
+    split.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+    )
+    n = F.size("__words")
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(F.col("__words"), s, chunk_tokens), " ")
+    )
+    out = base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return out.withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+    )

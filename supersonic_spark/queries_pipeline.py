@@ -676,3 +676,34 @@ def q_text_unigram_logprob(spark, sf_dir):
     from supersonic_spark.operators.sort import SortKey
 
     return sort_ops.sort(out, [SortKey("doc_id")])
+
+
+_CHUNK_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[s:s+19], ' ')
+                 for s in range(1, greatest(len(words) - 5, 1) + 1, 15)]) AS chunk_text,
+         generate_subscripts([x for x in range(1, greatest(len(words) - 5, 1) + 1, 15)], 1) - 1
+           AS chunk_id
+  FROM base
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk_text,
+       len(string_split_regex(chunk_text, '\s+'))::INT AS n_chunk_tokens
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+@q("text_chunk_documents", _CHUNK_ORACLE)
+def q_text_chunk_documents(spark, sf_dir):
+    """Token-budgeted overlapping document chunking (20-token chunks,
+    5-token overlap): zero-shuffle slice/posexplode map stage."""
+    t = _t(spark, sf_dir)
+    out = textstats.chunk_documents(
+        t["documents"], "doc_id", "text", chunk_tokens=20, overlap=5
+    )
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id"), SortKey("chunk_id")])

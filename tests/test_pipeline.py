@@ -521,3 +521,25 @@ def test_unigram_logprob_golden(spark):
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
     assert out[1]["avg_logprob"] == round(math.log(3 / 8), 6)
     assert out[2]["avg_logprob"] == round((math.log(3 / 8) + math.log(1 / 4)) / 2, 6)
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from supersonic_spark.pipeline.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), (2, "a b")], ["id", "text"]
+    )
+    out = chunk_documents(df, "id", "text", chunk_tokens=4, overlap=1)
+    got = [(r["id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+           for r in out.orderBy("id", "chunk_id").collect()]
+    # step 3: starts 1,4,7 — consecutive chunks share exactly one token
+    assert got == [
+        (1, 0, "w1 w2 w3 w4", 4),
+        (1, 1, "w4 w5 w6 w7", 4),
+        (1, 2, "w7 w8 w9 w10", 4),
+        (2, 0, "a b", 2),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)
