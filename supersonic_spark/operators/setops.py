@@ -100,11 +100,12 @@ def upsert_latest(
     ``tiebreak`` (give one whenever order_col can collide — it makes the
     merge fully deterministic).  Output schema = input schema.
 
-    Scale shape: a single hash aggregation (max_by over a lexicographic
-    (order, src, tiebreak) struct) — one shuffle on the merge key, partial
-    aggregation discards superseded versions map-side.  No window, no sort:
-    a row_number() formulation shuffles the same data but then sorts every
-    group; max_by folds in O(1) state per key.
+    Scale shape: a single aggregation (max_by over a lexicographic
+    (order, src, tiebreak) struct) — one shuffle on the merge key.  The
+    struct buffer makes Spark plan it as a partial+final SortAggregate,
+    but the partial pass still discards superseded versions map-side, so
+    the exchange carries at most one candidate row per key per task —
+    unlike a row_number() window, which shuffles every version.
     """
     cols = existing.columns
     a = existing.select(*cols).withColumn("__src", F.lit(0))
