@@ -148,3 +148,57 @@ def pack_sequences(
     id_type = base.schema["id"].dataType.simpleString()
     schema = f"id {id_type}, n_tokens long, {out_col} long"
     return base.groupBy("__part").applyInPandas(pack, schema=schema)
+
+
+def weighted_sample_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weight,
+    salt: str = "ss-wsample",
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep a row with probability
+    ``weight`` (a Column or column name in [0,1], e.g. a quality score or a
+    per-source mixture rate) — membership is a pure function of the row's
+    identity hash, so it is stable across runs, partitionings, and cluster
+    sizes, and nests with sample_by_hash/split_by_hash via distinct salts.
+
+    Scale shape: a zero-shuffle filter (hash + compare in codegen); weights
+    above 1 clamp to always-keep, below 0 to always-drop.
+    """
+    w = _c(weight)
+    thresh = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    return df.filter(
+        _bucket(id_col, salt).cast("double") < thresh * F.lit(float(_BUCKETS))
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Per-group sampling weights for temperature-flattened corpus mixtures
+    (multilingual/multi-source pretraining): group g with n_g rows gets
+    weight ∝ n_g^(temperature-1) — temperature 1 keeps natural proportions,
+    0 equalizes groups, values between flatten the head.  Normalized so the
+    LARGEST weight is 1.0; pass ``target_rows`` to rescale so the expected
+    total sample size ≈ target_rows (capped at 1 per group).
+
+    Join the result back on ``group_col`` (it is group-count-sized —
+    broadcastable) and feed the weight to weighted_sample_by_hash.
+    """
+    counts = df.groupBy(_c(group_col)).agg(F.count(F.lit(1)).alias("n"))
+    w = F.pow(F.col("n").cast("double"), F.lit(temperature - 1.0))
+    out = counts.withColumn("__w", w)
+    max_w = out.agg(F.max("__w").alias("__max")).collect()[0]["__max"]
+    out = out.withColumn("weight", F.col("__w") / F.lit(float(max_w)))
+    if target_rows is not None:
+        expected = out.select(
+            F.sum(F.col("weight") * F.col("n")).alias("e")
+        ).collect()[0]["e"]
+        out = out.withColumn(
+            "weight",
+            F.least(F.lit(1.0), F.col("weight") * F.lit(float(target_rows) / float(expected))),
+        )
+    return out.select(group_col, "n", "weight")

@@ -707,3 +707,28 @@ def q_text_chunk_documents(spark, sf_dir):
     from supersonic_spark.operators.sort import SortKey
 
     return sort_ops.sort(out, [SortKey("doc_id"), SortKey("chunk_id")])
+
+
+@q("sample_weighted_mixture")  # xxhash64 membership: rows-only; semantics unit-tested
+def q_sample_weighted_mixture(spark, sf_dir):
+    """Temperature-flattened corpus mixture: per-tier weights (t=0.5) fed to
+    deterministic weighted sampling — the head tier is downsampled toward
+    the tail, which is kept whole.  (The synthetic sources are uniform, so
+    the tier key derives a 70/20/10 skew from doc_id to make the flattening
+    observable.)"""
+    from supersonic_spark.pipeline import sampling
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "tier",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("head"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("tail")),
+    )
+    weights = sampling.mixture_weights(docs, "tier", temperature=0.5)
+    weighted = docs.join(F.broadcast(weights.select("tier", "weight")), "tier")
+    out = sampling.weighted_sample_by_hash(weighted, "doc_id", "weight")
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out.select("doc_id", "tier", "weight"), [SortKey("doc_id")])

@@ -543,3 +543,67 @@ def test_chunk_documents_overlap_and_short_docs(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_weighted_sample_by_hash_deterministic_monotone(spark):
+    from supersonic_spark.pipeline.sampling import weighted_sample_by_hash
+
+    df = spark.range(10000).select(F.col("id"), (F.col("id") % 2).alias("grp"))
+    w = F.when(F.col("grp") == 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    kept = weighted_sample_by_hash(df, "id", w)
+    ids = {r["id"] for r in kept.collect()}
+    assert all(i % 2 == 0 for i in ids)            # weight-0 rows never kept
+    assert 0.4 < len(ids) / 5000 < 0.6             # ≈ half the weight-0.5 rows
+    again = {r["id"] for r in weighted_sample_by_hash(df, "id", w).collect()}
+    assert again == ids                             # pure function of identity
+    # same salt, higher weight ⇒ superset (threshold is monotone in weight)
+    bigger = {r["id"] for r in weighted_sample_by_hash(df, "id", F.lit(0.75)).collect()}
+    smaller = {r["id"] for r in weighted_sample_by_hash(df, "id", F.lit(0.25)).collect()}
+    assert smaller <= bigger
+
+
+def test_mixture_weights_temperature_and_target(spark):
+    from supersonic_spark.pipeline.sampling import mixture_weights
+
+    rows = [("big",)] * 900 + [("mid",)] * 90 + [("small",)] * 10
+    df = spark.createDataFrame(rows, ["src"])
+    # temperature 0: expected kept rows (n * weight) equal across groups
+    w0 = {r["src"]: (r["n"], r["weight"]) for r in mixture_weights(df, "src", 0.0).collect()}
+    assert w0["small"][1] == 1.0
+    expected = {s: n * w for s, (n, w) in w0.items()}
+    assert max(expected.values()) - min(expected.values()) < 1e-9
+    # temperature 1: natural proportions — every weight 1.0
+    w1 = {r["src"]: r["weight"] for r in mixture_weights(df, "src", 1.0).collect()}
+    assert set(w1.values()) == {1.0}
+    # target_rows rescales the expected total (uncapped when target is
+    # below the natural expectation; above it, per-group weights cap at 1)
+    wt = mixture_weights(df, "src", 0.0, target_rows=15)
+    total = sum(r["n"] * r["weight"] for r in wt.collect())
+    assert abs(total - 15) < 1e-6
+    capped = {r["src"]: r["weight"] for r in
+              mixture_weights(df, "src", 0.0, target_rows=150).collect()}
+    assert capped["small"] == 1.0
+
+
+def test_new_ops_partition_invariance(spark):
+    """repetition_signals / chunk_documents / upsert_latest results must not
+    depend on the physical partitioning of their input."""
+    from supersonic_spark.operators.setops import upsert_latest
+    from supersonic_spark.pipeline.textstats import chunk_documents, repetition_signals
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} a b tok{i % 3} c a b " * (1 + i % 5)) for i in range(40)],
+        ["id", "text"],
+    )
+    for op in (
+        lambda d: repetition_signals(d, "id", "text"),
+        lambda d: chunk_documents(d, "id", "text", chunk_tokens=6, overlap=2),
+    ):
+        a = sorted(map(tuple, op(docs.repartition(1)).collect()))
+        b = sorted(map(tuple, op(docs.repartition(7)).collect()))
+        assert a == b
+    ex = docs.selectExpr("id % 11 AS k", "text AS v", "id AS ver")
+    up = docs.selectExpr("id % 11 AS k", "concat(text,'u') AS v", "id + 100 AS ver")
+    a = sorted(map(tuple, upsert_latest(ex.repartition(1), up.repartition(1), ["k"], "ver").collect()))
+    b = sorted(map(tuple, upsert_latest(ex.repartition(5), up.repartition(3), ["k"], "ver").collect()))
+    assert a == b
