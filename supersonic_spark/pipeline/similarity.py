@@ -336,3 +336,42 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def mean_embedding(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    out_col: str = "centroid",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Grouped mean-pooling of embedding vectors: (key, centroid, n) with
+    centroid[i] = avg over the group of vec[i].  The building block for
+    cluster profiling, class prototypes, and IVF centroid refresh.
+
+    Scale shape: posexplode to (key, dim, value) — dim× row inflation, but
+    partial aggregation folds map-side, so the one shuffle carries
+    groups × dim rows (sketch-sized, not corpus-sized); the vector is then
+    reassembled per group via sort_array over (pos, mean) structs (a small
+    in-group sort of `dim` elements, not a data sort).  ``round_dp`` rounds
+    the means (cross-engine double-sum portability); None keeps full bits.
+    """
+    e = df.select(
+        _c(key_col).alias("__k"),
+        F.posexplode(_c(vec_col).cast("array<double>")).alias("__pos", "__val"),
+    )
+    m = e.groupBy("__k", "__pos").agg(
+        F.avg("__val").alias("__mv"), F.count(F.lit(1)).alias("__n")
+    )
+    mv = F.round("__mv", round_dp) if round_dp is not None else F.col("__mv")
+    g = m.groupBy("__k").agg(
+        F.sort_array(F.collect_list(F.struct(F.col("__pos"), mv.alias("__mv")))).alias(
+            "__pairs"
+        ),
+        F.max("__n").alias("n"),
+    )
+    return g.select(
+        F.col("__k").alias(key_col),
+        F.transform("__pairs", lambda p: p["__mv"]).alias(out_col),
+        "n",
+    )

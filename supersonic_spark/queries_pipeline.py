@@ -732,3 +732,29 @@ def q_sample_weighted_mixture(spark, sf_dir):
     from supersonic_spark.operators.sort import SortKey
 
     return sort_ops.sort(out.select("doc_id", "tier", "weight"), [SortKey("doc_id")])
+
+
+_MEAN_EMB_ORACLE = """
+WITH e AS (
+  SELECT vec_id % 8 AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT grp, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e
+), m AS (
+  SELECT grp, pos, round(avg(val), 6) AS mv, count(*) AS n FROM x GROUP BY 1, 2
+)
+SELECT grp, list(mv ORDER BY pos) AS centroid, CAST(max(n) AS BIGINT) AS n
+FROM m GROUP BY grp ORDER BY grp
+"""
+
+
+@q("similarity_mean_embedding", _MEAN_EMB_ORACLE)
+def q_similarity_mean_embedding(spark, sf_dir):
+    """Grouped mean-pooled embedding centroids (8 hash-derived clusters):
+    posexplode + partial-agg — the shuffle is clusters × dim, not corpus."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].withColumn("grp", F.col("vec_id") % 8)
+    out = similarity.mean_embedding(emb, "grp", "embedding")
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("grp")])

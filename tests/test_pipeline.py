@@ -607,3 +607,15 @@ def test_new_ops_partition_invariance(spark):
     a = sorted(map(tuple, upsert_latest(ex.repartition(1), up.repartition(1), ["k"], "ver").collect()))
     b = sorted(map(tuple, upsert_latest(ex.repartition(5), up.repartition(3), ["k"], "ver").collect()))
     assert a == b
+
+
+def test_mean_embedding_golden(spark):
+    from supersonic_spark.pipeline.similarity import mean_embedding
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 20.0])],
+        "grp string, vec array<double>",
+    )
+    out = {r["grp"]: (r["centroid"], r["n"])
+           for r in mean_embedding(df, "grp", "vec").collect()}
+    assert out == {"a": ([2.0, 3.0], 2), "b": ([10.0, 20.0], 1)}
