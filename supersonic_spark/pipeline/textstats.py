@@ -361,3 +361,25 @@ def chunk_documents(
     return out.withColumn(
         "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
     )
+
+
+def clean_text(
+    text,
+    lower: bool = True,
+    collapse_ws: bool = True,
+    strip_ctrl: bool = True,
+) -> Column:
+    """Canonical text cleaning for corpus ingest: strip C0/C1 control
+    characters (keeping \\t \\n), collapse whitespace runs to single spaces,
+    trim, optionally lowercase.  Pure JVM regexp chain — zero-shuffle map
+    stage; the regex classes are in the RE2 ∩ Java dialect so oracles can
+    replicate exactly.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    if strip_ctrl:
+        t = F.regexp_replace(t, r"[\x00-\x08\x0B-\x1F\x7F-\x9F]", "")
+    if collapse_ws:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    if lower:
+        t = F.lower(t)
+    return t

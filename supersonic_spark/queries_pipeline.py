@@ -758,3 +758,69 @@ def q_similarity_mean_embedding(spark, sf_dir):
     from supersonic_spark.operators.sort import SortKey
 
     return sort_ops.sort(out, [SortKey("grp")])
+
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM e
+), q AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS qscale, v
+  FROM s
+)
+SELECT vec_id, qscale,
+       list_transform(v, x -> CAST(round(x / qscale) AS INT)) AS qvec
+FROM q ORDER BY vec_id
+"""
+
+
+@q("similarity_quantize_int8", _QUANT_ORACLE)
+def q_similarity_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding table (4× shuffle
+    and storage compression): per-vector scale + code array, zero-shuffle."""
+    t = _t(spark, sf_dir)
+    out = similarity.quantize_embedding_int8(t["embeddings"], "embedding")
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    out = out.select(
+        "vec_id", "qscale", F.col("qvec").cast("array<int>").alias("qvec")
+    )
+    return sort_ops.sort(out, [SortKey("vec_id")])
+
+
+_CLEAN_ORACLE = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || '  MIXED Case' || chr(9) || 'With' || chr(1) || 'ctrl' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         regexp_replace(raw, '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g'),
+         '\s+', ' ', 'g'))) AS cleaned
+FROM inj ORDER BY doc_id
+"""
+
+
+@q("text_clean_normalize", _CLEAN_ORACLE)
+def q_text_clean_normalize(spark, sf_dir):
+    """Corpus-ingest text cleaning (control-char strip, whitespace collapse,
+    casefold) over text with injected tabs/control bytes — zero-shuffle."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  MIXED Case\tWith" + chr(1) + "ctrl"),
+        ).alias("raw"),
+    )
+    out = docs.select("doc_id", textstats.clean_text("raw").alias("cleaned"))
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")])

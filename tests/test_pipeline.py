@@ -619,3 +619,35 @@ def test_mean_embedding_golden(spark):
     out = {r["grp"]: (r["centroid"], r["n"])
            for r in mean_embedding(df, "grp", "vec").collect()}
     assert out == {"a": ([2.0, 3.0], 2), "b": ([10.0, 20.0], 1)}
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from supersonic_spark.pipeline.similarity import (
+        dequantize_embedding_int8,
+        quantize_embedding_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.27, 0.01]), (2, [0.0, 0.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    q = quantize_embedding_int8(df, "embedding")
+    rows = {r["id"]: r for r in q.collect()}
+    assert rows[1]["qscale"] == pytest.approx(1.27 / 127)
+    assert max(abs(c) for c in rows[1]["qvec"]) == 127
+    assert rows[2]["qscale"] == 1.0 and list(rows[2]["qvec"]) == [0, 0, 0]
+    back = dequantize_embedding_int8(q, out_col="deq")
+    for r in back.collect():
+        orig = {1: [0.5, -1.27, 0.01], 2: [0.0, 0.0, 0.0]}[r["id"]]
+        for o, d in zip(orig, r["deq"]):
+            assert abs(o - d) <= r["qscale"] / 2 + 1e-12
+
+
+def test_clean_text_golden(spark):
+    from supersonic_spark.pipeline.textstats import clean_text
+
+    df = spark.createDataFrame([(1, "  A\x01B\tC  D ")], ["id", "raw"])
+    out = df.select(clean_text("raw").alias("c")).collect()[0]["c"]
+    assert out == "ab c d"
+    kept = df.select(clean_text("raw", lower=False).alias("c")).collect()[0]["c"]
+    assert kept == "AB C D"
