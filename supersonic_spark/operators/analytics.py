@@ -295,3 +295,44 @@ def key_profile(df: DataFrame, keys: list[str], k: int = 20) -> DataFrame:
         "n_distinct_keys",
         F.col("__total").alias("total_rows"),
     )
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    value,
+    n_buckets: int,
+    tiebreak=None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency binning: append ``bucket_col`` (1..n_buckets) =
+    the NTILE of ``value`` over the whole input — the discretization step
+    before feature hashing / stratified sampling.  ``tiebreak`` (a unique
+    column) pins the order of equal values so bucket assignment is
+    deterministic.
+
+    Scale shape: NTILE needs a global order; Spark plans one range
+    exchange (sampled range partitioner, no single-task funnel) and the
+    running bucket arithmetic is per-partition.  For corpus-scale inputs
+    where an approximate cut is fine, compute approx_percentile fences
+    and join them broadcast instead (see percentile_aggregate).
+    """
+    order = [_c(value)] + ([_c(tiebreak)] if tiebreak is not None else [])
+    w = Window.orderBy(*order)
+    return df.withColumn(bucket_col, F.ntile(n_buckets).over(w))
+
+
+def bucket_stats(
+    df: DataFrame,
+    value,
+    n_buckets: int,
+    tiebreak=None,
+) -> DataFrame:
+    """quantile_bucketize then collapse: per bucket — ``n``, ``lo``,
+    ``hi`` (the empirical quantile fences).  The collapsed table is
+    n_buckets rows; use it to freeze bin edges for reuse on new data."""
+    b = quantile_bucketize(df, value, n_buckets, tiebreak=tiebreak)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(_c(value)).cast("double").alias("lo"),
+        F.max(_c(value)).cast("double").alias("hi"),
+    )
