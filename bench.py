@@ -83,21 +83,27 @@ def main() -> None:
     # warm the JVM + file listing once (excluded from timing)
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two runs per query: the first pays one-time costs (plan analysis,
+    # First run per query pays one-time costs (plan analysis,
     # whole-stage-codegen JIT, shuffle-file creation) that vary with session
-    # age; the second is the steady-state execution the reference's bench
-    # infra also isolates (OnCreateFinished vs OnBenchmarkFinished,
-    # cursor/core/benchmarks.h:30-57).  Both are reported; `value` sums the
+    # age; steady state is then the MIN of SPARK_GRAFT_BENCH_RUNS (default 3)
+    # further runs — the reference's bench infra isolates the same split
+    # (OnCreateFinished vs OnBenchmarkFinished, cursor/core/benchmarks.h:
+    # 30-57), and min-of-k suppresses host-level noise spikes (GC pauses,
+    # co-tenant CPU) that a single sample is exposed to.  `value` sums the
     # steady-state times.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     results: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        results[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 3)
 
     # rows processed (input rows scanned) and steady-state rows/s — the
     # reference's benchmark.proto vocabulary (rows_processed, throughput).

@@ -344,3 +344,47 @@ def heavy_hitters(
         F.col("share") >= min_share
     )
     return out.orderBy(F.col("n").desc(), F.col("key")).limit(max_keys)
+
+
+#: aggregation functions whose partial states merge by re-aggregating
+#: (COUNT merges via SUM of the partial counts)
+_MERGEABLE = {
+    Aggregation.SUM: F.sum,
+    Aggregation.COUNT: F.sum,
+    Aggregation.MIN: F.min,
+    Aggregation.MAX: F.max,
+}
+
+
+def merge_agg_states(state: DataFrame, other: DataFrame, keys: list, specs: list[AggSpec]) -> DataFrame:
+    """Merge two aggregate states produced by ``group_aggregate(…, keys,
+    specs)`` into one (the algebraic-aggregate merge step the reference
+    documents as the caller's job after BestEffortGroupAggregate,
+    aggregate.h:237-241).  Only SUM/COUNT/MIN/MAX are mergeable —
+    DISTINCT/CONCAT/FIRST/LAST states are not algebraic; raise upfront.
+    """
+    for s in specs:
+        if s.function not in _MERGEABLE or s.distinct:
+            raise ValueError(f"{s.function.value} state is not mergeable (col {s.output})")
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    u = state.unionByName(other)
+    return u.groupBy(*key_cols).agg(
+        *[_MERGEABLE[s.function](F.col(s.output)).alias(s.output) for s in specs]
+    )
+
+
+def incremental_group_aggregate(
+    state: DataFrame, delta: DataFrame, keys: list, specs: list[AggSpec]
+) -> DataFrame:
+    """Incremental aggregate refresh: fold a batch of NEW raw rows into an
+    existing aggregate state without rescanning history — the maintenance
+    loop of a 100 TB rollup table (state is per-key-sized; only the delta
+    is scanned).
+
+    ``state`` must be a prior ``group_aggregate(history, keys, specs)``
+    result (or an empty DataFrame with that schema); mergeable specs only.
+    Scale shape: one partial-agg shuffle over the delta + one merge
+    shuffle keyed the same — AQE coalesces; history is never read.
+    """
+    d = group_aggregate(delta, keys, specs)
+    return merge_agg_states(state, d, keys, specs)

@@ -277,3 +277,49 @@ def foreign_filter(
         .withColumnRenamed(rid, fk)
     )
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bin_width: float,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join — beyond-reference non-equi operator.
+    Matches every (left, right) pair whose closed numeric intervals
+    ``[left_lo, left_hi]`` and ``[right_lo, right_hi]`` overlap (plus
+    optional equi ``keys``).  Bound column names must be distinct across
+    the two sides (alias upstream).
+
+    Scale shape: the naive plan is a broadcast-nested-loop.  Here BOTH
+    sides explode onto integer bins of ``bin_width``; the match becomes an
+    equi join on (bin, keys) + the exact overlap filter.  A pair that
+    shares several bins would emit duplicates, so each pair is kept only
+    in the canonical bin — the first bin of the overlap region,
+    ``max(floor(lo/w))`` of the two sides — a filter, not a dedup shuffle.
+    Pick ``bin_width`` near the typical interval length: fan-out stays
+    O(interval/bin_width) per row and the shuffle stays linear.
+    """
+    keys = keys or []
+    ll, lh = left_bounds
+    rl, rh = right_bounds
+    w = float(bin_width)
+    lb = left.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.floor(F.col(ll) / F.lit(w)), F.floor(F.col(lh) / F.lit(w)))),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(F.sequence(F.floor(F.col(rl) / F.lit(w)), F.floor(F.col(rh) / F.lit(w)))),
+    )
+    return (
+        lb.join(rb, on=["__bin", *keys], how="inner")
+        .filter((F.col(ll) <= F.col(rh)) & (F.col(rl) <= F.col(lh)))
+        .filter(
+            F.col("__bin")
+            == F.greatest(F.floor(F.col(ll) / F.lit(w)), F.floor(F.col(rl) / F.lit(w)))
+        )
+        .drop("__bin")
+    )

@@ -201,3 +201,93 @@ def q_quantile_bucketize_orders(spark, sf_dir):
     return analytics.bucket_stats(
         t["orders"], "o_totalprice", 10, tiebreak="o_orderkey"
     )
+
+
+_INTERVAL_ORACLE = """
+WITH iv AS (
+  SELECT o_orderkey AS k, o_custkey AS custkey,
+         (epoch_us(o_orderdate) // 1000000) // 86400 AS lo,
+         (epoch_us(o_orderdate) // 1000000) // 86400 + 30 AS hi
+  FROM orders
+)
+SELECT a.custkey AS custkey, a.k AS a_key, b.k AS b_key,
+       LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS overlap_days
+FROM iv a JOIN iv b
+  ON a.custkey = b.custkey AND a.lo <= b.hi AND b.lo <= a.hi AND a.k < b.k
+"""
+
+
+@q("interval_overlap_join_orders", _INTERVAL_ORACLE)
+def q_interval_overlap_join_orders(spark, sf_dir):
+    """Self overlap-join: pairs of a customer's orders whose 30-day
+    windows overlap.  Scale shape: both sides bin onto 30-day cells so
+    the non-equi overlap becomes an equi join on (bin, custkey) + exact
+    filter — no nested-loop; pair dedup is the canonical-bin filter (no
+    extra shuffle)."""
+    from supersonic_spark.operators.join import interval_overlap_join
+
+    t = _t(spark, sf_dir)
+    day = F.floor(F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400))
+    a = t["orders"].select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_custkey").alias("custkey"),
+        day.alias("a_lo"), (day + F.lit(30)).alias("a_hi"),
+    )
+    b = t["orders"].select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_custkey").alias("custkey"),
+        day.alias("b_lo"), (day + F.lit(30)).alias("b_hi"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ("a_lo", "a_hi"), ("b_lo", "b_hi"), bin_width=30, keys=["custkey"]
+    ).filter(F.col("a_key") < F.col("b_key"))
+    return pairs.select(
+        "custkey", "a_key", "b_key",
+        (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")).alias("overlap_days"),
+    )
+
+
+_INCR_AGG_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@q("incremental_agg_orders", _INCR_AGG_ORACLE)
+def q_incremental_agg_orders(spark, sf_dir):
+    """Incremental rollup maintenance: per-customer order stats built as
+    state(history before 1997) merged with delta(1997+) — the refreshed
+    state must equal the from-scratch aggregate (the oracle).  Scale
+    shape: history is aggregated once into key-sized state; each refresh
+    scans only the delta (one partial-agg shuffle + one merge shuffle on
+    the same key — AQE coalesces)."""
+    from supersonic_spark.operators import core
+    from supersonic_spark.operators.aggregate import (
+        AggSpec, Aggregation, group_aggregate, incremental_group_aggregate,
+    )
+
+    t = _t(spark, sf_dir)
+    o = core.compute(
+        t["orders"],
+        {"o_custkey": F.col("o_custkey"), "o_orderdate": F.col("o_orderdate"),
+         "price_d": F.col("o_totalprice").cast("decimal(12,2)")},
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    specs = [
+        AggSpec(Aggregation.COUNT, None, "n_orders"),
+        AggSpec(Aggregation.SUM, "price_d", "sum_total"),
+        AggSpec(Aggregation.MIN, "o_orderdate", "first_order"),
+        AggSpec(Aggregation.MAX, "o_orderdate", "last_order"),
+    ]
+    state = group_aggregate(o.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], specs)
+    refreshed = incremental_group_aggregate(
+        state, o.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], specs
+    )
+    return refreshed.select(
+        "o_custkey", "n_orders",
+        F.col("sum_total").cast("double").alias("sum_total"),
+        "first_order", "last_order",
+    )

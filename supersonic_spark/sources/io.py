@@ -278,3 +278,42 @@ def write_zordered(
     if row_group_bytes is not None:
         options = {"parquet.block.size": str(row_group_bytes), **options}
     file_output(out, path, mode=mode, **options)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file ingest for multimodal corpora: one row per file with
+    ``path``, ``modificationTime``, ``length``, ``content`` (binary) —
+    the opaque-binary-column entry point for the pipeline.multimodal
+    kernels (images/audio/video land as bytes + typed metadata).
+
+    Scale shape: Spark's binaryFile source lists and splits by FILES
+    (content is never split), so parallelism = file count; pushing
+    ``glob`` into pathGlobFilter prunes at listing time, before any read.
+    Very large single files should be sharded upstream — one file is one
+    task here.
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)
+
+
+def read_text_files(
+    spark: SparkSession,
+    path: str,
+    whole_text: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Plain-text ingest: ``value`` string column — one row per line, or
+    one row per FILE with ``whole_text=True`` (document-per-file corpora).
+    Line mode splits large files across tasks; whole-text mode is
+    file-per-task like read_binary_files (shard upstream).
+    """
+    return spark.read.text(path, wholetext=whole_text, lineSep=line_sep)

@@ -152,3 +152,79 @@ def test_quantile_bucketize_tiebreak_deterministic(spark):
     df = spark.createDataFrame([(i, 1.0) for i in range(1, 5)], "id long, v double")
     out = analytics.quantile_bucketize(df, "v", 2, tiebreak="id")
     assert rows(out, "id", "bucket") == [(1, 1), (2, 1), (3, 2), (4, 2)]
+
+
+def test_interval_overlap_join_dedup_and_exactness(spark):
+    from supersonic_spark.operators.join import interval_overlap_join
+
+    # a1 [0,100] spans many bins; b1 [50,60] inside it; b2 [200,210] disjoint
+    left = spark.createDataFrame([(1, 0.0, 100.0), (2, 150.0, 160.0)], "a_id long, a_lo double, a_hi double")
+    right = spark.createDataFrame(
+        [(10, 50.0, 60.0), (20, 200.0, 210.0), (30, 95.0, 155.0)],
+        "b_id long, b_lo double, b_hi double",
+    )
+    out = interval_overlap_join(left, right, ("a_lo", "a_hi"), ("b_lo", "b_hi"), bin_width=10)
+    got = rows(out, "a_id", "b_id")
+    # each overlapping pair appears EXACTLY once despite sharing many bins
+    assert got == [(1, 10), (1, 30), (2, 30)]
+
+
+def test_interval_overlap_join_touching_endpoints(spark):
+    from supersonic_spark.operators.join import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0.0, 10.0)], "a_id long, a_lo double, a_hi double")
+    right = spark.createDataFrame([(2, 10.0, 20.0)], "b_id long, b_lo double, b_hi double")
+    out = interval_overlap_join(left, right, ("a_lo", "a_hi"), ("b_lo", "b_hi"), bin_width=100)
+    assert rows(out, "a_id", "b_id") == [(1, 2)]  # closed intervals touch
+
+
+def test_incremental_group_aggregate_matches_full(spark, tables):
+    from supersonic_spark.operators.aggregate import (
+        AggSpec, Aggregation, group_aggregate, incremental_group_aggregate,
+    )
+
+    o = tables["orders"].select(
+        "o_custkey", "o_orderdate", F.col("o_totalprice").cast("decimal(12,2)").alias("p")
+    )
+    specs = [
+        AggSpec(Aggregation.COUNT, None, "n"),
+        AggSpec(Aggregation.SUM, "p", "s"),
+        AggSpec(Aggregation.MIN, "o_orderdate", "mn"),
+        AggSpec(Aggregation.MAX, "o_orderdate", "mx"),
+    ]
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    state = group_aggregate(o.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], specs)
+    refreshed = incremental_group_aggregate(
+        state, o.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], specs
+    )
+    full = group_aggregate(o, ["o_custkey"], specs)
+    assert rows(refreshed) == rows(full)
+
+
+def test_merge_agg_states_rejects_non_mergeable(spark):
+    import pytest
+
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation, merge_agg_states
+
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError):
+        merge_agg_states(df, df, ["k"], [AggSpec(Aggregation.CONCAT, "v", "v")])
+    with pytest.raises(ValueError):
+        merge_agg_states(df, df, ["k"], [AggSpec(Aggregation.SUM, "v", "v", distinct=True)])
+
+
+def test_read_binary_and_text_files(spark, tmp_path):
+    from supersonic_spark.sources.io import read_binary_files, read_text_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "b.txt").write_text("line1\nline2\n")
+    bins = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    got = bins.select("path", "length", "content").collect()
+    assert len(got) == 1
+    assert got[0]["path"].endswith("a.bin")
+    assert got[0]["length"] == 9 and bytes(got[0]["content"]) == b"\x00\x01payload"
+
+    lines = read_text_files(spark, str(tmp_path / "b.txt"))
+    assert sorted(r["value"] for r in lines.collect()) == ["line1", "line2"]
+    whole = read_text_files(spark, str(tmp_path / "b.txt"), whole_text=True)
+    assert [r["value"] for r in whole.collect()] == ["line1\nline2\n"]
