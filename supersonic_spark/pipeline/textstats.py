@@ -383,3 +383,63 @@ def clean_text(
     if lower:
         t = F.lower(t)
     return t
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, pattern: str = "[^a-z0-9]+"
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under a
+    corpus-trained bigram LM — the next fluency rung above
+    ``unigram_logprob`` (word-salad that passes a unigram screen fails
+    here: p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), add-one smoothed).
+
+    Output: ``avg_bigram_logprob`` = mean ln p over the doc's bigrams
+    (6dp — ln differs across engines in the last ulp) and ``n_bigrams``.
+    Documents with fewer than two tokens have no bigrams and drop out.
+
+    Scale shape: bigrams are built ARRAY-SIDE (one pass over the token
+    array, no positional self-join); per-doc bigram tfs shuffle once; the
+    corpus bigram LM and the w1 unigram counts are aggregates of that
+    same pair stream, joined back by key (AQE broadcasts the vocabulary
+    sides when small); (V) rides a 1-row broadcast.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), pattern), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    bgs = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat(
+                F.element_at("__t", i), F.lit(" "), F.element_at("__t", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = base.select(F.col(id_col), F.explode(bgs).alias("bg"))
+    doc_tf = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf"))
+    corpus_bg = doc_tf.groupBy("bg").agg(F.sum("tf").alias("cb"))
+    unigrams = base.select(F.explode("__t").alias("w"))
+    c1 = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    consts = c1.agg(F.count(F.lit(1)).alias("__v"))
+    scored = (
+        doc_tf.join(corpus_bg, on="bg")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(c1.withColumnRenamed("w", "w1"), on="w1")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.col("cb") + F.lit(1.0))
+                / (F.col("c1") + F.col("__v")).cast("double")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.col("__logp")) / F.sum("tf").cast("double"), 6
+            ).alias("avg_bigram_logprob"),
+            F.sum("tf").alias("n_bigrams"),
+        )
+    )
+    return scored

@@ -824,3 +824,52 @@ def q_text_clean_normalize(spark, sf_dir):
     from supersonic_spark.operators.sort import SortKey
 
     return sort_ops.sort(out, [SortKey("doc_id")])
+
+
+_BIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks WHERE len(t) >= 2
+), doc_tf AS (
+  SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2
+), corpus_bg AS (
+  SELECT bg, CAST(sum(tf) AS BIGINT) AS cb FROM doc_tf GROUP BY 1
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), c1 AS (
+  SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1
+), consts AS (
+  SELECT count(*) AS v FROM c1
+)
+SELECT doc_id,
+       round(sum(tf * ln((cb + 1.0) / CAST(c1 + v AS DOUBLE)))
+               / CAST(sum(tf) AS DOUBLE), 6) AS avg_bigram_logprob,
+       CAST(sum(tf) AS BIGINT) AS n_bigrams
+FROM doc_tf
+JOIN corpus_bg USING (bg)
+JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
+CROSS JOIN consts
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@q("text_bigram_logprob", _BIGRAM_LM_ORACLE)
+def q_text_bigram_logprob(spark, sf_dir):
+    """Corpus-trained bigram LM fluency score: per-doc mean conditional
+    log-probability p(w2|w1), add-one smoothed — catches word salad a
+    unigram screen passes.  Scale shape: bigrams built array-side (no
+    positional self-join); one shuffle on (doc, bigram); LM tables are
+    rollups of the same stream joined back by key."""
+    t = _t(spark, sf_dir)
+    out = textstats.bigram_logprob(t["documents"], "doc_id", "text")
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")])

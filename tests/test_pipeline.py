@@ -651,3 +651,22 @@ def test_clean_text_golden(spark):
     assert out == "ab c d"
     kept = df.select(clean_text("raw", lower=False).alias("c")).collect()[0]["c"]
     assert kept == "AB C D"
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from supersonic_spark.pipeline.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    # unigrams: a:3 b:2 x:1 -> V=3; bigrams: "a b":1, "b a":2
+    p_ab = (1 + 1.0) / (3 + 3)  # p(b|a)
+    p_ba = (2 + 1.0) / (2 + 3)  # p(a|b)
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["avg_bigram_logprob"] - round((math.log(p_ab) + math.log(p_ba)) / 2, 6)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_bigram_logprob"] - round(math.log(p_ba), 6)) < 1e-9
+    assert 3 not in out  # single-token doc has no bigrams
