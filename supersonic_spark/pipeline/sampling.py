@@ -202,3 +202,40 @@ def mixture_weights(
             F.least(F.lit(1.0), F.col("weight") * F.lit(float(target_rows) / float(expected))),
         )
     return out.select(group_col, "n", "weight")
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "ss-cap",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Deterministic per-key quota: keep at most ``n`` rows per ``key_col``
+    (domain balancing — e.g. cap documents per source/host so no single
+    domain dominates a training mix).  Which rows survive is a pure
+    function of identity: rows rank by ``md5(salt || id)`` (ties by id)
+    inside their key, and ranks ≤ n stay — stable across runs, cluster
+    sizes, and partitionings, and a *uniform* choice per key rather than
+    "whatever n rows arrived first".
+
+    md5 (not xxhash64) on purpose: every engine has it, so the exact
+    survivor set is reproducible outside Spark (and in the DuckDB oracle).
+
+    Scale shape: one hash-partition exchange on the key + a per-key
+    top-n (TakeOrdered inside the window, no global sort).  Skewed keys
+    hold at most their own rows; for pathological single-key corpora,
+    pre-filter with sample_by_hash to approx rate n/count first.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(salt), _c(id_col).cast("string")))
+    w = Window.partitionBy(_c(key_col)).orderBy(order, _c(id_col))
+    ranked = df.withColumn("__rank", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rank") <= F.lit(n))
+    if keep_rank:
+        return kept.withColumnRenamed("__rank", "cap_rank")
+    return kept.drop("__rank")

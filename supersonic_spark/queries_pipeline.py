@@ -873,3 +873,37 @@ def q_text_bigram_logprob(spark, sf_dir):
     from supersonic_spark.operators.sort import SortKey
 
     return sort_ops.sort(out, [SortKey("doc_id")])
+
+
+_CAP_ORACLE = """
+SELECT doc_id, source, cap_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('ss-cap' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS cap_rank
+  FROM documents
+) WHERE cap_rank <= 10
+ORDER BY source, doc_id
+"""
+
+
+@q("sample_cap_per_key", _CAP_ORACLE)
+def q_sample_cap_per_key(spark, sf_dir):
+    """Per-key quota / domain balancing: keep at most 10 docs per source,
+    chosen uniformly by a portable identity hash (md5) so the survivor
+    set is reproducible across engines and cluster sizes.  Scale shape:
+    one exchange on the key + per-key top-n; no global sort."""
+    from supersonic_spark.pipeline import sampling
+
+    t = _t(spark, sf_dir)
+    out = sampling.cap_per_key(
+        t["documents"], "source", "doc_id", 10, keep_rank=True
+    )
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(
+        out.select("doc_id", "source", "cap_rank"),
+        [SortKey("source"), SortKey("doc_id")],
+    )

@@ -670,3 +670,26 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[2]["n_bigrams"] == 1
     assert abs(out[2]["avg_bigram_logprob"] - round(math.log(p_ba), 6)) < 1e-9
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_cap_per_key_quota_and_partition_invariance(spark):
+    from supersonic_spark.pipeline.sampling import cap_per_key
+
+    rows = [(i, f"k{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = cap_per_key(df, "k", "id", 7)
+    counts = {r["k"]: r["n"] for r in out.groupBy("k").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"k0": 7, "k1": 7, "k2": 7}
+    # survivor set is a pure function of identity: invariant to partitioning
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in cap_per_key(df.repartition(13), "k", "id", 7).collect())
+    assert a == b
+    # keys under quota keep everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "id long, k string")
+    assert cap_per_key(small, "k", "id", 7).count() == 2
+    # keep_rank exposes 1..n dense ranks per key
+    ranked = cap_per_key(df, "k", "id", 3, keep_rank=True)
+    per_key = {}
+    for r in ranked.collect():
+        per_key.setdefault(r["k"], []).append(r["cap_rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_key.values())
