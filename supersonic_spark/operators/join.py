@@ -323,3 +323,45 @@ def interval_overlap_join(
         )
         .drop("__bin")
     )
+
+
+def prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    max_keys: int = 10_000,
+) -> DataFrame:
+    """Runtime scan-pushdown join: when the dim side's distinct join-key set
+    is small (≤ ``max_keys``), materialize it with one bounded driver job
+    and push it into the fact side as an IN-list predicate BEFORE joining —
+    the predicate reaches the parquet scan (``PushedFilters: In(...)``), so
+    row groups whose min/max can't match are never read.  Falls back to a
+    plain ``hash_join`` when the key set is too large (the IN list itself
+    must stay broadcast-sized).
+
+    This is the user-level twin of Spark's automatic runtime filtering
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, which prunes at
+    the SHUFFLE): an explicit IN-list prunes at the SCAN, which at 100 TB
+    is the difference between reading the fact table and reading a sliver.
+    The reference's analog is the hash-join build side acting as the probe
+    filter (hash_join.cc:91-95) — supersonic always scans the full probe
+    input; this operator avoids even that.
+
+    ``on``: a single key column name shared by both sides, or a
+    ``(fact_col, dim_col)`` pair.  ``how``: inner / left_semi semantics of
+    the final exact join (the prefilter never changes the result, only the
+    bytes read).
+    """
+    fk, dk = (on, on) if isinstance(on, str) else on
+    keys = [
+        r[0] for r in dim.select(dk).where(F.col(dk).isNotNull()).distinct()
+        .limit(max_keys + 1).collect()
+    ]
+    if len(keys) <= max_keys:
+        fact = fact.where(F.col(fk).isin(keys))
+    if how in ("semi", "left_semi", "leftsemi"):
+        return fact.join(dim, on=fact[fk] == dim[dk], how="left_semi")
+    if isinstance(on, str):
+        return fact.join(dim, on=on, how=how)
+    return fact.join(dim, on=fact[fk] == dim[dk], how=how)

@@ -541,6 +541,37 @@ def q_anti_join(spark, sf_dir):
     return t["customer"].join(keys, "c_custkey", "left_anti").select("c_custkey", "c_nationkey")
 
 
+@q(
+    "prefilter_join_part_revenue",
+    """SELECT p.p_brand,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_items
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE p.p_size = 1
+       GROUP BY p.p_brand ORDER BY p.p_brand""",
+)
+def q_prefilter_join_part_revenue(spark, sf_dir):
+    """Runtime scan-pushdown join: the filtered part side's distinct keys
+    are materialized (bounded) and pushed into the lineitem scan as an
+    IN-list, so parquet row groups that can't match are skipped before the
+    exact join runs (PushedFilters: In(l_partkey, ...)).  The result is
+    byte-for-byte the plain join — only the bytes READ change."""
+    t = _t(spark, sf_dir)
+    dim = core.filter_op(t["part"], F.col("p_size") == 1, ["p_partkey", "p_brand"])
+    fact = core.project(t["lineitem"], ["l_partkey", "l_extendedprice"])
+    j = join_ops.prefilter_join(fact, dim, on=("l_partkey", "p_partkey"))
+    j = core.compute(j, {"price_d": _dec("l_extendedprice")}, keep_input=True)
+    out = agg.group_aggregate(
+        j,
+        ["p_brand"],
+        [
+            AggSpec(Aggregation.SUM, "price_d", "revenue", output_type="double"),
+            AggSpec(Aggregation.COUNT, None, "n_items"),
+        ],
+    )
+    return sort_ops.sort(out, [SortKey("p_brand")])
+
+
 # =====================================================================
 # §2.6 — set / stream combination
 # =====================================================================

@@ -607,3 +607,24 @@ def test_upsert_latest_versions_ties_inserts(spark):
     empty = updates.limit(0)
     out2 = {r["k"]: r["v"] for r in upsert_latest(existing, empty, ["k"], "ver").collect()}
     assert out2 == {1: "old", 2: "keep"}
+
+
+def test_prefilter_join_matches_plain_and_falls_back(spark):
+    from supersonic_spark.operators.join import prefilter_join
+
+    fact = spark.createDataFrame([(i, i % 10) for i in range(100)], "id long, k long")
+    dim = spark.createDataFrame([(2, "a"), (7, "b")], "k long, name string")
+    out = prefilter_join(fact, dim, on="k").select("id", "k", "name")
+    plain = fact.join(dim, on="k").select("id", "k", "name")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # semi flavor returns only fact columns
+    semi = prefilter_join(fact, dim, on=("k", "k"), how="semi")
+    assert semi.columns == ["id", "k"] and semi.count() == 20
+    # key set over the cap -> identical result via plain join fallback
+    fb = prefilter_join(fact, dim, on="k", max_keys=1).select("id", "k", "name")
+    assert sorted(map(tuple, fb.collect())) == sorted(map(tuple, plain.collect()))
+    # NULL dim keys never enter the IN list, NULL fact keys never match
+    factn = spark.createDataFrame([(1, None), (2, 2)], "id long, k long")
+    dimn = spark.createDataFrame([(None, "x"), (2, "y")], "k long, name string")
+    got = prefilter_join(factn, dimn, on="k").select("id", "name").collect()
+    assert [(r["id"], r["name"]) for r in got] == [(2, "y")]

@@ -207,3 +207,9 @@ def test_unigram_logprob_lm_constants_broadcast(spark, qs):
     assert "BroadcastExchange" in plan
     assert plan.count("HashAggregate") >= 4
     assert "EvalPython" not in plan
+
+
+def test_prefilter_join_pushes_in_list_to_scan(spark, qs):
+    plan = _plan(qs["prefilter_join_part_revenue"](spark, SF_DIR))
+    # the dim side's key set must reach the fact scan as an IN pushdown
+    assert "In(l_partkey" in plan
