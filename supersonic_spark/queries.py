@@ -1202,16 +1202,12 @@ def q_streaming_enrich_join(spark, sf_dir):
     (the standard streaming feature-enrichment shape; the dim broadcasts
     into every batch), drained via availableNow and hash-matched against
     the batch SQL join."""
+    from supersonic_spark.streaming.ops import events_stream
+
     t = _t(spark, sf_dir)  # registers views + runtime conf
     static_cust = t["customer"].select("c_custkey", "c_name", "c_mktsegment")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("event_type").isin("purchase", "signup"))
+    stream = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
     )
     joined = stream.join(
         static_cust, stream["user_id"] == static_cust["c_custkey"], "inner"
@@ -1385,19 +1381,11 @@ def q_streaming_window_agg(spark, sf_dir):
     Event time is TimestampType (watermarks reject NTZ); the session is
     pinned to UTC so values equal the NTZ batch reads."""
     from supersonic_spark.operators.aggregate import AggSpec, Aggregation
-    from supersonic_spark.streaming.ops import windowed_aggregate
+    from supersonic_spark.streaming.ops import events_stream, windowed_aggregate
 
     load_tables(spark, sf_dir)  # applies runtime conf (UTC, nanosAsLong)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        # file streams take a directory; the glob narrows it to this table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("value_d", F.col("value").cast("decimal(12,2)"))
+    stream = events_stream(spark, sf_dir).withColumn(
+        "value_d", F.col("value").cast("decimal(12,2)")
     )
     agged = windowed_aggregate(
         stream,
@@ -1448,18 +1436,11 @@ def q_streaming_sliding_agg(spark, sf_dir):
     that materializes both window starts per event.  Epoch-aligned window
     origins on both engines make the comparison exact."""
     from supersonic_spark.operators.aggregate import AggSpec, Aggregation
-    from supersonic_spark.streaming.ops import windowed_aggregate
+    from supersonic_spark.streaming.ops import events_stream, windowed_aggregate
 
     load_tables(spark, sf_dir)  # applies runtime conf (UTC, nanosAsLong)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("value_d", F.col("value").cast("decimal(12,2)"))
+    stream = events_stream(spark, sf_dir).withColumn(
+        "value_d", F.col("value").cast("decimal(12,2)")
     )
     agged = windowed_aggregate(
         stream,
@@ -1519,18 +1500,11 @@ def q_streaming_session_agg(spark, sf_dir):
     session; a new session begins when the gap to the previous event is
     ≥ the 6-hour gap (session end is exclusive)."""
     from supersonic_spark.operators.aggregate import AggSpec, Aggregation
-    from supersonic_spark.streaming.ops import sessionize
+    from supersonic_spark.streaming.ops import events_stream, sessionize
 
     load_tables(spark, sf_dir)  # applies runtime conf (UTC, nanosAsLong)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("value_d", F.col("value").cast("decimal(12,2)"))
+    stream = events_stream(spark, sf_dir).withColumn(
+        "value_d", F.col("value").cast("decimal(12,2)")
     )
     agged = sessionize(
         stream,

@@ -43,6 +43,38 @@ def read_stream(
     return reader.load(path)
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-adaptive streaming read of the driver's ``events`` table with
+    ``ts`` normalized to µs ``TimestampType``.
+
+    The testdata generator has shipped ``events.ts`` both as
+    TIMESTAMP(NANOS) — which Spark can only surface as a raw int64 under
+    ``nanosAsLong`` — and as TIMESTAMP(MICROS) across rounds, so the
+    streaming read must NOT hardcode either; it probes the batch schema of
+    the same file and normalizes (ns → µs truncation matches a DuckDB ns→µs
+    cast; NTZ → TZ is value-preserving because the session is pinned UTC;
+    watermarks reject TIMESTAMP_NTZ, hence TimestampType)."""
+    import os
+
+    from supersonic_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        # file streams take a directory; the glob narrows it to this table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integer `div` — a double division of ~1.7e18 ns loses µs
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def windowed_aggregate(
     df: DataFrame,
     ts_col: str,
