@@ -23,6 +23,7 @@ import supersonic_spark.queries_pipeline  # noqa: E402,F401  (registers)
 import supersonic_spark.queries_tpch  # noqa: E402,F401  (registers)
 import supersonic_spark.queries_analytics  # noqa: E402,F401  (registers)
 import supersonic_spark.queries_quality  # noqa: E402,F401  (registers)
+import supersonic_spark.queries_scale  # noqa: E402,F401  (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -69,6 +69,28 @@ def window_rank(
     return out
 
 
+def window_navigation(
+    df: DataFrame,
+    partition,
+    order,
+    exprs: dict[str, Column],
+) -> DataFrame:
+    """Append navigation/offset window columns (lead/lag/ntile/first/
+    nth_value…) over a (partition, order) window.
+
+    ``exprs`` maps output column -> an un-windowed Column like
+    ``F.lag("value")`` — ``.over(w)`` is applied here so every listed
+    expression shares ONE Window node (one shuffle on the partition keys,
+    one sort, however many navigation outputs).  Offset functions
+    (lead/lag) ignore frames; running functions (first/ntile) use the
+    default growing frame — same default as ANSI engines."""
+    w = Window.partitionBy(*_cols(partition)).orderBy(*_cols(order))
+    out = df
+    for name, col in exprs.items():
+        out = out.withColumn(name, col.over(w))
+    return out
+
+
 def top_n_per_group(
     df: DataFrame, partition, order, n: int, rank_col: str = "rn"
 ) -> DataFrame:

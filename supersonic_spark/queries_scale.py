@@ -1,0 +1,287 @@
+"""Scale-pattern query catalog: the operators whose whole point is surviving
+a 1000-executor / 100 TB deployment — navigation windows, sketch-based
+distinct counting, explicit skew salting, bucketed co-located joins,
+non-parquet source round-trips, and the watermark-bounded stream-stream
+join.  All oracle-checked against DuckDB at sf0.01.
+
+Determinism: navigation functions carry a unique total order; sums
+accumulate in DECIMAL; the HLL check is a boolean error-bound predicate
+(both engines' sketches sit far inside the bound at these cardinalities);
+salting/bucketing change plan shape only, never values.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from supersonic_spark.operators import aggregate as agg
+from supersonic_spark.operators import analytics, join as join_ops
+from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+from supersonic_spark.queries import _dec, _t, q
+from supersonic_spark.session import load_tables
+from supersonic_spark.sources import io as ss_io
+
+
+@q(
+    "window_navigation_events",
+    """SELECT event_id, user_id,
+              LAG(value) OVER w AS prev_value,
+              LEAD(event_type) OVER w AS next_type,
+              NTILE(4) OVER w AS quartile,
+              FIRST_VALUE(ts) OVER w AS first_ts
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_window_navigation_events(spark, sf_dir):
+    """Navigation/offset window family (beyond-reference: supersonic's only
+    order-dependent surface is the stateful expressions, SURVEY.md §2.7):
+    lag/lead/ntile/first_value over one (user, time) window.  Scale shape:
+    all four functions share a single Window node — one shuffle on user_id,
+    one sort, regardless of how many navigation outputs ride it."""
+    t = _t(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "ts", "event_type", "value")
+    out = analytics.window_navigation(
+        ev,
+        partition="user_id",
+        order=["ts", "event_id"],
+        exprs={
+            "prev_value": F.lag("value"),
+            "next_type": F.lead("event_type"),
+            "quartile": F.ntile(4),
+            "first_ts": F.first("ts"),
+        },
+    )
+    return out.select(
+        "event_id", "user_id", "prev_value", "next_type", "quartile", "first_ts"
+    )
+
+
+@q(
+    "approx_distinct_users",
+    """SELECT event_type,
+              COUNT(DISTINCT user_id) AS n_exact,
+              abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+                <= 0.05 * COUNT(DISTINCT user_id) AS approx_ok
+       FROM events GROUP BY event_type""",
+)
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ approximate distinct next to the exact count.  The
+    reference reserves an estimated-distinct knob but never implements it
+    (proto/specification.proto:33-37) — this completes the intent.  The
+    oracle compares a sketch-error-bound BOOLEAN (both engines' HLL
+    estimates sit far inside ±5% at these cardinalities), not the raw
+    estimate, which is engine-specific.  Scale: exact distinct shuffles the
+    whole key domain; the sketch is a constant-size mergeable state — at
+    100 TB that is the difference between a re-shuffle and a map-side
+    combine (see aggregate.approx_distinct_aggregate)."""
+    t = _t(spark, sf_dir)
+    out = t["events"].groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
+    )
+    return out.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("approx_ok"),
+    )
+
+
+@q(
+    "skew_salted_join",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c_mktsegment""",
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Explicit salted join (the companion to skew_salted_aggregate): left
+    rows take a deterministic salt, the right side replicates
+    ``salt_buckets``×, and the join key widens to (key, salt) — a hot key's
+    rows split across ``salt_buckets`` tasks instead of one straggler.
+    Values are provably identical to the plain join (the oracle IS the
+    plain join).  At 100 TB this is the manual fallback when AQE's runtime
+    skew splitting can't see the skew (e.g. pre-shuffled inputs)."""
+    t = _t(spark, sf_dir)
+    ev = t["events"].select("user_id", _dec("value").alias("value_d"))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = agg.salted_join(ev, cust, on=["user_id"], salt_buckets=8)
+    return agg.group_aggregate(
+        j,
+        ["c_mktsegment"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "value_d", "total", output_type="double"),
+        ],
+    )
+
+
+@q(
+    "bucketed_join_orders",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def q_bucketed_join_orders(spark, sf_dir):
+    """Bucketed co-located join: both fact tables are persisted bucketed
+    (and sorted) on the join key, so the join reads bucket i against bucket
+    i with NO exchange on either side — the shuffle is paid once at write
+    time and amortized over every later join/aggregation on that key (the
+    100 TB answer to repeatedly joining the same fact tables).  The plan
+    shape (no Exchange under the SortMergeJoin) is pinned by
+    tests/test_scale_patterns.py; values hash-match the plain join."""
+    t = _t(spark, sf_dir)
+    tmp = os.path.join(tempfile.gettempdir(), "ss_bucketed")
+    li = t["lineitem"].select("l_orderkey", _dec("l_quantity").alias("qty_d"))
+    orders = t["orders"].select("o_orderkey", "o_orderpriority")
+    ss_io.write_bucketed_table(
+        li, "ss_bkt_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+        path=os.path.join(tmp, "lineitem"),
+    )
+    ss_io.write_bucketed_table(
+        orders, "ss_bkt_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        path=os.path.join(tmp, "orders"),
+    )
+    lb = ss_io.read_table(spark, "ss_bkt_lineitem")
+    ob = ss_io.read_table(spark, "ss_bkt_orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    j = join_ops.hash_join(lb, ob, on="l_orderkey")
+    return agg.group_aggregate(
+        j,
+        ["o_orderpriority"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "qty_d", "total_qty", output_type="double"),
+        ],
+    )
+
+
+@q(
+    "source_csv_roundtrip",
+    """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+       FROM nation GROUP BY n_regionkey""",
+)
+def q_source_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink round-trip (FileInput/FileOutput with a text format,
+    file_io.h:64-77): write nation as CSV, read it back with an EXPLICIT
+    schema (inference is a full extra pass at 100 TB — file_input refuses
+    csv without one), aggregate, and hash-match against the original
+    parquet.  Exercises quoting, header handling, and string/int fidelity
+    through the text round-trip."""
+    t = _t(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "ss_src_csv_nation")
+    nat = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    ss_io.file_output(nat, path, format="csv", mode="overwrite", header="true")
+    back = ss_io.file_input(
+        spark, path, format="csv",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+        header="true",
+    )
+    return agg.group_aggregate(
+        back,
+        ["n_regionkey"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.MIN, "n_name", "first_name"),
+        ],
+    )
+
+
+@q(
+    "source_json_roundtrip",
+    """SELECT s_nationkey, COUNT(*) AS n,
+              CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+              MIN(s_name) AS first_name
+       FROM supplier GROUP BY s_nationkey""",
+)
+def q_source_json_roundtrip(spark, sf_dir):
+    """JSON-lines source/sink round-trip: write supplier as newline-JSON,
+    read back with an explicit schema, aggregate, hash-match the original.
+    Doubles survive exactly (Spark writes shortest round-trip decimal
+    repr); sums still accumulate in DECIMAL so the aggregate is
+    order-independent on both engines."""
+    t = _t(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "ss_src_json_supplier")
+    sup = t["supplier"].select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    ss_io.file_output(sup, path, format="json", mode="overwrite")
+    back = ss_io.file_input(
+        spark, path, format="json",
+        schema="s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double",
+    )
+    back = back.withColumn("bal_d", _dec("s_acctbal"))
+    return agg.group_aggregate(
+        back,
+        ["s_nationkey"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "bal_d", "total_bal", output_type="double"),
+            AggSpec(Aggregation.MIN, "s_name", "first_name"),
+        ],
+    )
+
+
+@q(
+    "streaming_interval_join",
+    """SELECT p.event_id, p.user_id, p.ts AS p_ts,
+              v.ts AS view_ts, v.value AS view_value
+       FROM events p JOIN events v
+         ON p.user_id = v.user_id
+        AND p.event_type = 'purchase' AND v.event_type = 'view'
+        AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts <= p.ts""",
+)
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream join with BATCH-EQUAL semantics: each purchase joins
+    the same user's view events from the trailing 24 h — two watermarked
+    file streams, event-time interval condition, drained via availableNow
+    and hash-matched against the batch SQL join.  The watermark + interval
+    bound BOTH state buffers (rows age out once the other stream's
+    watermark passes their window) — the property that makes stream-stream
+    joins runnable forever at 100 TB/day ingest."""
+    from supersonic_spark.streaming.ops import (
+        events_stream,
+        stream_stream_interval_join,
+    )
+
+    load_tables(spark, sf_dir)  # applies runtime conf (UTC)
+    purch = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value"))
+    )
+    j = stream_stream_interval_join(
+        purch, views, ["user_id"], "p_ts", "view_ts",
+        lower="24 hours", upper="0 seconds", watermark="1 hour",
+    )
+    sink = "ss_stream_interval_join"
+    for q_ in spark.streams.active:
+        if q_.name == sink:
+            q_.stop()
+    (
+        j.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.table(sink).select(
+        "event_id",
+        "user_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        "view_value",
+    )

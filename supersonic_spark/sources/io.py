@@ -144,6 +144,7 @@ def write_bucketed_table(
     sort_cols: list[str] | None = None,
     format: str = "parquet",
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
 
@@ -152,11 +153,14 @@ def write_bucketed_table(
     side (and no sort, if ``sort_cols`` matches) — the shuffle is paid once
     at write time and amortized over every subsequent join/aggregation on
     that key.  Requires a catalog table (bucket metadata lives there), not
-    a bare path.
+    a bare path; ``path`` makes it an EXTERNAL table at that location
+    (useful when the session's warehouse dir shouldn't own the data).
     """
     writer = df.write.format(format).mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

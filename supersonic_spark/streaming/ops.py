@@ -96,6 +96,48 @@ def windowed_aggregate(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval:
+    ``right.right_ts ∈ [left.left_ts - lower, left.left_ts + upper]``.
+
+    Both sides carry a watermark; with the time-range condition Spark can
+    bound BOTH join-state buffers (rows age out once the other side's
+    watermark passes their interval), so state is finite on unbounded
+    streams — the thing a plain stream-stream equi-join cannot promise.
+    The semantics are batch-equal for inner joins: draining a finite
+    source via availableNow emits exactly the batch join's rows.
+
+    ``keys`` must exist on both sides with the same names; ``left_ts`` /
+    ``right_ts`` must be distinct TimestampType column names (Spark needs
+    both in the condition to infer the state bound).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lower}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    out = lw.join(rw, cond, how)
+    for k in keys:  # drop the right-side duplicate key columns
+        out = out.drop(rw[k])
+    return out
+
+
 def stream_dedup(
     df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:

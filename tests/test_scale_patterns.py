@@ -1,0 +1,210 @@
+"""Scale-pattern operators: bucketed co-located joins (plan-shape pinned),
+explicit skew salting, navigation windows, sketch distinct, source
+round-trips, and the watermark-bounded stream-stream interval join."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+# ---------------------------------------------------------------------
+# bucketed join: values == plain join AND no Exchange in the plan
+# ---------------------------------------------------------------------
+
+
+def test_bucketed_join_no_exchange(spark, tables):
+    from supersonic_spark.sources import io as ss_io
+
+    tmp = os.path.join(tempfile.gettempdir(), "ss_test_bucketed")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    orders = tables["orders"].select("o_orderkey", "o_orderpriority")
+    ss_io.write_bucketed_table(
+        li, "t_bkt_li", ["l_orderkey"], 4, sort_cols=["l_orderkey"],
+        path=os.path.join(tmp, "li"),
+    )
+    ss_io.write_bucketed_table(
+        orders, "t_bkt_ord", ["o_orderkey"], 4, sort_cols=["o_orderkey"],
+        path=os.path.join(tmp, "ord"),
+    )
+    lb = ss_io.read_table(spark, "t_bkt_li")
+    ob = ss_io.read_table(spark, "t_bkt_ord")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so bucketing is what kills the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        got = j.groupBy("o_orderpriority").count()
+        want = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert rows(got) == rows(want)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------
+# salted join == plain join
+# ---------------------------------------------------------------------
+
+
+def test_salted_join_matches_plain(spark, tables):
+    from supersonic_spark.operators.aggregate import salted_join
+
+    ev = tables["events"].select("user_id", "event_id", "value")
+    cust = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    got = salted_join(ev, cust, on=["user_id"], salt_buckets=4)
+    want = ev.join(cust, on=["user_id"], how="inner")
+    assert rows(got, "event_id", "c_mktsegment") == rows(
+        want, "event_id", "c_mktsegment"
+    )
+    # left outer keeps unmatched left rows exactly once
+    got_l = salted_join(ev, cust, on=["user_id"], salt_buckets=4, how="left")
+    want_l = ev.join(cust, on=["user_id"], how="left")
+    assert got_l.count() == want_l.count()
+
+
+# ---------------------------------------------------------------------
+# navigation window family
+# ---------------------------------------------------------------------
+
+
+def test_window_navigation_golden(spark):
+    from supersonic_spark.operators.analytics import window_navigation
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)],
+        "k string, seq int, v double",
+    )
+    out = window_navigation(
+        df,
+        partition="k",
+        order="seq",
+        exprs={
+            "prev_v": F.lag("v"),
+            "next_v": F.lead("v"),
+            "half": F.ntile(2),
+            "first_v": F.first("v"),
+        },
+    )
+    # all navigation outputs share one Window node => exactly one shuffle
+    # (pin BEFORE executing: AQE rewrites the plan string post-run)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    got = {(r["k"], r["seq"]): r for r in out.collect()}
+    assert got[("a", 1)]["prev_v"] is None and got[("a", 2)]["prev_v"] == 10.0
+    assert got[("a", 1)]["next_v"] == 20.0 and got[("a", 3)]["next_v"] is None
+    assert got[("a", 1)]["half"] == 1 and got[("a", 3)]["half"] == 2
+    assert got[("a", 3)]["first_v"] == 10.0
+    assert got[("b", 1)]["prev_v"] is None and got[("b", 1)]["half"] == 1
+
+
+# ---------------------------------------------------------------------
+# approx distinct: HLL inside the error bound vs exact
+# ---------------------------------------------------------------------
+
+
+def test_approx_distinct_bound(spark, tables):
+    from supersonic_spark.operators.aggregate import approx_distinct_aggregate
+
+    ev = tables["events"]
+    approx = {
+        r["event_type"]: r["nd"]
+        for r in approx_distinct_aggregate(
+            ev, ["event_type"], "user_id", "nd", rsd=0.02
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("nd"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(1, 0.05 * e), (k, approx[k], e)
+
+
+# ---------------------------------------------------------------------
+# stream-stream interval join == batch interval join
+# ---------------------------------------------------------------------
+
+
+def test_stream_stream_interval_join_batch_equal(spark, sf_dir, tables):
+    from supersonic_spark.streaming.ops import (
+        events_stream,
+        stream_stream_interval_join,
+    )
+
+    purch = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    j = stream_stream_interval_join(
+        purch, views, ["user_id"], "p_ts", "v_ts",
+        lower="24 hours", upper="0 seconds",
+    )
+    sink = "t_ss_interval_join"
+    (
+        j.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.table(sink)
+
+    ev = tables["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("v_ts")
+    )
+    want = p.join(
+        v,
+        (p["user_id"] == v["vu"])
+        & (v["v_ts"] >= p["p_ts"] - F.expr("INTERVAL 24 HOURS"))
+        & (v["v_ts"] <= p["p_ts"]),
+    ).drop("vu")
+    assert rows(got, "event_id", "v_ts") == rows(want, "event_id", "v_ts")
+    assert got.count() > 0  # the interval actually matches something
+
+
+# ---------------------------------------------------------------------
+# csv/json round-trips preserve values
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_source_roundtrip(spark, tables, fmt):
+    from supersonic_spark.sources import io as ss_io
+
+    path = os.path.join(tempfile.gettempdir(), f"ss_test_rt_{fmt}")
+    sup = tables["supplier"].select("s_suppkey", "s_name", "s_acctbal")
+    opts = {"header": "true"} if fmt == "csv" else {}
+    ss_io.file_output(sup, path, format=fmt, mode="overwrite", **opts)
+    back = ss_io.file_input(
+        spark, path, format=fmt,
+        schema="s_suppkey bigint, s_name string, s_acctbal double",
+        **opts,
+    )
+    assert rows(back) == rows(sup)
