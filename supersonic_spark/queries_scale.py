@@ -230,6 +230,49 @@ def q_source_json_roundtrip(spark, sf_dir):
 
 
 @q(
+    "sketch_distinct_merge",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS d, event_type, user_id FROM events
+       )
+       SELECT event_type,
+              COUNT(DISTINCT user_id) AS n_exact,
+              abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+                <= 0.05 * COUNT(DISTINCT user_id) AS sketch_ok
+       FROM daily GROUP BY event_type""",
+)
+def q_sketch_distinct_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    one sketch per (day, event_type) partition, then MERGE the per-day
+    sketches up to event_type with hll_union_agg — the pre-aggregation
+    pattern that makes distinct counting O(sketch) instead of O(key
+    domain) at 100 TB: daily sketch tables union over arbitrary date
+    ranges without touching raw data again.  The oracle pins the exact
+    count and an error-bound boolean (HLL at lgK=12 is ~1.6% rsd — far
+    inside ±5%); the estimate itself is engine-specific."""
+    t = _t(spark, sf_dir)
+    daily = t["events"].select(
+        F.col("ts").cast("date").alias("d"), "event_type", "user_id"
+    )
+    sketches = daily.groupBy("d", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_approx")
+    )
+    exact = daily.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    out = exact.join(merged, "event_type")
+    return out.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+        ).alias("sketch_ok"),
+    )
+
+
+@q(
     "streaming_interval_join",
     """SELECT p.event_id, p.user_id, p.ts AS p_ts,
               v.ts AS view_ts, v.value AS view_value

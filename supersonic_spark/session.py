@@ -100,17 +100,30 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: (session id, sf_dir, names) -> loaded DataFrames.  Reading 10 parquet
+#: footers + re-registering 10 temp views costs ~1s of driver time per
+#: call, and every catalog query calls load_tables — memoizing makes the
+#: per-query overhead one dict lookup.  DataFrames are immutable/lazy, so
+#: reuse across queries is free; views persist for the session.
+_TABLE_CACHE: dict[tuple, dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str, DataFrame]:
     """Load the driver's parquet tables and register them as temp views.
 
     Equivalent of the reference's FileInput (cursor/infrastructure/
     file_io.h:74-77) with Parquet as the idiomatic on-disk format
     (SURVEY.md §2.1) — columnar, predicate-pushdown- and pruning-capable.
+    Memoized per (session, sf_dir): repeat calls are free.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    apply_runtime_conf(spark)
+    apply_runtime_conf(spark)  # idempotent, ~ms — keep outside the memo
+    key = (id(spark), os.path.abspath(sf_dir), tuple(names))
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return dict(hit)
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -129,4 +142,5 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str
                 )
             df.createOrReplaceTempView(name)
             out[name] = df
-    return out
+    _TABLE_CACHE[key] = out
+    return dict(out)
