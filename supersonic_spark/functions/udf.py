@@ -54,6 +54,32 @@ def grouped_agg(return_type):
     return deco
 
 
+def ngram_udtf(n: int = 3):
+    """Table-function surface (UDTF — rows in, TABLE out), completing the
+    extensibility trio (scalar UDF / UDAF / UDTF) the reference lacks at
+    runtime.  Emits each word ``n``-gram of ``text`` with its position:
+
+        spark.udtf.register("ngrams", ngram_udtf(3))
+        SELECT d.doc_id, t.pos, t.ngram FROM documents d,
+               LATERAL ngrams(d.text) t
+
+    Tokenization is whitespace-split of the trimmed text (same rule as
+    pipeline.textstats.tokens); texts with < n words emit nothing.  Scale
+    note: UDTFs evaluate row-at-a-time in Python — use for genuinely
+    table-shaped logic; the JVM-side posexplode pipelines (e.g.
+    textstats.chunk_documents) stay the hot path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NGrams:
+        def eval(self, text: str):
+            words = text.split() if text else []
+            for i in range(len(words) - n + 1):
+                yield i, " ".join(words[i : i + n])
+
+    return NGrams
+
+
 def geomean(col) -> Column:
     """Geometric mean UDAF example: exp(mean(ln(x))) over positive values,
     NULL if the group has none.  The catalog query ``udaf_geomean`` pins it

@@ -273,6 +273,181 @@ def q_sketch_distinct_merge(spark, sf_dir):
 
 
 @q(
+    "custom_python_source",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(i) AS BIGINT) AS total,
+              CAST(MIN(i) AS BIGINT) AS lo, CAST(MAX(i) AS BIGINT) AS hi
+       FROM range(90000, 100000) t(i)""",
+)
+def q_custom_python_source(spark, sf_dir):
+    """Custom Python data source (the reference's FileInput/Generate
+    extensibility re-expressed on Spark's DataSource API,
+    sources/python_source.py): a splittable, pushdown-aware sequence
+    source.  The ``id >= 90000`` filter is pushed INTO the source
+    (pushFilters narrows the generated range before any row exists), so
+    the scan produces 10k rows, not 100k — the custom-source equivalent
+    of parquet predicate pushdown, pinned by
+    tests/test_scale_patterns.py."""
+    from supersonic_spark.sources.python_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("supersonic_seq")
+        .option("n", 100_000)
+        .option("numPartitions", 8)
+        .load()
+        .filter(F.col("id") >= 90_000)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("total"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    )
+
+
+_NGRAM_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+  WHERE doc_id % 50 = 0
+), g AS (
+  SELECT doc_id,
+         unnest([array_to_string(words[i:i+2], ' ')
+                 for i in range(1, len(words) - 2 + 1)]) AS ngram,
+         generate_subscripts([x for x in range(1, len(words) - 2 + 1)], 1) - 1
+           AS pos
+  FROM base WHERE len(words) >= 3
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, ngram FROM g
+"""
+
+
+@q("udtf_ngrams", _NGRAM_ORACLE)
+def q_udtf_ngrams(spark, sf_dir):
+    """Python UDTF (rows → TABLE), completing the runtime extensibility
+    trio (UDF/UDAF/UDTF) the reference only has at compile time
+    (SURVEY.md §2.7): word trigrams with positions via a LATERAL table
+    function, hash-matched against a DuckDB list-comprehension unnest.
+    Sampled to 1 in 50 docs — the UDTF path is row-at-a-time Python by
+    design (the JVM posexplode pipelines remain the bulk path)."""
+    from supersonic_spark.functions.udf import ngram_udtf
+
+    t = _t(spark, sf_dir)
+    spark.udtf.register("ss_ngrams", ngram_udtf(3))
+    t["documents"].filter(F.col("doc_id") % 50 == 0).createOrReplaceTempView(
+        "ss_udtf_docs"
+    )
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.ngram
+           FROM ss_udtf_docs d, LATERAL ss_ngrams(d.text) t"""
+    )
+
+
+@q(
+    "streaming_foreachbatch_sink",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'purchase'""",
+)
+def q_streaming_foreachbatch_sink(spark, sf_dir):
+    """foreachBatch parquet sink with idempotent per-batch paths: the
+    stream's purchases land under batch=<id> directories (reruns
+    overwrite the same path — exactly-once by idempotence, the standard
+    production sink recipe when the target lacks transactions); the
+    returned DataFrame re-reads what was SUNK, so the oracle checks the
+    full write-read cycle, not just the in-flight stream."""
+    import shutil
+
+    from supersonic_spark.streaming.ops import events_stream
+
+    load_tables(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out_dir = os.path.join(tempfile.gettempdir(), f"ss_foreachbatch_sink{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(df, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    stream = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema("event_id long, user_id long, value double")
+        .parquet(out_dir)
+    )
+
+
+@q(
+    "streaming_multibatch_window_agg",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM events GROUP BY 1, 2""",
+)
+def q_streaming_multibatch_window_agg(spark, sf_dir):
+    """TRUE incremental processing: the events table is split into 4
+    files and streamed with maxFilesPerTrigger=1, so availableNow drains
+    it in 4 micro-batches — the windowed state MERGES partial counts/sums
+    across batches (the thing single-batch drains never exercise) and the
+    final complete-mode result still hash-matches the batch SQL."""
+    import shutil
+
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+    from supersonic_spark.streaming.ops import windowed_aggregate
+
+    tables = load_tables(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"ss_multibatch_src{tag}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        shutil.rmtree(src, ignore_errors=True)
+        tables["events"].repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("value_d", F.col("value").cast("decimal(12,2)"))
+    )
+    agged = windowed_aggregate(
+        stream,
+        "ts",
+        "1 hour",
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "value_d", "total", output_type="double"),
+        ],
+        keys=["event_type"],
+        watermark="1 hour",
+    )
+    sink = "ss_stream_multibatch_agg"
+    for q_ in spark.streams.active:
+        if q_.name == sink:
+            q_.stop()
+    (
+        agged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.table(sink).select(
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    )
+
+
+@q(
     "streaming_interval_join",
     """SELECT p.event_id, p.user_id, p.ts AS p_ts,
               v.ts AS view_ts, v.value AS view_value

@@ -53,6 +53,9 @@ RUNTIME_CONF = {
     # cannot map to TimestampType (µs); read the raw int64 and convert in
     # the loader (ns → µs truncation, matching DuckDB's ns→µs cast).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let custom Python data sources receive pushed filters
+    # (sources/python_source.py narrows its generated range with them).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -237,6 +237,89 @@ def test_stream_running_agg_tws_batch_equal(spark, sf_dir, tables):
 # ---------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------
+# custom Python data source: pushdown + split + stream
+# ---------------------------------------------------------------------
+
+
+def test_python_source_pushdown_and_split(spark):
+    from supersonic_spark.sources.python_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("supersonic_seq")
+        .option("n", 100_000)
+        .option("numPartitions", 8)
+        .load()
+        .filter(F.col("id") >= 90_000)
+    )
+    # the >= and isnotnull filters are consumed by pushFilters => no
+    # post-scan Filter node re-evaluates them
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert ">= 90000" not in plan and "isnotnull" not in plan, plan
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    ).collect()[0]
+    assert row["n"] == 10_000
+    assert row["s"] == sum(range(90_000, 100_000))
+    # splittable: the narrowed range still fans out across partitions
+    assert df.rdd.getNumPartitions() == 8
+    # equality pushdown narrows to a single row
+    one = spark.read.format("supersonic_seq").option("n", 100).load()
+    assert one.filter(F.col("id") == 7).collect() == [(7,)]
+
+
+def test_python_source_stream_incremental(spark):
+    from supersonic_spark.sources.python_source import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("supersonic_seq")
+        .option("n", 50)
+        .option("step", 20)
+        .load()
+    )
+    sink = "t_pysource_stream"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if spark.table(sink).count() >= 50:
+            break
+        _t.sleep(0.5)
+    q.stop()
+    got = sorted(r["id"] for r in spark.table(sink).collect())
+    assert got == list(range(50))  # 3 incremental batches: 20+20+10
+
+
+# ---------------------------------------------------------------------
+# UDTF: lateral ngrams golden
+# ---------------------------------------------------------------------
+
+
+def test_udtf_ngrams_golden(spark):
+    from supersonic_spark.functions.udf import ngram_udtf
+
+    spark.udtf.register("t_ngrams", ngram_udtf(2))
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, None), (4, "  p   q  ")],
+        "id long, text string",
+    ).createOrReplaceTempView("t_udtf_in")
+    got = rows(
+        spark.sql(
+            "SELECT i.id, t.pos, t.ngram FROM t_udtf_in i, LATERAL t_ngrams(i.text) t"
+        )
+    )
+    assert got == [(1, 0, "a b"), (1, 1, "b c"), (4, 0, "p q")]
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_source_roundtrip(spark, tables, fmt):
     from supersonic_spark.sources import io as ss_io
