@@ -55,6 +55,10 @@ HEADLINE: dict[str, list[str]] = {
     "tpch_q21_shape": ["supplier", "orders", "lineitem", "nation"],
     "upsert_latest_events": ["events"],
     "text_repetition_signals": ["documents"],
+    "window_navigation_events": ["events"],
+    "approx_distinct_users": ["events"],
+    "sketch_distinct_merge": ["events"],
+    "skew_salted_join": ["events", "customer"],
 }
 
 
