@@ -55,6 +55,15 @@ def hash_join(
     return left.join(right, on=on, how=how)
 
 
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Cartesian product (absent in the reference: no nested-loop join,
+    SURVEY.md §2.3).  For a small ``right`` Spark plans BroadcastNestedLoop
+    — each left partition pairs with the broadcast right locally, no
+    shuffle.  Guard rails at 100 TB: only ever cross small dimensions, or
+    the output row count |L|×|R| is the plan."""
+    return left.crossJoin(right)
+
+
 def dedup_cols(cols: list[Column], key_names, df: DataFrame) -> list[Column]:
     """Ensure join keys survive a projector that dropped them."""
     have = {df.select(c).columns[0] for c in cols}

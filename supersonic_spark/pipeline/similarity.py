@@ -338,6 +338,69 @@ def ivf_topk(
     )
 
 
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col,
+    vec_col,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """DISTRIBUTED spherical k-means (Lloyd's): the full-corpus companion
+    to the driver-side sampled trainer (:func:`ivf_train_centroids`).
+
+    Per iteration: (1) assignment — one Arrow-batched matmul pass over the
+    corpus against the broadcast centroids (no shuffle); (2) update — one
+    posexplode → (cluster, dim) partial-aggregated mean shuffle, whose
+    output is k×dim rows collected to the driver for the next broadcast.
+    At 100 TB each iteration therefore costs one corpus scan + one
+    k×dim-sized shuffle — the canonical distributed-ML shape (small model
+    state circulates; big data never moves).
+
+    Deterministic end to end: seeds are the k vectors with the smallest
+    xxhash64(id) (ties to lowest id), assignment argmax ties break to the
+    lowest cluster id (numpy argmax), means are dimension-wise independent
+    aggregations.  Returns (assignments DataFrame ``id_col, cluster``,
+    centroids as k×dim python lists — unit-normalized).
+    """
+    centroids = ivf_centroids(df, id_col, vec_col, k)
+    base = df.select(_c(id_col).alias("__id"), _c(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = base.withColumn("cluster", _assign_cells_udf(centroids, 1)("__v")[0])
+        # update: normalize, then dimension-wise mean per cluster —
+        # posexplode keys the shuffle on (cluster, dim); partial agg
+        # shrinks it to k×dim rows before the exchange.
+        nrm = F.sqrt(
+            F.aggregate("__v", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+        )
+        unit = F.transform("__v", lambda x: x.cast("double") / F.greatest(nrm, F.lit(1e-12)))
+        dims = (
+            assigned.select("cluster", F.posexplode(unit).alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+        )
+        rows = (
+            dims.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new_c = list(centroids)
+        for r in rows:
+            v = np.asarray(r["centroid"], dtype="float64")
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                new_c[r["cluster"]] = [float(x) for x in v / n]
+        centroids = new_c
+    final = base.withColumn("cluster", _assign_cells_udf(centroids, 1)("__v")[0])
+    out = final.select(F.col("__id").alias(id_col if isinstance(id_col, str) else "id"),
+                       "cluster")
+    return out, centroids
+
+
 def mean_embedding(
     df: DataFrame,
     key_col: str,

@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from supersonic_spark.operators import aggregate as agg
-from supersonic_spark.operators import analytics, join as join_ops
+from supersonic_spark.operators import analytics, core, join as join_ops
 from supersonic_spark.operators.aggregate import AggSpec, Aggregation
 from supersonic_spark.queries import _dec, _t, q
 from supersonic_spark.session import load_tables
@@ -270,6 +270,68 @@ def q_sketch_distinct_merge(spark, sf_dir):
             F.abs(F.col("n_approx") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
         ).alias("sketch_ok"),
     )
+
+
+@q(
+    "hash_join_full_outer",
+    """SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+              c.c_name, o.n_orders
+       FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 700) c
+       FULL OUTER JOIN (
+         SELECT o_custkey, COUNT(*) AS n_orders
+         FROM orders WHERE o_custkey > 300 GROUP BY o_custkey
+       ) o ON c.c_custkey = o.o_custkey""",
+)
+def q_hash_join_full_outer(spark, sf_dir):
+    """FULL OUTER hash join — declared in the reference's JoinType enum but
+    never implemented (proto/supersonic.proto:108-113; hash_join.h:37-38
+    supports INNER/LEFT only): parity-plus via Spark's native full outer.
+    The two offset filters guarantee rows on all three paths (left-only,
+    matched, right-only)."""
+    t = _t(spark, sf_dir)
+    cust = core.filter_op(
+        t["customer"], F.col("c_custkey") <= 700, ["c_custkey", "c_name"]
+    )
+    ords = agg.group_aggregate(
+        core.filter_op(t["orders"], F.col("o_custkey") > 300, ["o_custkey"]),
+        ["o_custkey"],
+        [AggSpec(Aggregation.COUNT, None, "n_orders")],
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    return join_ops.hash_join(cust, ords, on="c_custkey", how="full_outer")
+
+
+@q(
+    "cross_join_region_nation",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation""",
+)
+def q_cross_join_region_nation(spark, sf_dir):
+    """Cartesian product (absent in the reference — no nested-loop join,
+    SURVEY.md §2.3): exposed for the small-dimension grid case; Spark
+    plans a broadcast nested loop, never a shuffle."""
+    t = _t(spark, sf_dir)
+    return join_ops.cross_join(
+        t["region"].select("r_name"), t["nation"].select("n_name")
+    )
+
+
+@q("kmeans_embeddings")  # iterative algorithm: rows-only; determinism unit-tested
+def q_kmeans_embeddings(spark, sf_dir):
+    """Distributed spherical k-means (Lloyd's) on the embeddings table —
+    the full-corpus iterative-ML shape: per iteration one Arrow-batched
+    assignment scan (no shuffle) + one k×dim partial-aggregated mean
+    shuffle; only the k×dim model state circulates through the driver.
+    Deterministic init/ties ⇒ stable cluster sizes; output is the size
+    histogram (cluster, n), smallest id first."""
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+    from supersonic_spark.pipeline.similarity import kmeans_lloyd
+
+    t = _t(spark, sf_dir)
+    assigned, _ = kmeans_lloyd(t["embeddings"], "vec_id", "embedding", k=8, iters=3)
+    out = agg.group_aggregate(
+        assigned, ["cluster"], [AggSpec(Aggregation.COUNT, None, "n")]
+    )
+    return sort_ops.sort(out, [SortKey("cluster")])
 
 
 @q(

@@ -320,6 +320,72 @@ def test_udtf_ngrams_golden(spark):
     assert got == [(1, 0, "a b"), (1, 1, "b c"), (4, 0, "p q")]
 
 
+# ---------------------------------------------------------------------
+# distributed k-means: deterministic, inertia improves, sizes sum to n
+# ---------------------------------------------------------------------
+
+
+def test_kmeans_lloyd_deterministic_and_clusters(spark, tables):
+    import numpy as np
+
+    from supersonic_spark.pipeline.similarity import kmeans_lloyd
+
+    emb = tables["embeddings"]
+    a1, c1 = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=2)
+    a2, c2 = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=2)
+    assert c1 == c2  # deterministic centroids
+    m1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert m1 == m2
+    assert len(m1) == emb.count()
+    assert set(m1.values()) <= set(range(4))
+    # centroids are unit vectors
+    for c in c1:
+        assert abs(np.linalg.norm(np.asarray(c)) - 1.0) < 1e-9
+    # training improves mean cosine to assigned centroid vs iteration 0
+    X = np.stack([np.asarray(r["embedding"], dtype="float64")
+                  for r in emb.select("embedding").collect()])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    def mean_cos(cents):
+        C = np.asarray(cents)
+        return float((Xn @ C.T).max(axis=1).mean())
+
+    from supersonic_spark.pipeline.similarity import ivf_centroids
+
+    c0 = ivf_centroids(emb, "vec_id", "embedding", 4)
+    C0 = np.asarray(c0)
+    C0 = C0 / np.maximum(np.linalg.norm(C0, axis=1, keepdims=True), 1e-12)
+    assert mean_cos(c1) >= mean_cos(C0) - 1e-9
+
+
+# ---------------------------------------------------------------------
+# join-surface completion: full outer + cross
+# ---------------------------------------------------------------------
+
+
+def test_full_outer_and_cross_join(spark, tables):
+    from supersonic_spark.operators.join import cross_join, hash_join
+
+    cust = tables["customer"].select("c_custkey").filter(F.col("c_custkey") <= 10)
+    ords = (
+        tables["orders"]
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .filter(F.col("c_custkey") > 5)
+        .distinct()
+        .withColumn("has_orders", F.lit(True))
+    )
+    j = hash_join(cust, ords, on="c_custkey", how="full_outer")
+    got = j.collect()
+    keys = {r["c_custkey"] for r in got}
+    assert any(r["has_orders"] is None for r in got)  # left-only rows
+    assert keys >= {1, 2, 3}  # low keys survive with NULL right side
+    n_cross = cross_join(
+        tables["region"].select("r_regionkey"), tables["nation"].select("n_nationkey")
+    ).count()
+    assert n_cross == tables["region"].count() * tables["nation"].count()
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_source_roundtrip(spark, tables, fmt):
     from supersonic_spark.sources import io as ss_io
