@@ -335,6 +335,73 @@ def q_kmeans_embeddings(spark, sf_dir):
 
 
 @q(
+    "json_variant_extract",
+    """SELECT event_type, COUNT(*) AS n,
+              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k
+       FROM events GROUP BY event_type""",
+)
+def q_json_variant_extract(spark, sf_dir):
+    """VariantType semi-structured path (Spark 4): ``parse_json`` once
+    into the binary variant encoding, then ``variant_get`` typed field
+    access — at 100 TB the parse-once/access-many shape beats re-parsing
+    JSON text per extraction (json_extract_props is the text-path twin).
+    Aggregates are exact integers, so the oracle is engine-portable."""
+    t = _t(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    ev = t["events"].select(
+        "event_type", F.variant_get(v, "$.k", "long").alias("k")
+    )
+    return agg.group_aggregate(
+        ev,
+        ["event_type"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "k", "total_k"),
+        ],
+    )
+
+
+@q(
+    "partitioned_write_prune",
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM events
+       WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+       GROUP BY event_type""",
+)
+def q_partitioned_write_prune(spark, sf_dir):
+    """Hive-partitioned write + partition pruning: events land under
+    d=<date> directories (file_output partition_by); the date filter then
+    prunes at the LISTING level — unselected partitions are never opened,
+    the foundational scan-reduction lever at 100 TB (before row-group
+    stats, before pushdown).  The executed plan's PartitionFilters prove
+    it (pinned by tests/test_scale_patterns.py)."""
+    from supersonic_spark.sources import io as ss_io
+
+    tables = load_tables(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    dst = os.path.join(tempfile.gettempdir(), f"ss_part_events{tag}")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        ss_io.file_output(
+            tables["events"].withColumn("d", F.col("ts").cast("date")),
+            dst,
+            mode="overwrite",
+            partition_by=["d"],
+        )
+    ev = spark.read.parquet(dst).filter(
+        F.col("d").between("2024-01-10", "2024-01-12")
+    )
+    return agg.group_aggregate(
+        ev.withColumn("value_d", _dec("value")),
+        ["event_type"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "value_d", "total", output_type="double"),
+        ],
+    )
+
+
+@q(
     "custom_python_source",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(i) AS BIGINT) AS total,
               CAST(MIN(i) AS BIGINT) AS lo, CAST(MAX(i) AS BIGINT) AS hi

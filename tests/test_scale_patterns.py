@@ -321,6 +321,35 @@ def test_udtf_ngrams_golden(spark):
 
 
 # ---------------------------------------------------------------------
+# partitioned write: the date filter prunes partitions at listing time
+# ---------------------------------------------------------------------
+
+
+def test_partitioned_write_prunes(spark, tables):
+    from supersonic_spark.sources import io as ss_io
+
+    dst = os.path.join(tempfile.gettempdir(), "ss_test_part_prune")
+    ss_io.file_output(
+        tables["events"].withColumn("d", F.col("ts").cast("date")),
+        dst,
+        mode="overwrite",
+        partition_by=["d"],
+    )
+    df = spark.read.parquet(dst).filter(
+        F.col("d").between("2024-01-10", "2024-01-12")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "d#" in plan.split("PartitionFilters")[1][:200], plan
+    want = tables["events"].filter(
+        F.col("ts").cast("date").between("2024-01-10", "2024-01-12")
+    )
+    assert df.count() == want.count()
+    # pruned scan reads only the 3 matching partition directories
+    n_parts = df.select("d").distinct().count()
+    assert n_parts <= 3
+
+
+# ---------------------------------------------------------------------
 # distributed k-means: deterministic, inertia improves, sizes sum to n
 # ---------------------------------------------------------------------
 
