@@ -335,6 +335,63 @@ def q_kmeans_embeddings(spark, sf_dir):
 
 
 @q(
+    "lookup_index_join",
+    """WITH probe AS (
+         SELECT o_orderkey, o_custkey,
+                ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS query_id
+         FROM orders WHERE o_totalprice > 400000
+       )
+       SELECT p.query_id, p.o_orderkey, c.c_name, c.c_mktsegment
+       FROM probe p JOIN customer c ON p.o_custkey = c.c_custkey""",
+)
+def q_lookup_index_join(spark, sf_dir):
+    """LookupIndex / MultiLookup (cursor/base/lookup_index.h:23-80): point
+    lookups of a probe block against a broadcast index, carrying the
+    reference's ``query_ids`` side-vector — which probe ROW each match
+    belongs to — as an explicit row-id column (row-id discipline,
+    SURVEY.md §7.4).  The index side broadcasts; no shuffle touches the
+    probe stream."""
+    t = _t(spark, sf_dir)
+    probe = core.filter_op(
+        t["orders"], F.col("o_totalprice") > 400000, ["o_orderkey", "o_custkey"]
+    )
+    idx = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    out = join_ops.lookup_join(
+        probe, idx, on="o_custkey", query_id_order=["o_orderkey"]
+    )
+    return out.select("query_id", "o_orderkey", "c_name", "c_mktsegment")
+
+
+@q(
+    "cube_aggregate",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def q_cube_aggregate(spark, sf_dir):
+    """CUBE — all 2^k grouping-set combinations in one pass (absent in the
+    reference, SURVEY.md §2.4; completes the rollup/grouping-sets/cube
+    trio).  Spark expands the sets map-side (the same Expand trick as the
+    reference's DISTINCT NULL-fanout, hybrid_group_utils.h:15-50), so the
+    cube costs one shuffle regardless of how many subtotal levels it
+    emits."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].select(
+        "l_returnflag", "l_linestatus", _dec("l_quantity").alias("qty_d")
+    )
+    return agg.group_aggregate_cube(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "qty_d", "sum_qty", output_type="double"),
+        ],
+    )
+
+
+@q(
     "json_variant_extract",
     """SELECT event_type, COUNT(*) AS n,
               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k
