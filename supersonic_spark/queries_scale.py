@@ -438,13 +438,14 @@ def q_partitioned_write_prune(spark, sf_dir):
     tables = load_tables(spark, sf_dir)
     tag = sf_dir.rstrip("/").replace("/", "_")
     dst = os.path.join(tempfile.gettempdir(), f"ss_part_events{tag}")
-    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-        ss_io.file_output(
-            tables["events"].withColumn("d", F.col("ts").cast("date")),
-            dst,
-            mode="overwrite",
-            partition_by=["d"],
-        )
+    # always rewrite: a cached copy could silently go stale if the
+    # source tables are regenerated while /tmp persists
+    ss_io.file_output(
+        tables["events"].withColumn("d", F.col("ts").cast("date")),
+        dst,
+        mode="overwrite",
+        partition_by=["d"],
+    )
     ev = spark.read.parquet(dst).filter(
         F.col("d").between("2024-01-10", "2024-01-12")
     )
@@ -591,9 +592,10 @@ def q_streaming_multibatch_window_agg(spark, sf_dir):
     tables = load_tables(spark, sf_dir)
     tag = sf_dir.rstrip("/").replace("/", "_")
     src = os.path.join(tempfile.gettempdir(), f"ss_multibatch_src{tag}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        shutil.rmtree(src, ignore_errors=True)
-        tables["events"].repartition(4).write.mode("overwrite").parquet(src)
+    # always rewrite (stale-cache guard: source tables can be regenerated
+    # between rounds while /tmp persists)
+    shutil.rmtree(src, ignore_errors=True)
+    tables["events"].repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
