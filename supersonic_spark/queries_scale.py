@@ -335,6 +335,38 @@ def q_kmeans_embeddings(spark, sf_dir):
 
 
 @q(
+    "stats_aggregate_family",
+    """SELECT l_returnflag,
+              round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+              round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+              round(stddev_samp(l_discount), 6) AS discount_sd,
+              round(var_pop(l_tax), 6) AS tax_var,
+              round(skewness(l_quantity), 4) AS qty_skew,
+              round(kurtosis(l_quantity), 4) AS qty_kurt
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_stats_aggregate_family(spark, sf_dir):
+    """Statistical moment aggregates (beyond-reference: supersonic stops at
+    SUM/MIN/MAX/COUNT, proto/supersonic.proto:91-99): correlation,
+    covariance, stddev/variance, skewness, kurtosis — each a single-pass
+    mergeable moment sketch in Spark's HashAggregate (partial moments
+    combine map-side like any decomposable agg; no second pass over the
+    data).  Rounded to 4-6dp (skew/kurt 4dp — their higher moments wobble at 1e-6 between engines): the moment SUMS are float-order-dependent
+    across partitionings, the rounded statistics are not."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    out = li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
+        F.round(F.var_pop("l_tax"), 6).alias("tax_var"),
+        F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("qty_kurt"),
+    )
+    return out
+
+
+@q(
     "lookup_index_join",
     """WITH probe AS (
          SELECT o_orderkey, o_custkey,
