@@ -164,21 +164,30 @@ def main() -> None:
     }
 
     sf = orig_sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(results.values()), 3),
-                "unit": "sec",
-                "queries": results,
-                "cold_queries": cold,
-                "ingest_sec": ingest_sec,
-                "rows_processed": rows_processed,
-                "rows_per_sec": rows_per_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    lean = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "ingest_sec": ingest_sec,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver records only the last ~2000 chars of stdout: keep the
+    # contract line LEAN so it parses, and park the full per-query detail
+    # (cold runs, rows processed, throughput) in BENCH_DETAIL.json.
+    detail = dict(lean, cold_queries=cold, rows_processed=rows_processed,
+                  rows_per_sec=rows_per_sec)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(lean)
+    if len(line) > 1900:  # hard cap: stay inside the driver's tail window
+        lean["queries"] = {
+            k: v for k, v in sorted(results.items(), key=lambda x: -x[1])[:25]
+        }
+        lean["queries_truncated_see"] = "BENCH_DETAIL.json"
+        line = json.dumps(lean)
+    print(line)
 
 
 if __name__ == "__main__":
