@@ -335,6 +335,42 @@ def q_kmeans_embeddings(spark, sf_dir):
 
 
 @q(
+    "expr_array_hof",
+    r"""SELECT doc_id,
+              len(words)::INT AS n_words,
+              array_to_string(words[1:3], ' ') AS first3,
+              len(list_filter(words, w -> length(w) > 4))::INT AS n_long,
+              list_aggregate(list_transform(words, w -> length(w)), 'sum')::BIGINT
+                AS total_chars,
+              list_sort(words)[1] AS first_alpha
+       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+             FROM documents WHERE doc_id % 20 = 0)""",
+)
+def q_expr_array_hof(spark, sf_dir):
+    """Array / higher-order-function family (beyond-reference: supersonic
+    is strictly flat-relational, SURVEY.md §1.1 — but arrays are the spine
+    of the embedding/token pipelines here): slice, transform, filter,
+    aggregate-fold, sort — all JVM-evaluated over the array column, no
+    Python.  DuckDB's list_* functions are the oracle dialect."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") % 20 == 0)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", words.alias("words"))
+    return base.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.array_join(F.slice("words", 1, 3), " ").alias("first3"),
+        F.size(F.filter("words", lambda w: F.length(w) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_sort("words")[0].alias("first_alpha"),
+    )
+
+
+@q(
     "stats_aggregate_family",
     """SELECT l_returnflag,
               round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
