@@ -335,6 +335,35 @@ def q_kmeans_embeddings(spark, sf_dir):
 
 
 @q(
+    "repeating_block_synth",
+    """SELECT n_regionkey, COUNT(*) AS n,
+              CAST(SUM(copy_id) AS BIGINT) AS copy_sum
+       FROM nation, range(400) t(copy_id) GROUP BY n_regionkey""",
+)
+def q_repeating_block_synth(spark, sf_dir):
+    """RepeatingBlock (testing/repeating_block.h — the reference's
+    benchmark feeder): a small block fans out N× via a cross join against
+    spark.range, which PARALLELIZES on the range side, so a 25-row block
+    synthesizes arbitrarily large inputs with no driver materialization.
+    The copy-id sum pins that every copy index appears exactly once per
+    block row."""
+    from supersonic_spark.sources.repeating import repeating_block
+
+    t = _t(spark, sf_dir)
+    rep = repeating_block(
+        t["nation"].select("n_nationkey", "n_regionkey"), 400, copy_col="copy_id"
+    )
+    return agg.group_aggregate(
+        rep,
+        ["n_regionkey"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "copy_id", "copy_sum"),
+        ],
+    )
+
+
+@q(
     "expr_array_hof",
     r"""SELECT doc_id,
               len(words)::INT AS n_words,
