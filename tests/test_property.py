@@ -124,3 +124,52 @@ def test_asof_join_matches_bruteforce(spark, data):
         cands = [(rt, rv) for rk, rt, rv in right_rows if rk == k and rt <= t]
         expect = max(cands, key=lambda x: x[0]) if cands else (None, None)
         assert got[i] == expect, f"row {i} key {k} ts {t}"
+
+
+@given(
+    rows=st_.lists(
+        st_.tuples(st_.integers(min_value=0, max_value=5),
+                   st_.integers(min_value=-50, max_value=50)),
+        min_size=1, max_size=25,
+    ),
+    buckets=st_.sampled_from([2, 3, 8]),
+)
+@_settings
+def test_salted_join_equals_plain_join(spark, rows, buckets):
+    """Salting is a pure plan-shape transform: for ANY input and bucket
+    count the salted join's multiset of rows equals the plain join's."""
+    from supersonic_spark.operators.aggregate import salted_join
+
+    left = core.scan_view(
+        spark, [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k int, v int"
+    )
+    right = core.scan_view(
+        spark, [(k, f"r{k}") for k in range(6)], "k int, tag string"
+    )
+    got = sorted(
+        (r["id"], r["tag"]) for r in salted_join(left, right, on=["k"],
+                                                 salt_buckets=buckets).collect()
+    )
+    want = sorted((r["id"], r["tag"]) for r in left.join(right, "k").collect())
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@_settings
+def test_window_navigation_lag_lead_inverse(spark, rows):
+    """lead(x) at row i equals x at row i+1 under the same total order, and
+    lag is its inverse; ntile buckets are monotone in the order."""
+    from supersonic_spark.operators.analytics import window_navigation
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = core.scan_view(spark, data, "id long, k int, v double")
+    out = window_navigation(
+        df, partition=F.lit(1), order="id",
+        exprs={"nxt": F.lead("v"), "prv": F.lag("v"), "q": F.ntile(3)},
+    ).orderBy("id").collect()
+    vals = [r["v"] for r in out]
+    for i, r in enumerate(out):
+        assert r["nxt"] == (vals[i + 1] if i + 1 < len(vals) else None)
+        assert r["prv"] == (vals[i - 1] if i > 0 else None)
+    qs = [r["q"] for r in out]
+    assert qs == sorted(qs)
