@@ -733,6 +733,79 @@ def q_streaming_multibatch_window_agg(spark, sf_dir):
 
 
 @q(
+    "streaming_incremental_matview",
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM events GROUP BY event_type""",
+)
+def q_streaming_incremental_matview(spark, sf_dir):
+    """Incremental materialized-view maintenance: the stream drains in 4
+    micro-batches (maxFilesPerTrigger=1) and foreachBatch folds each
+    batch into a persisted aggregate table with
+    ``incremental_group_aggregate`` — partial-agg the delta, merge with
+    the prior state, never rescan history (the reference documents
+    exactly this merge as the caller's job after
+    BestEffortGroupAggregate, aggregate.h:237-241; here it is the 100 TB
+    rollup-table maintenance loop).  State alternates between two paths
+    (read-path ≠ write-path, since a Spark job cannot overwrite its own
+    input); the final table hash-matches the one-shot batch aggregate."""
+    import shutil
+
+    from supersonic_spark.operators.aggregate import incremental_group_aggregate
+
+    tables = load_tables(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"ss_matview_src{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    tables["events"].repartition(4).write.mode("overwrite").parquet(src)
+    state_root = os.path.join(tempfile.gettempdir(), f"ss_matview_state{tag}")
+    shutil.rmtree(state_root, ignore_errors=True)
+    os.makedirs(state_root)
+
+    # state stays DECIMAL across merges (double accumulation would drift
+    # off the oracle's exact decimal total); cast once at the end.
+    specs = [
+        AggSpec(Aggregation.COUNT, None, "n"),
+        AggSpec(Aggregation.SUM, "value_d", "total"),
+    ]
+    state_schema = "event_type string, n long, total decimal(22,2)"
+    paths = {"cur": None, "flip": 0}
+
+    def fold_batch(df, batch_id: int) -> None:
+        delta = df.withColumn("value_d", F.col("value").cast("decimal(12,2)"))
+        sess = df.sparkSession
+        state = (
+            sess.read.schema(state_schema).parquet(paths["cur"])
+            if paths["cur"]
+            else sess.createDataFrame([], state_schema)
+        )
+        new_state = incremental_group_aggregate(
+            state, delta, ["event_type"], specs
+        ).select(
+            "event_type", "n", F.col("total").cast("decimal(22,2)").alias("total")
+        )
+        nxt = os.path.join(state_root, f"state_{paths['flip'] % 2}")
+        new_state.write.mode("overwrite").parquet(nxt)
+        paths["cur"], paths["flip"] = nxt, paths["flip"] + 1
+
+    schema = spark.read.parquet(src).schema
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return (
+        spark.read.schema(state_schema)
+        .parquet(paths["cur"])
+        .select("event_type", "n", F.col("total").cast("double").alias("total"))
+    )
+
+
+@q(
     "streaming_interval_join",
     """SELECT p.event_id, p.user_id, p.ts AS p_ts,
               v.ts AS view_ts, v.value AS view_value
