@@ -233,6 +233,90 @@ def test_stream_running_agg_tws_batch_equal(spark, sf_dir, tables):
 
 
 # ---------------------------------------------------------------------
+# stream-stream LEFT OUTER interval join: every emitted row is sound
+# ---------------------------------------------------------------------
+
+
+def test_stream_stream_left_outer_soundness(spark, tables, tmp_path):
+    """Left-outer stream-stream joins emit NULL-padded rows only after the
+    watermark passes a left row's interval, and availableNow may end
+    before the final eviction — so assert the timing-independent
+    properties: (a) every inner match is emitted, exactly once; (b) every
+    NULL-padded row is a purchase that truly has no match; (c) no
+    purchase appears both matched and NULL-padded."""
+    from supersonic_spark.streaming.ops import stream_stream_interval_join
+
+    import time as _time
+
+    # feed TIME-ORDERED batches (a replayed log, the realistic shape):
+    # a hash-random split would put old events behind an advanced
+    # watermark and they would be dropped as late — correct streaming
+    # semantics, but not the batch-equal scenario under test.  One append
+    # per day-range; file mtime ordering = batch ordering.
+    src = str(tmp_path / "ev4")
+    ev_ts = tables["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    bounds = ["2024-01-09", "2024-01-17", "2024-01-25"]
+    slices = [
+        ev_ts.filter(F.col("ts") < bounds[0]),
+        ev_ts.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev_ts.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+        ev_ts.filter(F.col("ts") >= bounds[2]),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    purch = stream().filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    views = stream().filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    j = stream_stream_interval_join(
+        purch, views, ["user_id"], "p_ts", "v_ts",
+        lower="6 hours", upper="0 seconds", watermark="1 hour", how="left_outer",
+    )
+    sink = "t_ss_louter"
+    (
+        j.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True)
+        .start().awaitTermination(180)
+    )
+    got = spark.table(sink).collect()
+
+    ev = tables["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts"), "user_id"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("v_ts")
+    )
+    inner = p.join(
+        v,
+        (p["user_id"] == v["vu"])
+        & (v["v_ts"] >= p["p_ts"] - F.expr("INTERVAL 6 HOURS"))
+        & (v["v_ts"] <= p["p_ts"]),
+    )
+    want_inner = sorted((r["event_id"], r["v_ts"]) for r in inner.collect())
+    got_inner = sorted(
+        (r["event_id"], r["v_ts"]) for r in got if r["v_ts"] is not None
+    )
+    assert got_inner == want_inner  # (a) all matches, exactly once
+    matched_ids = {e for e, _ in want_inner}
+    null_ids = {r["event_id"] for r in got if r["v_ts"] is None}
+    assert null_ids.isdisjoint(matched_ids)  # (b)+(c): NULL rows truly unmatched
+    assert len(null_ids) == len([r for r in got if r["v_ts"] is None])  # unique
+
+
+# ---------------------------------------------------------------------
 # csv/json round-trips preserve values
 # ---------------------------------------------------------------------
 
