@@ -733,6 +733,53 @@ def q_streaming_multibatch_window_agg(spark, sf_dir):
 
 
 @q(
+    "streaming_dedup_events",
+    """SELECT event_id, user_id, event_type FROM events
+       WHERE event_type IN ('signup', 'purchase')""",
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    """Streaming exact dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark): the source is the events table
+    duplicated 2× (every row arrives twice — the at-least-once delivery
+    scenario), and the deduped stream hash-matches SELECT DISTINCT.
+    State expires with the watermark, so the dedup runs forever on
+    unbounded streams — the exactly-once ingestion front door at
+    100 TB/day."""
+    import shutil
+
+    from supersonic_spark.streaming.ops import stream_dedup
+
+    tables = load_tables(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"ss_dedup_src{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    ev = tables["events"].withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "event_id", "user_id", "event_type", "ts"
+    ).filter(F.col("event_type").isin("signup", "purchase"))
+    ev.unionAll(ev).coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    deduped = stream_dedup(
+        stream, ["event_id"], ts_col="ts", watermark="31 days"
+    )
+    sink = "ss_stream_dedup"
+    for q_ in spark.streams.active:
+        if q_.name == sink:
+            q_.stop()
+    (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return spark.table(sink).select("event_id", "user_id", "event_type")
+
+
+@q(
     "streaming_incremental_matview",
     """SELECT event_type, COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
