@@ -17,6 +17,8 @@ Scale defaults here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -282,6 +284,45 @@ def write_zordered(
     if row_group_bytes is not None:
         options = {"parquet.block.size": str(row_group_bytes), **options}
     file_output(out, path, mode=mode, **options)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+    format: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a dataset into ⌈size/target⌉ files.
+
+    The maintenance op every long-lived 100 TB table needs — streaming
+    sinks and incremental appends accrete small files until listing and
+    task-scheduling overhead dominate scans (one task per file).  Sizing
+    comes from the filesystem (no data pass); the rewrite is one job with
+    no shuffle keys (coalesce, not repartition, when shrinking the file
+    count — avoids a full exchange).  Returns the target file count.
+
+    ``out_path=None`` rewrites in place via a staging directory swap —
+    atomic only per-rename; at production scale run compaction through a
+    table format's transaction log instead (same plan, safe commit).
+    """
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, fn))
+    n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.format(format).load(path)
+    staged = out_path or (path.rstrip("/") + "__compacting")
+    (df.coalesce(int(n_files)).write.mode("overwrite").format(format).save(staged))
+    if out_path is None:
+        old = path.rstrip("/") + "__old"
+        os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old)
+    return int(n_files)
 
 
 def read_binary_files(

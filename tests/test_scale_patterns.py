@@ -499,6 +499,28 @@ def test_full_outer_and_cross_join(spark, tables):
     assert n_cross == tables["region"].count() * tables["nation"].count()
 
 
+# ---------------------------------------------------------------------
+# small-file compaction preserves data, shrinks file count
+# ---------------------------------------------------------------------
+
+
+def test_compact_dataset_in_place(spark, tables, tmp_path):
+    from supersonic_spark.sources import io as ss_io
+
+    path = str(tmp_path / "frag")
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    orders.repartition(24).write.parquet(path)  # fragmented: 24 tiny files
+    before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert before >= 20
+    want = rows(orders)
+    n = ss_io.compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert after == n <= 2
+    assert rows(spark.read.parquet(path)) == want  # data intact
+
+
 @pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
 def test_source_roundtrip(spark, tables, fmt):
     from supersonic_spark.sources import io as ss_io
