@@ -7,9 +7,26 @@
   (cursor/infrastructure/table.h:49,101,212,300).
 - ``repeating`` — RepeatingBlock test generator
   (testing/repeating_block.h).
+- ``python_source`` — custom Python DataSource (splittable, pushdown-aware
+  sequence source + incremental stream reader).
 """
 
-from supersonic_spark.sources.io import file_input, file_output
+from supersonic_spark.sources.io import (
+    compact_dataset,
+    file_input,
+    file_output,
+    write_bucketed_table,
+    write_sorted,
+    write_zordered,
+)
 from supersonic_spark.sources.table import Table
 
-__all__ = ["file_input", "file_output", "Table"]
+__all__ = [
+    "compact_dataset",
+    "file_input",
+    "file_output",
+    "Table",
+    "write_bucketed_table",
+    "write_sorted",
+    "write_zordered",
+]

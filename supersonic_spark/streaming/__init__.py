@@ -10,25 +10,33 @@ operator vocabulary runs on unbounded data).
 """
 
 from supersonic_spark.streaming.ops import (
+    events_stream,
     read_stream,
     sessionize,
     stream_changed,
     stream_dedup,
+    stream_running_agg_tws,
     stream_running_min_with_flush,
     stream_running_sum,
     stream_smudge,
     stream_smudge_if,
+    stream_stream_interval_join,
+    stream_upsert_latest,
     windowed_aggregate,
 )
 
 __all__ = [
+    "events_stream",
     "read_stream",
     "sessionize",
     "stream_changed",
     "stream_dedup",
+    "stream_running_agg_tws",
     "stream_running_min_with_flush",
     "stream_running_sum",
     "stream_smudge",
     "stream_smudge_if",
+    "stream_stream_interval_join",
+    "stream_upsert_latest",
     "windowed_aggregate",
 ]
