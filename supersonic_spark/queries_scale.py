@@ -364,6 +364,32 @@ def q_repeating_block_synth(spark, sf_dir):
 
 
 @q(
+    "expr_hashing",
+    """SELECT n_nationkey,
+              md5(n_name) AS name_md5,
+              sha256(concat(n_name, '|', CAST(n_regionkey AS VARCHAR)))
+                AS compound_sha
+       FROM nation""",
+)
+def q_expr_hashing(spark, sf_dir):
+    """Deterministic hashing family (SupersonicFingerprint/SupersonicHash,
+    hashing_expressions.h:28-35).  The engine's native workhorse is
+    xxhash64 (seeded, 64-bit, codegen) — used throughout dedup/sampling —
+    but xxhash64 isn't cross-engine comparable, so the PORTABLE members
+    (md5, sha256: bit-identical everywhere) carry the oracle; parity of
+    the xxhash64-based operators is pinned by their unit tests instead."""
+    t = _t(spark, sf_dir)
+    return t["nation"].select(
+        "n_nationkey",
+        F.md5("n_name").alias("name_md5"),
+        F.sha2(
+            F.concat(F.col("n_name"), F.lit("|"), F.col("n_regionkey").cast("string")),
+            256,
+        ).alias("compound_sha"),
+    )
+
+
+@q(
     "expr_array_hof",
     r"""SELECT doc_id,
               len(words)::INT AS n_words,
