@@ -364,6 +364,44 @@ def q_repeating_block_synth(spark, sf_dir):
 
 
 @q(
+    "moving_range_frame_events",
+    """SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS tr_sum,
+              COUNT(*) OVER w AS tr_n
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+)
+def q_moving_range_frame_events(spark, sf_dir):
+    """Time-interval RANGE frame (vs the ROWS frames of
+    moving_window_agg): each event aggregates the user's trailing ONE
+    HOUR, however many rows that is.  Spark's rangeBetween needs a
+    numeric order key, so the frame runs over unix_micros(ts) with a
+    ±µs-exact 3.6e9 µs bound — identical semantics to the oracle's
+    INTERVAL frame; peers (equal ts) are all included, so no unique-order
+    tie-break is needed for SUM/COUNT determinism."""
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        _dec("value").alias("value_d"),
+    ).withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("value_d").over(w).cast("double").alias("tr_sum"),
+        F.count(F.lit(1)).over(w).alias("tr_n"),
+    )
+
+
+@q(
     "expr_hashing",
     """SELECT n_nationkey,
               md5(n_name) AS name_md5,
