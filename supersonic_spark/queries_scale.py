@@ -93,6 +93,39 @@ def q_approx_distinct_users(spark, sf_dir):
 
 
 @q(
+    "approx_percentile_bound",
+    """SELECT o_orderstatus,
+              round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+              abs(approx_quantile(o_totalprice, 0.5)
+                  - quantile_cont(o_totalprice, 0.5))
+                <= 0.02 * (max(o_totalprice) - min(o_totalprice)) AS approx_ok
+       FROM orders GROUP BY o_orderstatus""",
+)
+def q_approx_percentile_bound(spark, sf_dir):
+    """Approximate percentile (mergeable quantile sketch) next to the
+    exact answer, same pattern as the HLL queries: the oracle pins the
+    exact median and an error-bound BOOLEAN (each engine's sketch stays
+    within 2% of the value range), because sketch estimates are
+    engine-specific.  At 100 TB the exact percentile is a full sort per
+    group; the sketch is one map-side-combined pass."""
+    t = _t(spark, sf_dir)
+    out = t["orders"].groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.max("o_totalprice").alias("hi"),
+        F.min("o_totalprice").alias("lo"),
+    )
+    return out.select(
+        "o_orderstatus",
+        F.round("exact", 2).alias("p50_exact"),
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= 0.02 * (F.col("hi") - F.col("lo"))
+        ).alias("approx_ok"),
+    )
+
+
+@q(
     "skew_salted_join",
     """SELECT c_mktsegment, COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
