@@ -497,6 +497,42 @@ def q_expr_array_hof(spark, sf_dir):
 
 
 @q(
+    "mode_aggregate",
+    """WITH c AS (
+         SELECT l_returnflag, l_quantity, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_quantity
+       ), r AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY n DESC, l_quantity DESC) AS rn
+         FROM c
+       )
+       SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+       FROM r WHERE rn = 1""",
+)
+def q_mode_aggregate(spark, sf_dir):
+    """Deterministic statistical mode: Spark's builtin ``mode()`` breaks
+    frequency ties arbitrarily, so the engine shape is count-then-argmax —
+    a (group, value) count aggregation followed by top-1-per-group with a
+    total order (count desc, value desc).  Two partial-agg'd shuffles,
+    deterministic on ANY engine; dogfoods analytics.top_n_per_group."""
+    t = _t(spark, sf_dir)
+    counts = agg.group_aggregate(
+        t["lineitem"].select("l_returnflag", "l_quantity"),
+        ["l_returnflag", "l_quantity"],
+        [AggSpec(Aggregation.COUNT, None, "n")],
+    )
+    top = analytics.top_n_per_group(
+        counts,
+        partition="l_returnflag",
+        order=[F.col("n").desc(), F.col("l_quantity").desc()],
+        n=1,
+    )
+    return top.select(
+        "l_returnflag", F.col("l_quantity").alias("mode_qty"), F.col("n").alias("mode_n")
+    )
+
+
+@q(
     "stats_aggregate_family",
     """SELECT l_returnflag,
               round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
