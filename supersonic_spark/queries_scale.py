@@ -306,6 +306,32 @@ def q_sketch_distinct_merge(spark, sf_dir):
 
 
 @q(
+    "semi_join_active_customers",
+    """SELECT c.c_custkey, c.c_name, c.c_mktsegment
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 300000)""",
+)
+def q_semi_join_active_customers(spark, sf_dir):
+    """LEFT SEMI join — the EXISTS shape made explicit (the reference's
+    closest analog is ForeignFilter, foreign_filter.h:21-48; Spark's
+    left_semi emits each left row at most once, never duplicating on
+    multiple matches, and ships NO right-side columns through the
+    shuffle)."""
+    t = _t(spark, sf_dir)
+    big_orders = core.filter_op(
+        t["orders"], F.col("o_totalprice") > 300000, ["o_custkey"]
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    return join_ops.hash_join(
+        t["customer"].select("c_custkey", "c_name", "c_mktsegment"),
+        big_orders,
+        on="c_custkey",
+        how="left_semi",
+    )
+
+
+@q(
     "hash_join_full_outer",
     """SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
               c.c_name, o.n_orders
