@@ -500,6 +500,42 @@ def test_full_outer_and_cross_join(spark, tables):
 
 
 # ---------------------------------------------------------------------
+# catalog partition-invariance sweep (the reference's block-size sweep,
+# operation_testing.h:43-45, re-expressed: results must not depend on
+# spark.sql.shuffle.partitions)
+# ---------------------------------------------------------------------
+
+_SWEEP_QUERIES = [
+    "window_navigation_events",
+    "stats_aggregate_family",
+    "moving_range_frame_events",
+    "mode_aggregate",
+    "skew_salted_join",
+    "semi_join_active_customers",
+]
+
+
+def test_new_catalog_queries_partition_invariant(spark, sf_dir):
+    from supersonic_spark.queries import REGISTRY
+    import supersonic_spark.queries_scale  # noqa: F401 (registers)
+
+    baseline = {}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("32", "1", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in _SWEEP_QUERIES:
+                fn, _ = REGISTRY[name]
+                got = rows(fn(spark, sf_dir))
+                if parts == "32":
+                    baseline[name] = got
+                else:
+                    assert got == baseline[name], f"{name} varies at {parts} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# ---------------------------------------------------------------------
 # small-file compaction preserves data, shrinks file count
 # ---------------------------------------------------------------------
 
