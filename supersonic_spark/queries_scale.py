@@ -523,6 +523,62 @@ def q_expr_array_hof(spark, sf_dir):
 
 
 @q(
+    "unpivot_lineitem_measures",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+              l_quantity AS value FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+)
+def q_unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of pivot_table (wide measures → long
+    (measure, value) rows, the normalization step before generic
+    per-measure aggregation).  Spark's unpivot expands map-side (an
+    Expand node, no shuffle, no UNION re-scan — the oracle's 3× UNION
+    ALL re-reads the table 3 times; the engine reads it once)."""
+    t = _t(spark, sf_dir)
+    return t["lineitem"].unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@q(
+    "recursive_cte_chain",
+    """WITH RECURSIVE walk(k, depth) AS (
+         SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+         UNION ALL
+         SELECT n.n_nationkey, w.depth + 1
+         FROM nation n JOIN walk w ON n.n_nationkey = w.k + 1
+         WHERE w.depth < 20
+       )
+       SELECT k, depth FROM walk""",
+)
+def q_recursive_cte_chain(spark, sf_dir):
+    """Recursive CTE (Spark 4; beyond-reference — supersonic has no
+    iteration construct at all): a 21-step walk over the nation chain,
+    each iteration a join of the frontier against the base table.  The
+    declarative form of the iterate-until-fixpoint loops the engine
+    otherwise hand-rolls (connected_components, kmeans_lloyd) — right at
+    100 TB when the frontier is small; hand-rolled loops with explicit
+    checkpoints win when it isn't."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """WITH RECURSIVE walk(k, depth) AS (
+             SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+             UNION ALL
+             SELECT n.n_nationkey, w.depth + 1
+             FROM nation n JOIN walk w ON n.n_nationkey = w.k + 1
+             WHERE w.depth < 20
+           )
+           SELECT k, depth FROM walk"""
+    )
+
+
+@q(
     "mode_aggregate",
     """WITH c AS (
          SELECT l_returnflag, l_quantity, COUNT(*) AS n
