@@ -523,6 +523,54 @@ def q_expr_array_hof(spark, sf_dir):
 
 
 @q(
+    "serde_expression_eval",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              CASE l_returnflag WHEN 'R' THEN 'returned'
+                                WHEN 'A' THEN 'accepted'
+                                ELSE 'neither' END AS flag_word
+       FROM lineitem
+       WHERE l_quantity > 45 AND l_discount <= 0.05""",
+)
+def q_serde_expression_eval(spark, sf_dir):
+    """Serialized expression trees end-to-end (SURVEY.md §2.8/§3.3 — the
+    reference's BuildExpressionFromProto is its only query language):
+    compute columns AND the filter predicate arrive as JSON
+    CONSTANT/VARIABLE/OPERATION trees, deserialize through
+    functions.serde into the §2.7 expression layer, and run through the
+    normal operator pipeline — plans as data, bound at execution."""
+    from supersonic_spark.functions.serde import expression_from_json, expressions_from_json
+
+    def op(name, *args):
+        return {"operation": {"operator": name, "arguments": list(args)}}
+
+    def var(n):
+        return {"variable": n}
+
+    def const(t, v):
+        return {"constant": {"type": t, "value": v}}
+
+    t = _t(spark, sf_dir)
+    predicate = expression_from_json(
+        op("AND",
+           op("GREATER", var("l_quantity"), const("DOUBLE", 45.0)),
+           op("LESS_OR_EQUAL", var("l_discount"), const("DOUBLE", 0.05)))
+    )
+    computed = expressions_from_json({
+        "l_orderkey": var("l_orderkey"),
+        "l_linenumber": var("l_linenumber"),
+        "revenue": op("MULTIPLY", var("l_extendedprice"),
+                      op("MINUS", const("DOUBLE", 1.0), var("l_discount"))),
+        "flag_word": op("CASE", var("l_returnflag"),
+                        const("STRING", "R"), const("STRING", "returned"),
+                        const("STRING", "A"), const("STRING", "accepted"),
+                        const("STRING", "neither")),
+    })
+    filtered = core.filter_op(t["lineitem"], predicate)
+    return core.compute(filtered, computed)
+
+
+@q(
     "unpivot_lineitem_measures",
     """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
               l_quantity AS value FROM lineitem
