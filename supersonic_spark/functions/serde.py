@@ -215,12 +215,14 @@ def expression_from_json(node: dict) -> Column:
         # parameterized operators: leading CONSTANT args are parameters
         if name in ("CAST_TO", "CAST", "PARSE_STRING_NULLING", "PARSE_STRING_QUIET"):
             t = str(_const_python(args[0])).upper()
-            if t not in _TYPE_NAMES:
-                raise ValueError(f"unknown cast target {t!r}")
+            # reference type names map via the table; anything else passes
+            # through as a Spark DDL type (engine extension, e.g.
+            # DECIMAL(12,2)) and is validated by Catalyst at bind
+            target = _TYPE_NAMES.get(t, t.lower())
             fn = {"CAST_TO": _lg.cast_to, "CAST": _lg.cast_to,
                   "PARSE_STRING_NULLING": _lg.parse_string_nulling,
                   "PARSE_STRING_QUIET": _lg.parse_string_quiet}[name]
-            return fn(_TYPE_NAMES[t], expression_from_json(args[1]))
+            return fn(target, expression_from_json(args[1]))
         if name in ("REGEXP_PARTIAL_MATCH", "REGEXP_FULL_MATCH"):
             fn = (_re.regexp_partial_match if name == "REGEXP_PARTIAL_MATCH"
                   else _re.regexp_full_match)

@@ -571,6 +571,71 @@ def q_serde_expression_eval(spark, sf_dir):
 
 
 @q(
+    "serde_plan_eval",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""",
+)
+def q_serde_plan_eval(spark, sf_dir):
+    """A WHOLE Operation tree shipped as JSON (§3.2 as data): scan → join
+    → filter → compute → group-aggregate → sort arrives as one nested
+    plan document, deserializes through plans.serde into the operator
+    layer (expressions inside it through functions.serde), and binds to
+    the session's tables — the engine twin of the reference's
+    Operation-factory nesting (primer.cc:281-286) with proto wrappers."""
+    from supersonic_spark.plans.serde import operation_from_json
+
+    tables = _t(spark, sf_dir)
+    plan = {
+        "op": "sort",
+        "order": [{"column": "o_orderpriority"}],
+        "input": {
+            "op": "group_aggregate",
+            "keys": ["o_orderpriority"],
+            "aggregations": [
+                {"function": "COUNT", "output": "n"},
+                {"function": "SUM", "input": "price_d", "output": "total",
+                 "output_type": "double"},
+            ],
+            "input": {
+                "op": "compute",
+                "exprs": {
+                    "o_orderpriority": {"variable": "o_orderpriority"},
+                    # DECIMAL accumulation for the order-independent sum
+                    # (DDL pass-through in the serde cast table)
+                    "price_d": {"operation": {"operator": "CAST_TO", "arguments": [
+                        {"constant": {"type": "STRING", "value": "DECIMAL(12,2)"}},
+                        {"variable": "o_totalprice"}]}},
+                },
+                "input": {
+                    "op": "filter",
+                    "predicate": {"operation": {"operator": "EQUAL", "arguments": [
+                        {"variable": "c_mktsegment"},
+                        {"constant": {"type": "STRING", "value": "BUILDING"}}]}},
+                    "input": {
+                        "op": "hash_join",
+                        "on": ["c_custkey"],
+                        "how": "inner",
+                        "inputs": [
+                            {"op": "compute", "keep_input": True, "exprs": {
+                                "c_custkey": {"variable": "o_custkey"}},
+                             "input": {"op": "scan", "table": "orders"}},
+                            {"op": "project",
+                             "columns": ["c_custkey", "c_mktsegment"],
+                             "input": {"op": "scan", "table": "customer"}},
+                        ],
+                    },
+                },
+            },
+        },
+    }
+    return operation_from_json(spark, plan, tables)
+
+
+@q(
     "unpivot_lineitem_measures",
     """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
               l_quantity AS value FROM lineitem

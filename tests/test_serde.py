@@ -116,3 +116,53 @@ def test_named_map_matches_direct(spark, tables):
         (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
     )
     assert rows(got) == rows(want)
+
+
+def test_operation_tree_roundtrip(spark, tables):
+    from supersonic_spark.plans.serde import operation_from_json
+
+    plan = {
+        "op": "sort",
+        "order": [{"column": "n", "ascending": False}, {"column": "c_mktsegment"}],
+        "limit": 3,
+        "input": {
+            "op": "group_aggregate",
+            "keys": ["c_mktsegment"],
+            "aggregations": [{"function": "COUNT", "output": "n"}],
+            "input": {
+                "op": "filter",
+                "predicate": {"operation": {"operator": "GREATER", "arguments": [
+                    {"variable": "c_custkey"},
+                    {"constant": {"type": "INT64", "value": 5}}]}},
+                "input": {"op": "scan", "table": "customer"},
+            },
+        },
+    }
+    got = operation_from_json(spark, plan, tables)
+    want = (
+        tables["customer"].filter(F.col("c_custkey") > 5)
+        .groupBy("c_mktsegment").count().withColumnRenamed("count", "n")
+        .orderBy(F.col("n").desc(), F.col("c_mktsegment")).limit(3)
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_operation_tree_binding_errors(spark, tables):
+    from supersonic_spark.plans.serde import operation_from_json
+
+    with pytest.raises(ValueError, match="unknown operation"):
+        operation_from_json(spark, {"op": "mystery"}, tables)
+    with pytest.raises(ValueError, match="unknown table"):
+        operation_from_json(spark, {"op": "scan", "table": "nope"}, tables)
+    with pytest.raises(ValueError, match="unknown aggregation"):
+        operation_from_json(
+            spark,
+            {"op": "group_aggregate", "keys": [], "aggregations": [
+                {"function": "MEDIAN", "input": "x", "output": "m"}],
+             "input": {"op": "scan", "table": "customer"}},
+            tables,
+        )
+    with pytest.raises(ValueError, match="exactly 2 inputs"):
+        operation_from_json(
+            spark, {"op": "hash_join", "on": ["k"], "inputs": []}, tables
+        )
