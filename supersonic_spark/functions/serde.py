@@ -20,10 +20,23 @@ JSON grammar (field names follow expressions.proto):
     {"operation": {"operator": "PLUS", "arguments": [<expr>, <expr>]}}
 
 ``operator`` names are the reference's OperatorId spellings (PLUS,
-DIVIDE_NULLING, CASE, CAST_TO, REGEXP_PARTIAL_MATCH, …).  Operators with
-non-expression parameters (cast target type, regexp pattern, separator)
-take them as leading CONSTANT arguments, the same convention the proto
-uses.
+DIVIDE_NULLING, CASE, CAST_TO, REGEXP_PARTIAL_MATCH, …).  Argument
+layouts follow the reference deserializer exactly:
+
+* CAST_TO / PARSE_STRING_*: (type-constant, expr) — the type rides as a
+  leading DATA_TYPE constant (build_expression_from_proto.cc:458-482).
+* REGEXP_PARTIAL_MATCH / REGEXP_FULL_MATCH / REGEXP_EXTRACT:
+  (expr, pattern-constant) — data expression first, constant STRING
+  pattern at index 1 (MakeRegexpOperation,
+  build_expression_from_proto.cc:349-392).
+* REGEXP_REPLACE: (expr, pattern-constant, replacement-expr) — the
+  replacement is a full sub-expression, not necessarily constant
+  (MakeRegexpReplaceOperation, build_expression_from_proto.cc:394-433).
+* CASE: (selector, default, when1, then1, when2, then2, …) — EVEN
+  argument count, selector at 0 and the default at 1, matching BoundCase
+  (elementary_bound_expressions.cc:1297-1311: even indices share the
+  selector type, odd indices the output type).
+* CONCATENATE_WITH_SEPARATOR: (separator-constant, exprs…).
 """
 
 from __future__ import annotations
@@ -223,18 +236,29 @@ def expression_from_json(node: dict) -> Column:
                   "PARSE_STRING_NULLING": _lg.parse_string_nulling,
                   "PARSE_STRING_QUIET": _lg.parse_string_quiet}[name]
             return fn(target, expression_from_json(args[1]))
-        if name in ("REGEXP_PARTIAL_MATCH", "REGEXP_FULL_MATCH"):
-            fn = (_re.regexp_partial_match if name == "REGEXP_PARTIAL_MATCH"
-                  else _re.regexp_full_match)
-            return fn(expression_from_json(args[1]), str(_const_python(args[0])))
+        if name in ("REGEXP_PARTIAL_MATCH", "REGEXP_FULL_MATCH",
+                    "REGEXP_EXTRACT"):
+            # reference layout: argument(0)=expr, argument(1)=constant
+            # STRING pattern (MakeRegexpOperation)
+            if len(args) != 2:
+                raise ValueError(f"{name} takes 2 arguments, got {len(args)}")
+            fn = {"REGEXP_PARTIAL_MATCH": _re.regexp_partial_match,
+                  "REGEXP_FULL_MATCH": _re.regexp_full_match,
+                  "REGEXP_EXTRACT": _re.regexp_extract}[name]
+            return fn(expression_from_json(args[0]), str(_const_python(args[1])))
         if name == "REGEXP_REPLACE":
+            # reference layout: (expr, pattern-constant, replacement-expr);
+            # constant replacements pass as strings, anything else binds as
+            # a Column (Spark regexp_replace accepts both)
+            if len(args) != 3:
+                raise ValueError(f"REGEXP_REPLACE takes 3 arguments, got {len(args)}")
+            rep = args[2]
+            replacement = (str(_const_python(rep))
+                           if isinstance(rep, dict) and "constant" in rep
+                           else expression_from_json(rep))
             return _re.regexp_replace(
-                expression_from_json(args[2]),
-                str(_const_python(args[0])), str(_const_python(args[1])),
-            )
-        if name == "REGEXP_EXTRACT":
-            return _re.regexp_extract(
-                expression_from_json(args[1]), str(_const_python(args[0]))
+                expression_from_json(args[0]),
+                str(_const_python(args[1])), replacement,
             )
         if name == "CONCATENATE_WITH_SEPARATOR":
             return _st.concat_with_separator(
@@ -247,11 +271,16 @@ def expression_from_json(node: dict) -> Column:
                 [_const_python(a) for a in args[1:]],
             )
         if name == "CASE":
+            # reference layout: (selector, default, when1, then1, ...) —
+            # BoundCase rejects odd argument counts
+            # (elementary_bound_expressions.cc:1305-1311)
+            if len(args) < 2 or len(args) % 2 != 0:
+                raise ValueError(
+                    f"CASE expects an even argument count ≥ 2 "
+                    f"(selector, default, when/then pairs), got {len(args)}")
             cols = [expression_from_json(a) for a in args]
-            subject, rest = cols[0], cols[1:]
-            default = rest[-1] if len(rest) % 2 == 1 else None
-            pairs = rest[: len(rest) - 1] if default is not None else rest
-            when_then = list(zip(pairs[0::2], pairs[1::2]))
+            subject, default = cols[0], cols[1]
+            when_then = list(zip(cols[2::2], cols[3::2]))
             return _lg.case(subject, *when_then, default=default)
         if name == "HASH":
             return _hash.hash_with_seed(

@@ -562,9 +562,9 @@ def q_serde_expression_eval(spark, sf_dir):
         "revenue": op("MULTIPLY", var("l_extendedprice"),
                       op("MINUS", const("DOUBLE", 1.0), var("l_discount"))),
         "flag_word": op("CASE", var("l_returnflag"),
+                        const("STRING", "neither"),
                         const("STRING", "R"), const("STRING", "returned"),
-                        const("STRING", "A"), const("STRING", "accepted"),
-                        const("STRING", "neither")),
+                        const("STRING", "A"), const("STRING", "accepted")),
     })
     filtered = core.filter_op(t["lineitem"], predicate)
     return core.compute(filtered, computed)

@@ -123,13 +123,34 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> dict[str
     from pyspark.sql import types as T
 
     apply_runtime_conf(spark)  # idempotent, ~ms — keep outside the memo
-    key = (id(spark), os.path.abspath(sf_dir), tuple(names))
+    # Key on the session-lifetime applicationId (id(spark) can be reused by
+    # a new session after GC) plus each dataset's mtime, so regenerating a
+    # parquet file under the same path invalidates the entry.  The stat
+    # calls are ~µs each — negligible next to the ~1s they save.
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover — e.g. Spark Connect
+        app_id = f"pyid-{id(spark)}"
+    sf_abs = os.path.abspath(sf_dir)
+
+    def _mtime(p: str) -> int:
+        try:  # file or dataset dir — either way mtime tracks rewrites
+            return os.stat(p).st_mtime_ns
+        except OSError:
+            return -1
+
+    paths = {n: os.path.join(sf_abs, f"{n}.parquet") for n in names}
+    key = (app_id, sf_abs, tuple(names),
+           tuple(_mtime(p) for p in paths.values()))
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return dict(hit)
+    # drop stale entries for the same (session, dir) with different mtimes
+    for k in [k for k in _TABLE_CACHE if k[:2] == (app_id, sf_abs) and k != key]:
+        del _TABLE_CACHE[k]
     out: dict[str, DataFrame] = {}
     for name in names:
-        path = os.path.join(sf_dir, f"{name}.parquet")
+        path = paths[name]
         if os.path.exists(path):
             df = spark.read.parquet(path)
             # nanosAsLong leaves NANOS-encoded timestamps as raw int64;

@@ -17,6 +17,7 @@ Scale defaults here:
 
 from __future__ import annotations
 
+import glob as glob_mod
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -305,8 +306,14 @@ def compact_dataset(
     ``out_path=None`` rewrites in place via a staging directory swap —
     atomic only per-rename; at production scale run compaction through a
     table format's transaction log instead (same plan, safe commit).
+    Residue from a previously crashed compaction (``__compacting`` /
+    ``__old.*`` directories) is cleared up front, the displaced original
+    gets a unique suffix (so a stale leftover can never block the rename),
+    and it is deleted only after the new data is in place — a crash at any
+    point leaves either the old or the new dataset recoverable on disk.
     """
     import shutil
+    import uuid
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -314,13 +321,24 @@ def compact_dataset(
             if not fn.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, fn))
     n_files = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    base = path.rstrip("/")
+    staged = out_path or (base + "__compacting")
+    if out_path is None:
+        # clear residue from any previously crashed run so rename can't
+        # hit a non-empty destination and wedge compaction permanently
+        for leftover in glob_mod.glob(base + "__old.*") + [staged]:
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
     df = spark.read.format(format).load(path)
-    staged = out_path or (path.rstrip("/") + "__compacting")
     (df.coalesce(int(n_files)).write.mode("overwrite").format(format).save(staged))
     if out_path is None:
-        old = path.rstrip("/") + "__old"
+        old = f"{base}__old.{uuid.uuid4().hex[:8]}"
         os.rename(path, old)
-        os.rename(staged, path)
+        try:
+            os.rename(staged, path)
+        except OSError:
+            os.rename(old, path)  # roll back: restore the original
+            raise
         shutil.rmtree(old)
     return int(n_files)
 

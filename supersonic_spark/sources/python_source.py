@@ -58,7 +58,18 @@ class _SeqReader(DataSourceReader):
                 pass  # id is never null — trivially satisfied
             elif isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
                                 LessThan, LessThanOrEqual)) and tuple(f.attribute) == ("id",):
-                v = int(f.value)
+                # only exact integer values narrow the range; a str/bool/
+                # non-integral-float comparison value is yielded back as
+                # unsupported and Spark evaluates it post-scan instead of
+                # crashing the whole generator mid-plan
+                v = f.value
+                if (isinstance(v, bool) or not isinstance(v, (int, float))
+                        or (isinstance(v, float)
+                            and not (v == v and -1e18 < v < 1e18))
+                        or int(v) != v):
+                    yield f
+                    continue
+                v = int(v)
                 if isinstance(f, EqualTo):
                     self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
                 elif isinstance(f, GreaterThan):

@@ -42,14 +42,22 @@ def test_divide_nulling_and_case(spark):
     case = {
         "operation": {"operator": "CASE", "arguments": [
             {"variable": "a"},
+            {"constant": {"type": "STRING", "value": "other"}},
             {"constant": {"type": "INT32", "value": 2}},
             {"constant": {"type": "STRING", "value": "two"}},
             {"constant": {"type": "INT32", "value": 3}},
             {"constant": {"type": "STRING", "value": "three"}},
-            {"constant": {"type": "STRING", "value": "other"}},
         ]}
     }
     assert _eval(spark, case) == "two"
+    import pytest as _pytest
+    from supersonic_spark.functions.serde import expression_from_json
+    with _pytest.raises(ValueError, match="even argument count"):
+        expression_from_json(
+            {"operation": {"operator": "CASE", "arguments": [
+                {"variable": "a"},
+                {"constant": {"type": "INT32", "value": 2}},
+                {"constant": {"type": "STRING", "value": "two"}}]}})
 
 
 def test_string_regexp_cast_in(spark):
@@ -57,7 +65,7 @@ def test_string_regexp_cast_in(spark):
     assert _eval(spark, up) == "HELLO"
     rx = {
         "operation": {"operator": "REGEXP_PARTIAL_MATCH", "arguments": [
-            {"constant": {"type": "STRING", "value": "ell"}}, {"variable": "s"}]}
+            {"variable": "s"}, {"constant": {"type": "STRING", "value": "ell"}}]}
     }
     assert _eval(spark, rx) is True
     cast = {
