@@ -2,11 +2,15 @@
 similarity search, text analysis, multimodal plumbing — over the documents
 and embeddings tables.  Registered into supersonic_spark.queries.REGISTRY.
 
-Hash-dependent operators (MinHash, SimHash, fingerprint, LSH ANN) have no
-SQL oracle — xxhash64 is Spark-specific — so they are registered without
-oracle SQL (driver records the weaker rows-only check); their *semantics*
-are pinned by unit tests against exact ground truth instead
-(tests/test_pipeline.py).
+Hash-dependent operators (MinHash, SimHash, fingerprint, LSH ANN) cannot
+replay xxhash64 in DuckDB, so their queries follow the error-bound-boolean
+oracle pattern (like approx_distinct_users): the Spark side computes the
+approximate operator NEXT TO its exact ground truth in one plan and emits
+DuckDB-pinnable exact values (pair counts, corpus counts, token totals)
+plus deterministic booleans (subset/recall/error-bound/planted-collision
+invariants); the oracle recomputes the exact values and emits literal
+TRUEs.  Every query here is therefore hash-checked end to end; unit tests
+(tests/test_pipeline.py) additionally pin the operator semantics.
 """
 
 from __future__ import annotations
@@ -66,36 +70,205 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_words=3, threshold=0.1)
 
 
-@q("dedup_minhash_lsh")  # hash-based: rows-only driver check; unit-tested vs exact
+def _exact_pair_stats_sql(select: str) -> str:
+    """Full-corpus exact word-3-gram Jaccard pair CTEs (DuckDB) with a
+    caller-supplied final SELECT over ``j(id_a, id_b, jac)``."""
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+2], ' ')
+                        for i in range(1, len(words) - 1)]) AS grams
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+        FROM documents)
+  WHERE len(words) >= 3
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), j AS (
+  SELECT id_a, id_b,
+         CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jac
+  FROM inter
+  JOIN (SELECT doc_id, len(grams) AS n FROM sh) na ON na.doc_id = id_a
+  JOIN (SELECT doc_id, len(grams) AS n FROM sh) nb ON nb.doc_id = id_b
+)
+{select}
+"""
+
+
+_MINHASH_LSH_ORACLE = _exact_pair_stats_sql("""
+SELECT COUNT(*)::BIGINT AS n_exact,
+       COALESCE(SUM((jac >= 0.8)::INT), 0)::BIGINT AS n_exact_hi,
+       TRUE AS lsh_subset_ok, TRUE AS recall_hi_ok
+FROM j WHERE jac >= 0.1""")
+
+
+@q("dedup_minhash_lsh", _MINHASH_LSH_ORACLE)
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates, Jaccard-verified (shingle→minhash→
-    band→bucket-join)."""
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join),
+    verified by exact Jaccard — checked against the exact-pair ground truth
+    in one plan.  The oracle pins the exact pair counts (DuckDB computes
+    the same 3-gram Jaccard) plus two LSH invariants as booleans:
+    every emitted pair really has J ≥ threshold (verification is exact, so
+    the LSH output is a SUBSET of the exact pairs), and banding recall at
+    J ≥ 0.8 is ≥ 95% (16 bands × 4 rows ⇒ per-pair miss ≈ 2·10⁻⁴)."""
     t = _t(spark, sf_dir)
-    docs = core.filter_op(t["documents"], F.col("doc_id") < 200)
-    return dedup.minhash_lsh_pairs(
+    docs = t["documents"]
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.1
+    )
+    lsh = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, shingle_words=3, threshold=0.1
+    ).select("id_a", "id_b")
+    ex_agg = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum((F.col("jaccard") >= 0.8).cast("int")), F.lit(0)).alias(
+            "n_exact_hi"
+        ),
+    )
+    hi_found = lsh.join(
+        exact.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b"), ["id_a", "id_b"]
+    ).agg(F.count(F.lit(1)).alias("n_hi_found"))
+    outside = lsh.join(exact.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"], "left").agg(
+        F.coalesce(F.sum(F.col("jaccard").isNull().cast("int")), F.lit(0)).alias(
+            "n_outside"
+        )
+    )
+    return (
+        ex_agg.crossJoin(hi_found)
+        .crossJoin(outside)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_exact_hi").cast("long").alias("n_exact_hi"),
+            (F.col("n_outside") == 0).alias("lsh_subset_ok"),
+            (F.col("n_hi_found") >= 0.95 * F.col("n_exact_hi")).alias("recall_hi_ok"),
+        )
     )
 
 
-@q("dedup_minhash_estimate")  # hash-based: rows-only; estimator pinned vs exact in tests
+_MINHASH_EST_ORACLE = _exact_pair_stats_sql("""
+SELECT COALESCE(SUM((jac >= 0.8)::INT), 0)::BIGINT AS n_exact_hi,
+       TRUE AS est_err_ok, TRUE AS recall_hi_ok, TRUE AS spurious_hi_ok
+FROM j WHERE jac >= 0.1""")
+
+
+@q("dedup_minhash_estimate", _MINHASH_EST_ORACLE)
 def q_dedup_minhash_estimate(spark, sf_dir):
     """MinHash+LSH near-dups scored by the signature-match Jaccard
-    *estimator* (verify="estimate"): skips the two wide shingle-fetch joins
-    — the scale path when ~1/sqrt(64) estimator error is acceptable."""
+    *estimator* (verify="estimate") — the 1-shuffle scale path — bound
+    against the exact ground truth: estimator error ≤ 0.25 (4σ at 64
+    hashes) on every pair both sides agree on, ≥95% banding recall at
+    J ≥ 0.8, and no high-estimate pair (est ≥ 0.5) outside the exact
+    J ≥ 0.1 set."""
     t = _t(spark, sf_dir)
-    docs = core.filter_op(t["documents"], F.col("doc_id") < 200)
-    return dedup.minhash_lsh_pairs(
+    docs = t["documents"]
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.1
+    )
+    est = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=64, bands=16, shingle_words=3,
         threshold=0.1, verify="estimate",
+    ).select("id_a", "id_b", F.col("jaccard").alias("est"))
+    joined = est.join(
+        exact.select("id_a", "id_b", F.col("jaccard").alias("ex")),
+        ["id_a", "id_b"],
+        "left",
+    )
+    stats = joined.agg(
+        F.coalesce(F.max(F.when(F.col("ex").isNotNull(),
+                                F.abs(F.col("est") - F.col("ex")))), F.lit(0.0)).alias(
+            "max_err"
+        ),
+        F.coalesce(
+            F.sum(((F.col("est") >= 0.5) & F.col("ex").isNull()).cast("int")), F.lit(0)
+        ).alias("n_spurious_hi"),
+    )
+    ex_agg = exact.agg(
+        F.coalesce(F.sum((F.col("jaccard") >= 0.8).cast("int")), F.lit(0)).alias(
+            "n_exact_hi"
+        )
+    )
+    hi_found = est.join(
+        exact.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b"), ["id_a", "id_b"]
+    ).agg(F.count(F.lit(1)).alias("n_hi_found"))
+    return (
+        ex_agg.crossJoin(stats)
+        .crossJoin(hi_found)
+        .select(
+            F.col("n_exact_hi").cast("long").alias("n_exact_hi"),
+            (F.col("max_err") <= 0.25).alias("est_err_ok"),
+            (F.col("n_hi_found") >= 0.95 * F.col("n_exact_hi")).alias("recall_hi_ok"),
+            (F.col("n_spurious_hi") == 0).alias("spurious_hi_ok"),
+        )
     )
 
 
-@q("dedup_simhash")  # hash-based: rows-only
+_SIMHASH_ORACLE = """
+WITH dup AS (
+  SELECT COALESCE(SUM(c * (c - 1) / 2), 0)::BIGINT AS n_dup_pairs
+  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text HAVING COUNT(*) > 1)
+)
+SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       n_dup_pairs, TRUE AS dups_found_ok, TRUE AS precision_ok
+FROM dup
+"""
+
+
+@q("dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs within Hamming distance 3 (banded blocking)."""
+    """SimHash near-dup pairs within Hamming distance 3 (4×16-bit band
+    blocking), checked against DuckDB-computable ground truth: every
+    EXACT duplicate text pair must be found (identical text ⇒ identical
+    SimHash ⇒ Hamming 0 ⇒ same bands — deterministic), and every found
+    pair must be a genuine near-dup (word-3-gram Jaccard ≥ 0.3; unrelated
+    docs sit at Hamming ≈ 32 of 64, astronomically above the cutoff)."""
     t = _t(spark, sf_dir)
-    docs = core.filter_op(t["documents"], F.col("doc_id") < 200)
-    return dedup.simhash_dedup(docs, "doc_id", "text", shingle_words=3, max_hamming=3)
+    docs = t["documents"]
+    found = dedup.simhash_dedup(
+        docs, "doc_id", "text", shingle_words=3, max_hamming=3
+    ).select("id_a", "id_b")
+    # exact-dup pairs from text equality (dups are rare: self-join on text
+    # stays output-sized)
+    d = docs.select("doc_id", "text")
+    dup_pairs = (
+        d.alias("a")
+        .join(d.alias("b"), (F.col("a.text") == F.col("b.text"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    dup_agg = dup_pairs.agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    dup_found = dup_pairs.join(found, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_dup_found")
+    )
+    # precision: join found pairs to the exact Jaccard table (floor 0.05 so
+    # a hypothetical low-J false positive surfaces as a NULL)
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.05
+    )
+    prec = found.join(
+        exact.select("id_a", "id_b", "jaccard"), ["id_a", "id_b"], "left"
+    ).agg(
+        F.coalesce(F.sum(F.col("jaccard").isNull().cast("int")), F.lit(0)).alias(
+            "n_unmatched"
+        ),
+        F.coalesce(F.min("jaccard"), F.lit(1.0)).alias("min_jac"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.crossJoin(dup_agg)
+        .crossJoin(dup_found)
+        .crossJoin(prec)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_pairs").cast("long").alias("n_dup_pairs"),
+            (F.col("n_dup_found") == F.col("n_dup_pairs")).alias("dups_found_ok"),
+            ((F.col("n_unmatched") == 0) & (F.col("min_jac") >= 0.3)).alias(
+                "precision_ok"
+            ),
+        )
+    )
 
 
 # =====================================================================
@@ -138,18 +311,47 @@ def q_similarity_cosine_topk(spark, sf_dir):
     )
 
 
-@q("similarity_lsh_ann")  # bucketing is hash-based: rows-only; recall unit-tested
+_LSH_ANN_ORACLE = """
+SELECT vec_id AS query_id,
+       (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_corpus,
+       TRUE AS top1_exact_ok, TRUE AS self_in_topk_ok
+FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+"""
+
+
+@q("similarity_lsh_ann", _LSH_ANN_ORACLE)
 def q_similarity_lsh_ann(spark, sf_dir):
-    """LSH-bucketed approximate top-k (the 100 TB scale path)."""
+    """LSH-bucketed approximate top-k (the 100 TB scale path), checked via
+    the sign-random-projection collision GUARANTEE: each query vector is
+    itself in the corpus, an identical (or positively-scaled) vector gets
+    the same sign pattern ⇒ the same bucket in EVERY table ⇒ is always a
+    candidate, and exact rescoring puts it at rank 1 with cosine 1.0.  So
+    per query: top-1 cosine rounds to 1.0 and the query id appears in its
+    own top-k — deterministic booleans next to DuckDB-pinned ids/counts."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus = emb.filter(F.col("vec_id") >= 10).select(
+    corpus = emb.select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
     )
-    return similarity.lsh_topk(queries, corpus, k=5, dim=64, planes=8, tables=4)
+    out = similarity.lsh_topk(queries, corpus, k=5, dim=64, planes=8, tables=4)
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    per_q = out.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.round("similarity", 6))).alias("top1_cos"),
+        F.max((F.col("query_id") == F.col("corpus_id")).cast("int")).alias("self_hit"),
+    )
+    return (
+        per_q.crossJoin(n_corpus)
+        .select(
+            "query_id",
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            (F.col("top1_cos") == 1.0).alias("top1_exact_ok"),
+            (F.col("self_hit") == 1).alias("self_in_topk_ok"),
+        )
+        .orderBy("query_id")
+    )
 
 
 # =====================================================================
@@ -226,12 +428,31 @@ def q_text_lang_id(spark, sf_dir):
     )
 
 
-@q("doc_fingerprint")  # xxhash64-based: rows-only
+_FINGERPRINT_ORACLE = """
+SELECT COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))::BIGINT
+         AS n_distinct_norm,
+       TRUE AS fp_consistent_ok
+FROM documents
+"""
+
+
+@q("doc_fingerprint", _FINGERPRINT_ORACLE)
 def q_doc_fingerprint(spark, sf_dir):
-    """64-bit normalized-content fingerprints for exact-dup detection."""
+    """64-bit normalized-content fingerprints for exact-dup detection,
+    checked by the fingerprint CONTRACT: equal normalized text ⇔ equal
+    fingerprint, so the distinct-fingerprint count must equal the
+    distinct-normalized-text count (DuckDB computes the same
+    normalization; a 64-bit collision at corpus scale is ~n²/2⁶⁵)."""
     t = _t(spark, sf_dir)
-    return t["documents"].select(
-        "doc_id", textstats.doc_fingerprint("text").alias("fingerprint")
+    fp = t["documents"].select(
+        textstats.doc_fingerprint("text").alias("fp"),
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias("norm"),
+    )
+    return fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("norm").cast("long").alias("n_distinct_norm"),
+        (F.count_distinct("fp") == F.count_distinct("norm")).alias("fp_consistent_ok"),
     )
 
 
@@ -338,32 +559,92 @@ def q_corpus_curation_pipeline(spark, sf_dir):
 # sampling / splitting / packing
 # =====================================================================
 
-@q("sample_split_hash")  # xxhash64 membership: rows-only; invariants unit-tested
+_SPLIT_ORACLE = """
+SELECT COUNT(*)::BIGINT AS n_docs, TRUE AS complete_ok,
+       TRUE AS train_frac_ok, TRUE AS val_frac_ok, TRUE AS test_frac_ok
+FROM documents
+"""
+
+
+@q("sample_split_hash", _SPLIT_ORACLE)
 def q_sample_split_hash(spark, sf_dir):
-    """Deterministic train/val/test assignment by identity hash — every doc
-    in exactly one split, stable across runs and partitionings (unlike
-    RNG-based df.sample)."""
+    """Deterministic train/val/test assignment by identity hash — checked
+    on its invariants: exhaustive+disjoint (every doc lands in exactly one
+    of the three splits, so the split counts sum to the corpus), and each
+    split's realized fraction sits within a generous hash-uniformity bound
+    of its target (±0.06 train, ±0.045 val/test ≈ 4.5σ at n=500)."""
     from supersonic_spark.pipeline import sampling
 
     t = _t(spark, sf_dir)
     out = sampling.split_by_hash(
         t["documents"], "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     )
-    return out.select("doc_id", "split")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum((F.col("split") == "train").cast("int")), F.lit(0)).alias("tr"),
+        F.coalesce(F.sum((F.col("split") == "val").cast("int")), F.lit(0)).alias("va"),
+        F.coalesce(F.sum((F.col("split") == "test").cast("int")), F.lit(0)).alias("te"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        (F.col("tr") + F.col("va") + F.col("te") == F.col("n")).alias("complete_ok"),
+        (F.abs(F.col("tr") / n - 0.9) <= 0.06).alias("train_frac_ok"),
+        (F.abs(F.col("va") / n - 0.05) <= 0.045).alias("val_frac_ok"),
+        (F.abs(F.col("te") / n - 0.05) <= 0.045).alias("test_frac_ok"),
+    )
 
 
-@q("sample_pack_sequences")  # partition-scoped greedy fill: rows-only; budget unit-tested
+_PACK_ORACLE = """
+SELECT COUNT(*)::BIGINT AS n_docs,
+       COALESCE(SUM(len(string_split_regex(trim(text), '\\s+'))), 0)::BIGINT
+         AS total_tokens,
+       TRUE AS budget_ok, TRUE AS docs_once_ok
+FROM documents
+"""
+
+
+@q("sample_pack_sequences", _PACK_ORACLE)
 def q_sample_pack_sequences(spark, sf_dir):
-    """Greedy sequence packing for training batches: per-partition bin fill
-    (embarrassingly parallel), globally-unique batch ids via partition
-    offset, every multi-doc batch ≤ the token budget."""
+    """Greedy sequence packing for training batches (per-partition bin
+    fill, globally-unique batch ids), checked on the packing contract:
+    token mass is conserved (sum over packs equals the corpus token count
+    DuckDB computes), every batch holding >1 document stays ≤ the budget
+    (oversized docs are singletons), and every document appears in exactly
+    one batch."""
     from supersonic_spark.pipeline import sampling, textstats
 
     t = _t(spark, sf_dir)
     docs = core.ensure_parallelism(t["documents"]).select(
         "doc_id", textstats.token_count("text").alias("n_tok")
     )
-    return sampling.pack_sequences(docs, "doc_id", "n_tok", budget=2048)
+    packed = sampling.pack_sequences(docs, "doc_id", "n_tok", budget=2048)
+    per_batch = packed.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("b_docs"), F.sum("n_tokens").alias("b_tok")
+    )
+    bad_batches = per_batch.agg(
+        F.coalesce(
+            F.sum(((F.col("b_docs") > 1) & (F.col("b_tok") > 2048)).cast("int")),
+            F.lit(0),
+        ).alias("n_over")
+    )
+    totals = packed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("id").alias("n_ids"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+    )
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.crossJoin(totals)
+        .crossJoin(bad_batches)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            (F.col("n_over") == 0).alias("budget_ok"),
+            ((F.col("n_rows") == F.col("n_docs"))
+             & (F.col("n_ids") == F.col("n_docs"))).alias("docs_once_ok"),
+        )
+    )
 
 
 # =====================================================================
@@ -393,36 +674,122 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
-@q("dedup_embedding_lsh")  # hash-bucketed candidates: rows-only; recall unit-tested
+_EMB_LSH_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 200),
+p AS (
+  SELECT COUNT(*)::BIGINT AS n_exact
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.3
+)
+SELECT n_exact, TRUE AS subset_ok, TRUE AS planted_found_ok, TRUE AS recall_floor_ok
+FROM p
+"""
+
+
+@q("dedup_embedding_lsh", _EMB_LSH_ORACLE)
 def q_dedup_embedding_lsh(spark, sf_dir):
-    """Sign-random-projection-bucketed embedding near-dup (the 100 TB scale
-    path for dedup_embedding_cosine)."""
+    """Sign-random-projection-bucketed embedding near-dup (the scale path
+    for dedup_embedding_cosine), checked three ways: (1) exact rescoring ⇒
+    the LSH pair set is a SUBSET of the exact cos ≥ 0.3 pairs (count
+    DuckDB-pinned); (2) three PLANTED scaled copies (sign pattern
+    identical ⇒ same bucket in every table) must always be recovered —
+    the SRP collision guarantee; (3) corpus recall stays above a floor
+    when enough exact pairs exist (per-pair collision ≥ ~0.3 at cos 0.35
+    with 8 planes × 16 tables)."""
     t = _t(spark, sf_dir)
-    emb = core.filter_op(t["embeddings"], F.col("vec_id") < 200)
-    out = dedup.embedding_lsh_pairs(
-        emb, "vec_id", "embedding", dim=64, threshold=0.3, planes=8, tables=8
+    emb = core.filter_op(t["embeddings"], F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
     )
-    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    elem_t = t["embeddings"].schema["embedding"].dataType.elementType.simpleString()
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast(elem_t)).alias(
+            "embedding"
+        ),
+    )
+    aug = emb.unionByName(planted)
+    lsh = dedup.embedding_lsh_pairs(
+        aug, "vec_id", "embedding", dim=64, threshold=0.3, planes=8, tables=16
+    ).select("id_a", "id_b")
+    exact = dedup.embedding_cosine_pairs(aug, "vec_id", "embedding", threshold=0.3)
+    orig_exact = exact.filter((F.col("id_a") < 1000000) & (F.col("id_b") < 1000000))
+    ex_agg = orig_exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    found_orig = lsh.join(orig_exact.select("id_a", "id_b"), ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    outside = lsh.join(
+        exact.select("id_a", "id_b", F.lit(1).alias("m")), ["id_a", "id_b"], "left"
+    ).agg(F.coalesce(F.sum(F.col("m").isNull().cast("int")), F.lit(0)).alias("n_out"))
+    planted_found = lsh.filter(
+        (F.col("id_b") == F.col("id_a") + 1000000) & (F.col("id_a") < 3)
+    ).agg(F.count(F.lit(1)).alias("n_planted"))
+    return (
+        ex_agg.crossJoin(found_orig)
+        .crossJoin(outside)
+        .crossJoin(planted_found)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_out") == 0).alias("subset_ok"),
+            (F.col("n_planted") == 3).alias("planted_found_ok"),
+            ((F.col("n_exact") < 30)
+             | (F.col("n_found") >= 0.08 * F.col("n_exact"))).alias("recall_floor_ok"),
+        )
+    )
 
 
-@q("similarity_ivf_ann")  # approximate by construction: rows-only; recall unit-tested
+_IVF_ORACLE = """
+SELECT vec_id AS query_id, TRUE AS self_found_ok, TRUE AS top1_exact_ok,
+       TRUE AS recall_floor_ok
+FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+"""
+
+
+@q("similarity_ivf_ann", _IVF_ORACLE)
 def q_similarity_ivf_ann(spark, sf_dir):
-    """IVF approximate top-k: spherical-k-means coarse quantizer (trained
-    driver-side on a bounded sample), cell-partitioned corpus, nprobe cells
-    per query, exact rescoring inside probed cells."""
+    """IVF approximate top-k (trained coarse quantizer, cell-partitioned
+    corpus, nprobe-cell probe + exact rescoring), checked via the IVF
+    guarantee: each query vector is itself in the corpus and lives in the
+    cell of its own nearest centroid — the FIRST cell the query probes —
+    so it is always a candidate and exact rescoring ranks it top with
+    cosine 1.0.  A global recall@5 floor vs the exact top-k (measured
+    ≈0.8 at nprobe=8/16 cells; bound 0.4) rides along as a boolean."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    corpus = emb.filter(F.col("vec_id") >= 10).select(
+    corpus = emb.select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
     )
     out = similarity.ivf_topk(
         queries, corpus, "query_id", "query_vec", "corpus_id", "corpus_vec",
-        k=5, n_cells=16, nprobe=4, train=True,
+        k=5, n_cells=16, nprobe=8, train=True,
     )
-    return out.select("query_id", "corpus_id", F.round("cos", 6).alias("cos"))
+    exact = similarity.cosine_topk(queries, corpus, k=5)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_ex"))
+    n_hit = out.join(
+        exact.select("query_id", "corpus_id"), ["query_id", "corpus_id"]
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    recall = n_exact.crossJoin(n_hit).select(
+        (F.col("n_hit") >= 0.4 * F.col("n_ex")).alias("recall_floor_ok")
+    )
+    per_q = out.groupBy("query_id").agg(
+        F.max((F.col("query_id") == F.col("corpus_id")).cast("int")).alias("self_hit"),
+        F.max(F.round("cos", 6)).alias("top1_cos"),
+    )
+    return (
+        per_q.crossJoin(recall)
+        .select(
+            "query_id",
+            (F.col("self_hit") == 1).alias("self_found_ok"),
+            (F.col("top1_cos") == 1.0).alias("top1_exact_ok"),
+            "recall_floor_ok",
+        )
+        .orderBy("query_id")
+    )
 
 
 _CLUSTER_ORACLE = """
@@ -709,13 +1076,32 @@ def q_text_chunk_documents(spark, sf_dir):
     return sort_ops.sort(out, [SortKey("doc_id"), SortKey("chunk_id")])
 
 
-@q("sample_weighted_mixture")  # xxhash64 membership: rows-only; semantics unit-tested
+_MIXTURE_ORACLE = """
+WITH tiers AS (
+  SELECT CASE WHEN doc_id % 10 < 7 THEN 'head'
+              WHEN doc_id % 10 < 9 THEN 'mid'
+              ELSE 'tail' END AS tier
+  FROM documents
+), c AS (
+  SELECT tier, COUNT(*)::BIGINT AS n FROM tiers GROUP BY tier
+), w AS (
+  SELECT tier, n, pow(CAST(n AS DOUBLE), -0.5) AS ww FROM c
+)
+SELECT tier, n AS n_total,
+       round(ww / (SELECT max(ww) FROM w), 6) AS weight,
+       TRUE AS frac_ok
+FROM w ORDER BY tier
+"""
+
+
+@q("sample_weighted_mixture", _MIXTURE_ORACLE)
 def q_sample_weighted_mixture(spark, sf_dir):
-    """Temperature-flattened corpus mixture: per-tier weights (t=0.5) fed to
-    deterministic weighted sampling — the head tier is downsampled toward
-    the tail, which is kept whole.  (The synthetic sources are uniform, so
-    the tier key derives a 70/20/10 skew from doc_id to make the flattening
-    observable.)"""
+    """Temperature-flattened corpus mixture (t=0.5: weight ∝ n^-0.5,
+    normalized to the smallest tier) fed to deterministic weighted
+    sampling.  The oracle pins the per-tier counts AND the weight formula
+    exactly (DuckDB computes the same pow/max), plus a boolean that the
+    realized sampling fraction sits within a 6σ+0.005 binomial band of
+    the target weight — the whole-tier (weight 1.0) case is exact."""
     from supersonic_spark.pipeline import sampling
 
     t = _t(spark, sf_dir)
@@ -728,10 +1114,16 @@ def q_sample_weighted_mixture(spark, sf_dir):
     weights = sampling.mixture_weights(docs, "tier", temperature=0.5)
     weighted = docs.join(F.broadcast(weights.select("tier", "weight")), "tier")
     out = sampling.weighted_sample_by_hash(weighted, "doc_id", "weight")
-    from supersonic_spark.operators import sort as sort_ops
-    from supersonic_spark.operators.sort import SortKey
-
-    return sort_ops.sort(out.select("doc_id", "tier", "weight"), [SortKey("doc_id")])
+    kept = out.groupBy("tier").agg(F.count(F.lit(1)).alias("n_kept"))
+    joined = weights.join(kept, "tier", "left").na.fill({"n_kept": 0})
+    w, n, k = F.col("weight"), F.col("n").cast("double"), F.col("n_kept").cast("double")
+    tol = 6 * F.sqrt(w * (1 - w) / n) + 0.005
+    return joined.select(
+        "tier",
+        F.col("n").cast("long").alias("n_total"),
+        F.round(w, 6).alias("weight"),
+        (F.abs(k / n - w) <= tol).alias("frac_ok"),
+    ).orderBy("tier")
 
 
 _MEAN_EMB_ORACLE = """

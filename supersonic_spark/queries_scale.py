@@ -373,24 +373,55 @@ def q_cross_join_region_nation(spark, sf_dir):
     )
 
 
-@q("kmeans_embeddings")  # iterative algorithm: rows-only; determinism unit-tested
+_KMEANS_ORACLE = """
+SELECT COUNT(*)::BIGINT AS n_points, TRUE AS all_assigned_ok,
+       TRUE AS assignment_optimal_ok
+FROM embeddings
+"""
+
+
+@q("kmeans_embeddings", _KMEANS_ORACLE)
 def q_kmeans_embeddings(spark, sf_dir):
     """Distributed spherical k-means (Lloyd's) on the embeddings table —
-    the full-corpus iterative-ML shape: per iteration one Arrow-batched
-    assignment scan (no shuffle) + one k×dim partial-aggregated mean
-    shuffle; only the k×dim model state circulates through the driver.
-    Deterministic init/ties ⇒ stable cluster sizes; output is the size
-    histogram (cluster, n), smallest id first."""
-    from supersonic_spark.operators import sort as sort_ops
-    from supersonic_spark.operators.sort import SortKey
-    from supersonic_spark.pipeline.similarity import kmeans_lloyd
+    per iteration one Arrow-batched assignment scan (no shuffle) + one
+    k×dim partial-aggregated mean shuffle; only the k×dim model state
+    circulates through the driver.  Checked on the Lloyd's invariants the
+    oracle can pin: every vector is assigned to exactly one cluster
+    (count preserved), and the final assignment is OPTIMAL w.r.t. the
+    final centroids — each point's cosine to its own centroid is within
+    float tolerance of its max cosine over all centroids (argmax
+    correctness, re-verified JVM-side against the Arrow-side assignment)."""
+    from supersonic_spark.pipeline.similarity import cosine, kmeans_lloyd
 
     t = _t(spark, sf_dir)
-    assigned, _ = kmeans_lloyd(t["embeddings"], "vec_id", "embedding", k=8, iters=3)
-    out = agg.group_aggregate(
-        assigned, ["cluster"], [AggSpec(Aggregation.COUNT, None, "n")]
+    emb = t["embeddings"]
+    assigned, centroids = kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=3)
+    cent_rows = [(ci, [float(x) for x in v]) for ci, v in enumerate(centroids)]
+    cent = spark.createDataFrame(cent_rows, "cid int, cvec array<double>")
+    scored = (
+        assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cluster", "cid",
+            cosine(F.col("embedding"), F.col("cvec")).alias("cc"),
+        )
     )
-    return sort_ops.sort(out, [SortKey("cluster")])
+    per_point = scored.groupBy("vec_id", "cluster").agg(
+        F.max("cc").alias("best"),
+        F.max(F.when(F.col("cid") == F.col("cluster"), F.col("cc"))).alias("own"),
+    )
+    agg_row = per_point.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(
+            F.sum((F.col("own") < F.col("best") - 1e-9).cast("int")), F.lit(0)
+        ).alias("n_suboptimal"),
+    )
+    n_emb = emb.agg(F.count(F.lit(1)).alias("n_emb"))
+    return agg_row.crossJoin(n_emb).select(
+        F.col("n_points").cast("long").alias("n_points"),
+        (F.col("n_points") == F.col("n_emb")).alias("all_assigned_ok"),
+        (F.col("n_suboptimal") == 0).alias("assignment_optimal_ok"),
+    )
 
 
 @q(
