@@ -38,6 +38,8 @@ HEADLINE: dict[str, list[str]] = {
     "dedup_exact": ["documents"],
     "dedup_minhash_lsh": ["documents"],
     "dedup_minhash_estimate": ["documents"],
+    "dedup_simhash": ["documents"],
+    "multimodal_decode_png": ["documents"],
     "similarity_cosine_topk": ["embeddings"],
     "similarity_ivf_ann": ["embeddings"],
     "text_quality": ["documents"],

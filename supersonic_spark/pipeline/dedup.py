@@ -157,6 +157,80 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def _bucket_self_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    carry: list[str],
+    skew_salt: int | None = None,
+) -> DataFrame:
+    """Unordered candidate pairs (id_a < id_b) from a bucketed table via
+    self-join on ``keys`` — the shared tail of every LSH banding scheme.
+
+    ``carry`` columns ride along as ``<c>_a`` / ``<c>_b`` (aligned with the
+    id ordering).
+
+    ``skew_salt=g``: pair-block decomposition for hot buckets (the salting
+    discipline of operators.aggregate.salted_join applied to a SELF-join).
+    A bucket of k docs is one join key ⇒ one task does k² work.  With
+    salting, each doc gets salt s = hash(id) mod g and block pair (p,q),
+    p ≤ q, joins the salt-p docs against the salt-q docs: every unordered
+    pair lands in exactly one of the g(g+1)/2 blocks, per-block work drops
+    to (k/g)², and the hot key fans out across g² tasks.  Each side is
+    replicated (g+1)/2× on average — the same replication-for-balance trade
+    as salted_join's right-side explode.
+    """
+    from functools import reduce as _reduce
+
+    def keycond(l, r):
+        return _reduce(
+            lambda x, y: x & y, [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+        )
+
+    if skew_salt is None:
+        l, r = banded.alias("l"), banded.alias("r")
+        cond = keycond(l, r) & (F.col("l.__id") < F.col("r.__id"))
+        sel = [F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")]
+        sel += [F.col(f"l.{c}").alias(f"{c}_a") for c in carry]
+        sel += [F.col(f"r.{c}").alias(f"{c}_b") for c in carry]
+        return l.join(r, cond).select(*sel).dropDuplicates(["id_a", "id_b"])
+
+    g = int(skew_salt)
+    sb = banded.withColumn("__s", F.pmod(F.xxhash64(F.col("__id")), F.lit(g)).cast("int"))
+    left = (
+        sb.withColumn("__q", F.explode(F.sequence(F.col("__s"), F.lit(g - 1))))
+        .withColumnRenamed("__s", "__p")
+    )
+    right = (
+        sb.withColumn("__p", F.explode(F.sequence(F.lit(0), F.col("__s"))))
+        .withColumnRenamed("__s", "__q")
+    )
+    l, r = left.alias("l"), right.alias("r")
+    # same-salt block (p == q) needs the id< tie-break; cross-salt blocks
+    # hold each unordered pair exactly once, in whichever orientation
+    same = F.col("l.__p") == F.col("l.__q")
+    cond = (
+        keycond(l, r)
+        & (F.col("l.__p") == F.col("r.__p"))
+        & (F.col("l.__q") == F.col("r.__q"))
+        & F.when(same, F.col("l.__id") < F.col("r.__id"))
+         .otherwise(F.col("l.__id") != F.col("r.__id"))
+    )
+    a_first = F.col("l.__id") < F.col("r.__id")
+    sel = [
+        F.least(F.col("l.__id"), F.col("r.__id")).alias("id_a"),
+        F.greatest(F.col("l.__id"), F.col("r.__id")).alias("id_b"),
+    ]
+    sel += [
+        F.when(a_first, F.col(f"l.{c}")).otherwise(F.col(f"r.{c}")).alias(f"{c}_a")
+        for c in carry
+    ]
+    sel += [
+        F.when(a_first, F.col(f"r.{c}")).otherwise(F.col(f"l.{c}")).alias(f"{c}_b")
+        for c in carry
+    ]
+    return l.join(r, cond).select(*sel).dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -167,6 +241,7 @@ def minhash_lsh_pairs(
     threshold: float | None = 0.5,
     shingle: str = "word",
     verify: str = "exact",
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding, verified by
     Jaccard when ``threshold`` is given.
@@ -218,7 +293,7 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     if verify == "estimate":
-        return _estimate_pairs_from_sig(sig, band_cols, num_hashes, threshold)
+        return _estimate_pairs_from_sig(sig, band_cols, num_hashes, threshold, skew_salt)
     if verify != "exact":
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
 
@@ -230,18 +305,10 @@ def minhash_lsh_pairs(
     # signature shuffle (ReuseExchange), so signatures compute once.  A
     # groupBy+collect_list+pair-expansion alternative was measured ~40%
     # slower (extra shuffle + interpreted nested-HOF expansion).
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # ``skew_salt`` splits hot buckets across salt-block tasks (see
+    # _bucket_self_pairs) for corpora where one bucket holds a large doc
+    # fraction (boilerplate-heavy crawls).
+    cand = _bucket_self_pairs(banded, ["band", "bucket"], [], skew_salt)
 
     # Exact-Jaccard verification: fetch each side's shingles once per
     # surviving candidate pair.
@@ -261,7 +328,11 @@ def minhash_lsh_pairs(
 
 
 def _estimate_pairs_from_sig(
-    sig: DataFrame, band_cols: list[Column], num_hashes: int, threshold: float | None
+    sig: DataFrame,
+    band_cols: list[Column],
+    num_hashes: int,
+    threshold: float | None,
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """Estimate-mode tail of :func:`minhash_lsh_pairs`: the signature array
     rides through the band explode so the (band, bucket) self-join yields
@@ -273,21 +344,8 @@ def _estimate_pairs_from_sig(
         F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("__sig"),
         F.explode(F.array(*band_cols)).alias("__b"),
     ).select("__id", "__sig", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sig").alias("__sa"),
-            F.col("r.__sig").alias("__sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_self_pairs(banded, ["band", "bucket"], ["__sig"], skew_salt).select(
+        "id_a", "id_b", F.col("__sig_a").alias("__sa"), F.col("__sig_b").alias("__sb")
     )
     matches = F.aggregate(
         F.zip_with(
@@ -315,18 +373,38 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_words: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (the oracle-able baseline).
 
     Blocking = the shingle self-join itself: only pairs sharing ≥1 shingle
     are materialized.  At 100 TB you run minhash_lsh_pairs instead; this is
     the ground-truth/verification operator.
+
+    ``df_cap``: hub-shingle guard — drop shingles whose document frequency
+    exceeds the cap before the self-join (a boilerplate header shared by k
+    documents otherwise materializes k² candidate rows).  The over-cap gram
+    list is tiny (only the hubs) and broadcast-anti-joined, so the guard
+    adds one cheap aggregation, not a corpus shuffle.  Jaccard is then
+    computed over the CAPPED shingle universe (hub grams leave both the
+    intersection and the sizes), so real near-dups — which share many
+    non-ubiquitous grams — keep their scores; None (default) preserves the
+    exact textbook definition.
     """
     from supersonic_spark.operators.core import ensure_parallelism
 
     sh = with_word_shingles(ensure_parallelism(df), id_col, text_col, shingle_words)
-    sizes = sh.select("__id", F.size("__sh").alias("__n"))
     exploded = sh.select("__id", F.explode("__sh").alias("__s"))
+    if df_cap is not None:
+        # per-doc shingles are distinct ⇒ count(*) per gram IS document freq
+        hot = (
+            exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > df_cap).select("__s")
+        )
+        exploded = exploded.join(F.broadcast(hot), "__s", "left_anti")
+        sizes = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    else:
+        sizes = sh.select("__id", F.size("__sh").alias("__n"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -375,6 +453,40 @@ def simhash64(shingles: Column) -> Column:
     return out
 
 
+def simhash64_agg(
+    df: DataFrame, id_col: str = "__id", shingle_col: str = "__sh", out_col: str = "__h"
+) -> DataFrame:
+    """DataFrame-level SimHash: (id, 64-bit simhash) via explode → 64
+    codegen'd conditional-sum aggregates → bit reassembly.
+
+    Identical output to :func:`simhash64` (same xxhash64 family, same ±1 bit
+    votes, same sign rule), but the per-element work runs inside whole-stage
+    codegen instead of 64 interpreted ``F.aggregate`` folds per row — the
+    same explode→groupBy shape the MinHash signature uses (measured ~4×
+    faster there).  The map-side partial agg shrinks the shuffle to one
+    64-int row per document.  Documents whose shingle array is empty are
+    dropped (callers shingle via :func:`with_word_shingles`, which already
+    filters those)."""
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(F.col(shingle_col)).alias("__s"))
+    ex = ex.select("__id", F.xxhash64("__s").alias("__hh"))
+    sums = ex.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__hh"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(64)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        out = out.bitwiseOR(
+            F.when(
+                F.col(f"__b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("__id", out.alias(out_col))
+
+
 def simhash_dedup(
     df: DataFrame, id_col: str, text_col: str, shingle_words: int = 3, max_hamming: int = 3
 ) -> DataFrame:
@@ -385,7 +497,7 @@ def simhash_dedup(
     from supersonic_spark.operators.core import ensure_parallelism
 
     base = with_word_shingles(ensure_parallelism(df), id_col, text_col, shingle_words)
-    base = base.select("__id", simhash64(F.col("__sh")).alias("__h"))
+    base = simhash64_agg(base)
     bands = base.select(
         "__id",
         "__h",
@@ -555,6 +667,108 @@ def connected_components(
     return labels
 
 
+def connected_components_two_phase(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the deep-graph twin of :func:`connected_components`.
+
+    Min-label propagation converges in O(component diameter) rounds; for
+    near-dup clusters (shallow) that's fine, but a chain of length n takes
+    n rounds.  The two-phase star algorithm contracts the graph toward
+    stars and converges in O(log n) rounds regardless of diameter:
+
+    - large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u});
+    - small-star(u): orient edges toward the larger endpoint, then attach
+      every smaller neighbor (and u itself) to m.
+
+    Each phase is one groupBy-min + one join keyed on node id; rounds end
+    when the edge multiset fingerprint (count + sum of pair hashes — one
+    tiny action) stops changing.  Per-round lineage is cut by reliable
+    ``checkpoint`` when ``checkpoint_dir`` is given (the HA option for long
+    jobs: recomputation after executor loss replays one round, not the
+    whole history) else ``localCheckpoint`` (faster, non-fault-tolerant).
+
+    Returns (id, component) with component = min node id of the component,
+    exactly like :func:`connected_components`.
+    """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir else df.localCheckpoint(eager=True)
+
+    nodes = (
+        pairs.select(F.col(src).alias("id"))
+        .union(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("a"), F.col("b"))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star: symmetric adjacency; m = min over Γ(u) ∪ {u}
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient toward the larger endpoint; attach u and all
+        # its (smaller) neighbors to the minimum
+        oriented = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins2 = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            oriented.join(mins2, "a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("b").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.x").alias("a"), F.col("e.y").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        edges = cut(small)
+        fp = fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+
+    # at the star fixpoint every edge is (member, root); roots and isolated
+    # input nodes label themselves
+    labels = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 def cluster_dedup(
     df: DataFrame,
     pairs: DataFrame,
@@ -628,6 +842,7 @@ def ngram_overlap(
     bench_text_col: str,
     n: int = 8,
     hash_grams: bool = True,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing at least one word
     ``n``-gram with any benchmark/eval document.  Returns
@@ -641,6 +856,12 @@ def ngram_overlap(
     ~50-byte strings; distinct-counts are hash-collision-tolerant (2^-64 per
     pair).  The benchmark side is typically tiny vs the corpus — mark it
     broadcastable and the corpus side never shuffles at all.
+
+    ``df_cap``: hub-gram guard — a gram appearing in more than ``df_cap``
+    corpus documents (boilerplate, license headers) is dropped from BOTH
+    sides before the join; such grams are per-definition not benchmark-
+    specific, and each one would otherwise fan the join out by its corpus
+    frequency.  The over-cap list is tiny and broadcast-anti-joined.
     """
     key = (lambda g: F.xxhash64(g)) if hash_grams else (lambda g: g)
     a = with_word_shingles(df, id_col, text_col, n)
@@ -651,6 +872,13 @@ def ngram_overlap(
     be = b.select(F.col("__id").alias("__bid"), F.explode("__sh").alias("__g")).select(
         "__bid", key(F.col("__g")).alias("__k")
     )
+    if df_cap is not None:
+        hot = (
+            ae.groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > df_cap).select("__k")
+        )
+        ae = ae.join(F.broadcast(hot), "__k", "left_anti")
+        be = be.join(F.broadcast(hot), "__k", "left_anti")
     hits = ae.join(be, "__k")
     return hits.groupBy("__id").agg(
         F.count_distinct("__k").alias("n_shared_grams"),

@@ -5,13 +5,14 @@ structs — the Spark-native way to move 100 TB of media through the same
 DataFrame plans as the text/relational data (partition by content hash,
 never collect, never string-ify).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are STUBBED: ``decode_image_meta`` raises
-NotImplementedError unless ``fake=True``, in which case it produces a
-deterministic fake decode (dimensions derived from the content hash) so the
-Spark-side plumbing — schema, batching, partitioning, UDF signature — is
-real and testable end-to-end.  Swapping in a real codec changes only the
-body of ``_decode_one``.
+The decode kernels are REAL for the formats whose codecs are pure stdlib
+(see :mod:`supersonic_spark.pipeline.codecs`): PNG / BMP / PPM images and
+RIFF PCM WAV audio decode to actual pixels/samples inside the Arrow-batched
+kernels below.  Formats that need entropy coders not in this container
+(JPEG, MP4, …) decode to ``ok=False`` — at corpus scale an undecodable blob
+is data to filter, not a reason to kill the stage.  ``fake=True`` keeps the
+deterministic codec-free stand-in (dimensions derived from the content
+hash) for plumbing tests that don't construct real files.
 """
 
 from __future__ import annotations
@@ -23,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from supersonic_spark.pipeline import codecs
 
 #: metadata struct carried beside every media blob
 MEDIA_META_TYPE = T.StructType(
@@ -39,6 +42,8 @@ IMAGE_FEATURES_TYPE = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("pix_sum", T.LongType(), True),  # Σ pixel bytes — decode checksum
         T.StructField("ok", T.BooleanType(), False),
     ]
 )
@@ -57,24 +62,35 @@ def attach_media(df: DataFrame, blob_col: str, media_type: str, fmt: str | None 
     return df.withColumn("media_meta", meta)
 
 
-def _decode_one(blob: bytes, fake: bool) -> tuple:
-    """Decode a single image blob → (width, height, n_bytes, ok).
+def _decode_one(blob: bytes, fake: bool) -> dict:
+    """Decode a single image blob → image-features dict.
 
-    STUB: real decoding needs an image codec not present in this container.
-    ``fake=True`` derives deterministic dimensions from the blob content so
-    pipelines are testable; fake=False raises (marking the integration
-    point).
-    """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires a codec (PIL/libvips) not available here; "
-            "run with fake=True or plug a real decoder into _decode_one"
-        )
+    Real path: pure-stdlib PNG/BMP/PPM decode (see pipeline.codecs) — actual
+    dimensions, channel count, and a pixel checksum proving the pixels were
+    recovered, not just the header read.  Undecodable/unsupported blobs
+    (JPEG, corrupt data) yield ok=False.  ``fake=True`` keeps the
+    deterministic codec-free stand-in (hash-derived dimensions)."""
+    none = {"width": None, "height": None, "n_bytes": None, "channels": None,
+            "pix_sum": None, "ok": False}
     if blob is None:
-        return (None, None, None, False)
-    h = zlib.crc32(bytes(blob))  # deterministic across runs/processes
-    w = 64 + (h % 1920)
-    return (int(w), int((w * 3) // 4), len(blob), True)
+        return none
+    if fake:
+        h = zlib.crc32(bytes(blob))  # deterministic across runs/processes
+        w = 64 + (h % 1920)
+        return {"width": int(w), "height": int((w * 3) // 4), "n_bytes": len(blob),
+                "channels": 3, "pix_sum": None, "ok": True}
+    try:
+        px = codecs.decode_image(bytes(blob))
+    except codecs.CodecError:
+        return dict(none, n_bytes=len(blob))
+    return {
+        "width": int(px.shape[1]),
+        "height": int(px.shape[0]),
+        "n_bytes": len(blob),
+        "channels": int(px.shape[2]),
+        "pix_sum": int(px.sum(dtype="int64")),
+        "ok": True,
+    }
 
 
 def decode_image_meta(df: DataFrame, blob_col: str, fake: bool = False,
@@ -92,12 +108,62 @@ def decode_image_meta(df: DataFrame, blob_col: str, fake: bool = False,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_one(b, fake) for b in pdf[blob_col]]
+            out = pdf[in_cols].copy()
+            out[out_col] = [_decode_one(b, fake) for b in pdf[blob_col]]
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synthesize_png(df: DataFrame, width_col: str, height_col: str, fill_col: str,
+                   out_col: str = "blob") -> DataFrame:
+    """Synthesize solid-fill RGB PNG blobs from per-row (width, height,
+    fill-value) columns — the encoder twin of :func:`decode_image_meta`,
+    used to drive the REAL decode path end-to-end without external image
+    files.  Runs in mapInPandas like every media kernel."""
+    import numpy as np
+
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.BinaryType(), True)])
+    in_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
             out = pdf[in_cols].copy()
             out[out_col] = [
-                {"width": w, "height": hh, "n_bytes": nb, "ok": ok}
-                for (w, hh, nb, ok) in feats
+                codecs.encode_png(np.full((int(h), int(w), 3), int(v) & 0xFF, dtype=np.uint8))
+                for w, h, v in zip(pdf[width_col], pdf[height_col], pdf[fill_col])
             ]
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synthesize_wav(df: DataFrame, frames_col: str, level_col: str,
+                   rate: int = 16000, out_col: str = "blob") -> DataFrame:
+    """Synthesize 16-bit PCM WAV blobs: per row, ``frames`` samples of an
+    alternating ±``level`` (int16 scale) square wave — closed-form RMS
+    (level/32768) and zero-crossing count (frames-1) make the REAL WAV
+    decode path oracle-checkable."""
+    import numpy as np
+
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.BinaryType(), True)])
+    in_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            blobs = []
+            for n, lvl in zip(pdf[frames_col], pdf[level_col]):
+                n, lvl = int(n), int(lvl)
+                wave = np.where(np.arange(n) % 2 == 0, lvl, -lvl) / 32767.0
+                blobs.append(codecs.encode_wav_pcm16(wave, rate))
+            out[out_col] = blobs
             yield out
 
     return df.mapInPandas(run, out_schema)
@@ -124,11 +190,13 @@ IMAGE_RESIZE_TYPE = T.StructType(
 
 def resize_image(df: DataFrame, blob_col: str, width: int, height: int,
                  fake: bool = False, out_col: str = "resized") -> DataFrame:
-    """Resize kernel over mapInPandas (Arrow batches).  Real decoders are
-    not in this container: ``fake=True`` emits a deterministic stand-in
-    (content-hash-seeded bytes of the target size) so the Spark-side
-    plumbing — schema, batching, partitioning — is fully exercised;
-    ``fake=False`` raises NotImplementedError inside the kernel."""
+    """Resize kernel over mapInPandas (Arrow batches).
+
+    Real path: decode PNG/BMP/PPM (pure stdlib — pipeline.codecs),
+    nearest-neighbor resample via numpy gather, re-encode as PNG.
+    Undecodable blobs yield a NULL struct.  ``fake=True`` emits the
+    deterministic codec-free stand-in (content-hash-seeded bytes of the
+    target size) for plumbing tests."""
     from supersonic_spark.operators.core import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -142,13 +210,19 @@ def resize_image(df: DataFrame, blob_col: str, width: int, height: int,
             out = pdf[in_cols].copy()
             res = []
             for blob in pdf[blob_col]:
-                if not fake:
-                    raise NotImplementedError(
-                        "image resize needs a real codec (PIL/cv2) — not in this container"
+                if fake:
+                    seed = hashlib.sha256(bytes(blob or b"")).digest()
+                    data = (seed * (width * height // len(seed) + 1))[: width * height]
+                    res.append({"width": width, "height": height, "data": data})
+                    continue
+                try:
+                    px = codecs.decode_image(bytes(blob))
+                    small = codecs.resize_nearest(px, width, height)
+                    res.append(
+                        {"width": width, "height": height, "data": codecs.encode_png(small)}
                     )
-                seed = hashlib.sha256(bytes(blob or b"")).digest()
-                data = (seed * (width * height // len(seed) + 1))[: width * height]
-                res.append({"width": width, "height": height, "data": data})
+                except (codecs.CodecError, TypeError):
+                    res.append(None)
             out[out_col] = res
             yield out
 
@@ -158,6 +232,9 @@ def resize_image(df: DataFrame, blob_col: str, width: int, height: int,
 AUDIO_FEATURES_TYPE = T.StructType(
     [
         T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("rms", T.DoubleType(), True),
         T.StructField("zero_crossings", T.IntegerType(), True),
         T.StructField("ok", T.BooleanType(), False),
@@ -168,9 +245,13 @@ AUDIO_FEATURES_TYPE = T.StructType(
 def audio_features(df: DataFrame, blob_col: str, fake: bool = False,
                    out_col: str = "audio_features") -> DataFrame:
     """Audio feature extraction (RMS energy, zero-crossing count) over
-    mapInPandas.  With ``fake=True`` the blob bytes are interpreted as a
-    raw int8 waveform — deterministic, codec-free — so the numeric path
-    (numpy over Arrow batches) is real even though no audio decoder is."""
+    mapInPandas.
+
+    Real path: RIFF PCM WAV decode (pure stdlib — pipeline.codecs), mono
+    mixdown, then numpy RMS / zero-crossing over the recovered waveform;
+    non-WAV or corrupt blobs yield ok=False.  With ``fake=True`` the blob
+    bytes are interpreted directly as a raw int8 waveform — deterministic,
+    codec-free — for plumbing tests."""
     from supersonic_spark.operators.core import ensure_parallelism
 
     import numpy as np
@@ -179,24 +260,41 @@ def audio_features(df: DataFrame, blob_col: str, fake: bool = False,
     out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, AUDIO_FEATURES_TYPE, True)])
     in_cols = df.columns
 
+    def stats(wave: "np.ndarray") -> tuple[float, int]:
+        rms = float(np.sqrt(np.mean(wave**2)))
+        zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+        return rms, zc
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[in_cols].copy()
             feats = []
             for blob in pdf[blob_col]:
-                if not fake:
-                    raise NotImplementedError(
-                        "audio decode needs a real codec (soundfile/ffmpeg) — not in this container"
-                    )
-                wave = np.frombuffer(bytes(blob or b""), dtype=np.int8).astype("float64")
-                if len(wave) == 0:
-                    feats.append({"n_bytes": 0, "rms": 0.0, "zero_crossings": 0, "ok": False})
+                raw = bytes(blob or b"")
+                if fake:
+                    wave = np.frombuffer(raw, dtype=np.int8).astype("float64")
+                    if len(wave) == 0:
+                        feats.append({"n_bytes": 0, "n_frames": 0, "channels": None,
+                                      "sample_rate": None, "rms": 0.0,
+                                      "zero_crossings": 0, "ok": False})
+                        continue
+                    rms, zc = stats(wave)
+                    feats.append({"n_bytes": len(wave), "n_frames": len(wave),
+                                  "channels": 1, "sample_rate": None, "rms": rms,
+                                  "zero_crossings": zc, "ok": True})
                     continue
-                rms = float(np.sqrt(np.mean(wave**2)))
-                zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
-                feats.append(
-                    {"n_bytes": len(wave), "rms": rms, "zero_crossings": zc, "ok": True}
-                )
+                try:
+                    frames, rate = codecs.decode_wav(raw)
+                except codecs.CodecError:
+                    feats.append({"n_bytes": len(raw), "n_frames": None, "channels": None,
+                                  "sample_rate": None, "rms": None,
+                                  "zero_crossings": None, "ok": False})
+                    continue
+                mono = frames.mean(axis=1)
+                rms, zc = stats(mono) if len(mono) else (0.0, 0)
+                feats.append({"n_bytes": len(raw), "n_frames": int(frames.shape[0]),
+                              "channels": int(frames.shape[1]), "sample_rate": int(rate),
+                              "rms": rms, "zero_crossings": zc, "ok": True})
             out[out_col] = feats
             yield out
 

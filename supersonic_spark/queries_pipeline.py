@@ -476,7 +476,8 @@ def q_multimodal_bytes(spark, sf_dir):
 @q("multimodal_decode_stub")  # fake decode kernel: rows-only
 def q_multimodal_decode_stub(spark, sf_dir):
     """Arrow-batched media decode plumbing with the deterministic fake
-    codec (real codecs not in this container — see pipeline.multimodal)."""
+    codec (hash-derived dimensions — see pipeline.multimodal; the REAL
+    codec path is oracle-checked by multimodal_decode_png)."""
     t = _t(spark, sf_dir)
     blobs = t["documents"].select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
     media = multimodal.attach_media(blobs, "blob", media_type="image", fmt="fake")
@@ -487,6 +488,79 @@ def q_multimodal_decode_stub(spark, sf_dir):
         F.col("image_features.width").alias("width"),
         F.col("image_features.height").alias("height"),
         F.col("image_features.n_bytes").alias("n_bytes"),
+    )
+
+
+@q(
+    "multimodal_decode_png",
+    """SELECT doc_id,
+              (1 + doc_id % 16)::BIGINT AS width,
+              (1 + doc_id % 8)::BIGINT AS height,
+              3::BIGINT AS channels,
+              ((1 + doc_id % 16) * (1 + doc_id % 8) * 3 * (doc_id % 256))::BIGINT AS pix_sum,
+              TRUE AS ok
+       FROM documents""",
+)
+def q_multimodal_decode_png(spark, sf_dir):
+    """REAL PNG decode end to end: synthesize an actual PNG blob per document
+    (dimensions/fill derived from doc_id), then recover width/height/channel
+    count and the pixel checksum by parsing the PNG byte stream (zlib inflate
+    + scanline unfilter) inside the Arrow-batched kernel — no fake codec
+    anywhere in the plan.  The oracle recomputes the closed-form expectations
+    from doc_id, so a header-only 'decode' would still pass width/height but
+    fail pix_sum."""
+    t = _t(spark, sf_dir)
+    dims = t["documents"].select(
+        "doc_id",
+        (1 + F.col("doc_id") % 16).cast("int").alias("w"),
+        (1 + F.col("doc_id") % 8).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("v"),
+    )
+    blobs = multimodal.synthesize_png(dims, "w", "h", "v")
+    decoded = multimodal.decode_image_meta(blobs, "blob", fake=False)
+    return decoded.select(
+        "doc_id",
+        F.col("image_features.width").cast("long").alias("width"),
+        F.col("image_features.height").cast("long").alias("height"),
+        F.col("image_features.channels").cast("long").alias("channels"),
+        F.col("image_features.pix_sum").cast("long").alias("pix_sum"),
+        F.col("image_features.ok").alias("ok"),
+    )
+
+
+@q(
+    "multimodal_audio_wav",
+    """SELECT doc_id,
+              (50 + doc_id % 100)::BIGINT AS n_frames,
+              1::BIGINT AS channels,
+              16000::BIGINT AS sample_rate,
+              (50 + doc_id % 100 - 1)::BIGINT AS zero_crossings,
+              TRUE AS rms_ok
+       FROM documents""",
+)
+def q_multimodal_audio_wav(spark, sf_dir):
+    """REAL WAV decode end to end: synthesize 16-bit PCM RIFF blobs (an
+    alternating ±level square wave per document), parse the RIFF chunks and
+    recover frame count / channels / sample rate / zero crossings, and check
+    the recovered RMS against its closed-form value (level/32768 for a ±level
+    square wave) as an error-bound boolean — the float itself never enters
+    the hash."""
+    t = _t(spark, sf_dir)
+    dims = t["documents"].select(
+        "doc_id",
+        (50 + F.col("doc_id") % 100).cast("int").alias("n"),
+        (1 + F.col("doc_id") % 32000).cast("int").alias("lvl"),
+    )
+    blobs = multimodal.synthesize_wav(dims, "n", "lvl", rate=16000)
+    decoded = multimodal.audio_features(blobs, "blob", fake=False)
+    expected_rms = (1 + F.col("doc_id") % 32000).cast("double") / F.lit(32768.0)
+    return decoded.select(
+        "doc_id",
+        F.col("audio_features.n_frames").cast("long").alias("n_frames"),
+        F.col("audio_features.channels").cast("long").alias("channels"),
+        F.col("audio_features.sample_rate").cast("long").alias("sample_rate"),
+        F.col("audio_features.zero_crossings").cast("long").alias("zero_crossings"),
+        (F.abs(F.col("audio_features.rms") - expected_rms) < 1e-9).alias("rms_ok"),
     )
 
 

@@ -602,6 +602,70 @@ def q_serde_expression_eval(spark, sf_dir):
 
 
 @q(
+    "serde_expression_textproto",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue,
+              CASE l_returnflag WHEN 'R' THEN 'returned'
+                                WHEN 'A' THEN 'accepted'
+                                ELSE 'neither' END AS flag_word
+       FROM lineitem
+       WHERE l_quantity > 45 AND l_discount <= 0.05""",
+)
+def q_serde_expression_textproto(spark, sf_dir):
+    """Wire-format parity for §2.8: the SAME query as serde_expression_eval,
+    but every expression arrives as a protobuf TEXT-FORMAT
+    common.ExpressionDescription string (utils/proto/expressions.proto:292,
+    deserialized in the reference by build_expression_from_proto.cc:754) —
+    parsed by functions.textproto without any protobuf runtime, mapped onto
+    the shared JSON deserializer, and hash-checked against the same
+    oracle."""
+    from supersonic_spark.functions.textproto import expression_from_textproto
+
+    t = _t(spark, sf_dir)
+    predicate = expression_from_textproto("""
+        type: OPERATION
+        operation {
+          type: AND
+          argument { type: OPERATION operation { type: GREATER
+              argument { type: VARIABLE variable { name: "l_quantity" } }
+              argument { type: CONSTANT constant { type: DOUBLE double_value: 45.0 } } } }
+          argument { type: OPERATION operation { type: LESS_OR_EQUAL
+              argument { type: VARIABLE variable { name: "l_discount" } }
+              argument { type: CONSTANT constant { type: DOUBLE double_value: 0.05 } } } }
+        }""")
+    computed = {
+        "l_orderkey": expression_from_textproto(
+            'type: VARIABLE variable { name: "l_orderkey" }'),
+        "l_linenumber": expression_from_textproto(
+            'type: VARIABLE variable { name: "l_linenumber" }'),
+        "revenue": expression_from_textproto("""
+            type: OPERATION
+            operation {
+              type: MULTIPLY
+              argument { type: VARIABLE variable { name: "l_extendedprice" } }
+              argument { type: OPERATION operation { type: SUBTRACT
+                  argument { type: CONSTANT constant { type: DOUBLE double_value: 1.0 } }
+                  argument { type: VARIABLE variable { name: "l_discount" } } } }
+            }"""),
+        # CASE layout per expressions.proto:101-105 —
+        # CASE arg0 WHEN arg2 THEN arg3 WHEN arg4 THEN arg5 ELSE arg1
+        "flag_word": expression_from_textproto("""
+            type: OPERATION
+            operation {
+              type: CASE
+              argument { type: VARIABLE variable { name: "l_returnflag" } }
+              argument { type: CONSTANT constant { type: STRING string_value: "neither" } }
+              argument { type: CONSTANT constant { type: STRING string_value: "R" } }
+              argument { type: CONSTANT constant { type: STRING string_value: "returned" } }
+              argument { type: CONSTANT constant { type: STRING string_value: "A" } }
+              argument { type: CONSTANT constant { type: STRING string_value: "accepted" } }
+            }"""),
+    }
+    filtered = core.filter_op(t["lineitem"], predicate)
+    return core.compute(filtered, computed)
+
+
+@q(
     "serde_plan_eval",
     """SELECT o_orderpriority, COUNT(*) AS n,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total

@@ -99,12 +99,66 @@ def test_minhash_estimate_mode(spark, docs):
         dedup.minhash_lsh_pairs(docs, "doc_id", "text", verify="bogus")
 
 
+def test_ngram_jaccard_df_cap_kills_hub_shingle(spark):
+    """A shingle planted in EVERY document creates k² candidate pairs; the
+    df-cap drops it before the self-join, leaving only the genuine near-dup
+    pair — whose score is unchanged because real near-dups share many
+    non-hub shingles."""
+    hub = "common boilerplate header"
+    rows = [(i, f"{hub} unique{i} filler{i} words{i} tail{i}") for i in range(1, 9)]
+    rows += [(100, hub + " alpha beta gamma delta epsilon zeta"),
+             (101, hub + " alpha beta gamma delta epsilon eta")]
+    docs = core.scan_view(spark, rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.01)
+    capped = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.01, df_cap=5)
+    # uncapped: every pair shares the hub 3-gram → k² pairs materialize
+    assert uncapped.count() == 45  # C(10,2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # capped: only the real near-dup pair survives, with a high score
+    assert set(got) == {(100, 101)} and got[(100, 101)] > 0.5
+
+
+def test_ngram_overlap_df_cap(spark):
+    hub = "a b c d e f g h"  # an 8-gram present in every corpus doc
+    corpus = core.scan_view(
+        spark,
+        [(i, f"{hub} x{i} y{i} z{i} w{i} v{i} u{i} t{i} s{i}") for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    bench = core.scan_view(
+        spark,
+        [(1, hub + " unrelated tail"), (2, "x3 y3 z3 w3 v3 u3 t3 s3 extra")],
+        "bid long, text string",
+    )
+    uncapped = dedup.ngram_overlap(corpus, bench, "doc_id", "text", "bid", "text", n=8)
+    assert uncapped.count() == 6  # the hub gram contaminates every corpus doc
+    capped = dedup.ngram_overlap(
+        corpus, bench, "doc_id", "text", "bid", "text", n=8, df_cap=3
+    )
+    got = {r["doc_id"]: r["n_bench_docs"] for r in capped.collect()}
+    assert got == {3: 1}  # only the genuine doc3↔bench2 overlap remains
+
+
 def test_simhash_exact_dup_zero_hamming(spark, docs):
     out = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in dedup.simhash_dedup(docs, "doc_id", "text", max_hamming=10).collect()
     }
     assert out[(1, 2)] == 0  # identical text ⇒ identical simhash
+
+
+def test_simhash64_agg_matches_fold(spark, docs):
+    """The explode→codegen-aggregate SimHash must equal the per-row HOF fold
+    bit for bit (same hash family, same sign rule) on every doc that has
+    shingles."""
+    sh = dedup.with_word_shingles(docs, "doc_id", "text", 3)
+    fold = {
+        r["__id"]: r["h"]
+        for r in sh.select("__id", dedup.simhash64(F.col("__sh")).alias("h")).collect()
+    }
+    agg = {r["__id"]: r["__h"] for r in dedup.simhash64_agg(sh).collect()}
+    assert agg == fold and len(agg) == 4  # doc 5 ("tiny") has no 3-gram
 
 
 def test_simhash64_deterministic(spark, docs):
@@ -193,11 +247,44 @@ def test_multimodal_stub_plumbing(spark, docs):
         assert 64 <= r["image_features"]["width"] < 64 + 1920
 
 
-def test_multimodal_real_decode_raises(spark, docs):
+def test_multimodal_real_decode_non_image_ok_false(spark, docs):
+    """The real decode path treats undecodable bytes as data (ok=False),
+    never as a stage-killing error."""
     blobs = docs.limit(1).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
     decoded = multimodal.decode_image_meta(blobs, "blob", fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        decoded.collect()
+    row = decoded.collect()[0]["image_features"]
+    assert row["ok"] is False and row["width"] is None and row["n_bytes"] > 0
+
+
+def test_multimodal_real_png_roundtrip(spark):
+    """Synthesize real PNG bytes per row, decode them with the real kernel,
+    and recover exact dimensions + pixel checksum."""
+    dims = spark.createDataFrame(
+        [(1, 5, 3, 7), (2, 16, 9, 200), (3, 1, 1, 255)], "id long, w int, h int, v int"
+    )
+    blobs = multimodal.synthesize_png(dims, "w", "h", "v")
+    out = {
+        r["id"]: r["image_features"]
+        for r in multimodal.decode_image_meta(blobs, "blob", fake=False).collect()
+    }
+    for _id, w, h, v in [(1, 5, 3, 7), (2, 16, 9, 200), (3, 1, 1, 255)]:
+        f = out[_id]
+        assert f["ok"] and f["width"] == w and f["height"] == h
+        assert f["channels"] == 3 and f["pix_sum"] == w * h * 3 * v
+
+
+def test_multimodal_real_wav_roundtrip(spark):
+    dims = spark.createDataFrame([(1, 100, 1000), (2, 7, 32767)], "id long, n int, lvl int")
+    blobs = multimodal.synthesize_wav(dims, "n", "lvl", rate=8000)
+    out = {
+        r["id"]: r["audio_features"]
+        for r in multimodal.audio_features(blobs, "blob", fake=False).collect()
+    }
+    for _id, n, lvl in [(1, 100, 1000), (2, 7, 32767)]:
+        f = out[_id]
+        assert f["ok"] and f["n_frames"] == n and f["channels"] == 1
+        assert f["sample_rate"] == 8000 and f["zero_crossings"] == n - 1
+        assert abs(f["rms"] - lvl / 32768.0) < 1e-12
 
 
 def test_frame_sample_plan(spark):
@@ -435,6 +522,54 @@ def test_connected_components_chain_cycle_isolated(spark):
     assert comp[1] == (1, True) and comp[6] == (1, False)
     canonical = [r["id"] for r in out if r["is_canonical"]]
     assert sorted(canonical) == [1, 10, 20, 30]
+
+
+def test_two_phase_cc_matches_min_label_random_graphs(spark):
+    """Property: large-star/small-star labels equal min-label propagation on
+    random graphs (both = min reachable node id)."""
+    import random
+
+    from supersonic_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(30 + 10 * trial)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        base = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        star = {
+            r["id"]: r["component"]
+            for r in connected_components_two_phase(pairs).collect()
+        }
+        assert star == base
+
+
+def test_two_phase_cc_long_chain_log_rounds(spark):
+    """A 300-node chain has diameter 299 — min-label would need ~300 rounds;
+    the star algorithm must finish within O(log n) (max_iter=12 ⇒ if it
+    hadn't converged the labels would be wrong)."""
+    from supersonic_spark.pipeline.dedup import connected_components_two_phase
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(300)], ["id_a", "id_b"])
+    out = connected_components_two_phase(pairs, max_iter=12).collect()
+    assert len(out) == 301 and all(r["component"] == 0 for r in out)
+
+
+def test_two_phase_cc_checkpoint_dir(spark, tmp_path):
+    from supersonic_spark.pipeline.dedup import connected_components_two_phase
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components_two_phase(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
 def test_repetition_signals_golden(spark):

@@ -76,6 +76,76 @@ def test_salted_join_matches_plain(spark, tables):
 
 
 # ---------------------------------------------------------------------
+# salted LSH banding self-join: hot bucket stays, task skew bounded
+# ---------------------------------------------------------------------
+
+
+def test_salted_banding_join_skew_bounded(spark):
+    """Corpus where one LSH bucket holds 10% of documents (exact dups share
+    every band): the salted banding join must (a) return the identical pair
+    set, and (b) split the hot bucket's pair generation across salt blocks
+    so no single join key carries the full k² work."""
+    from supersonic_spark.pipeline import dedup
+
+    hot = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)]
+    cold = [
+        (100 + i, f"unique{i} words{i} only{i} here{i} nothing{i} shared{i}")
+        for i in range(180)
+    ]
+    docs = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify="estimate"
+        ).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify="estimate", skew_salt=4
+        ).collect()
+    }
+    assert salted == base and len(base) == 190  # C(20,2) hot-cluster pairs
+    # exact-verify mode too
+    salted_exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, skew_salt=4
+        ).collect()
+    }
+    assert salted_exact == base
+
+    # task-skew bound, asserted on the join-key distribution directly: one
+    # bucket of k=20 docs is ONE key (C(20,2)=190 pairs in one task) when
+    # unsalted; salted with g=4 every (bucket, p, q) block holds at most
+    # ceil(k/g)² pairs.
+    g, k = 4, 20
+    banded = spark.createDataFrame([(i, "hot") for i in range(k)], ["__id", "bucket"])
+    pairs = dedup._bucket_self_pairs(banded, ["bucket"], [], skew_salt=g)
+    assert pairs.count() == k * (k - 1) // 2  # nothing lost, nothing duped
+    salts = {
+        r["__id"]: r["s"]
+        for r in banded.select(
+            "__id", F.pmod(F.xxhash64(F.col("__id")), F.lit(g)).cast("int").alias("s")
+        ).collect()
+    }
+    per_block: dict[tuple[int, int], int] = {}
+    for a, b in [(r["id_a"], r["id_b"]) for r in pairs.collect()]:
+        blk = tuple(sorted((salts[a], salts[b])))
+        per_block[blk] = per_block.get(blk, 0) + 1
+    # each block must hold exactly its decomposition-theoretic share:
+    # n_p·n_q pairs for p<q, C(n_p,2) for the diagonal — i.e. the hot key's
+    # 190 pairs are genuinely partitioned across the g(g+1)/2 blocks
+    sizes = [sum(1 for s in salts.values() if s == p) for p in range(g)]
+    for (p, qq), n in per_block.items():
+        want = sizes[p] * (sizes[p] - 1) // 2 if p == qq else sizes[p] * sizes[qq]
+        assert n == want, (p, qq, n, want)
+    total = k * (k - 1) // 2
+    assert len(per_block) > 1 and max(per_block.values()) <= total // 3
+
+
+# ---------------------------------------------------------------------
 # navigation window family
 # ---------------------------------------------------------------------
 

@@ -174,3 +174,109 @@ def test_operation_tree_binding_errors(spark, tables):
         operation_from_json(
             spark, {"op": "hash_join", "on": ["k"], "inputs": []}, tables
         )
+
+
+# --- protobuf text-format ingestion (wire parity, functions.textproto) ---
+
+def _tp(spark, text, data=((2, 3.0, "Hello"),), schema="a int, b double, s string"):
+    from supersonic_spark.functions.textproto import expression_from_textproto
+
+    df = spark.createDataFrame(list(data), schema)
+    return df.select(expression_from_textproto(text).alias("out")).collect()[0]["out"]
+
+
+def test_textproto_matches_json(spark):
+    """The text-format wire shape deserializes to the same answers as the
+    JSON grammar for the same tree."""
+    text = """
+      type: OPERATION
+      operation {
+        type: ADD
+        argument { type: OPERATION operation { type: MULTIPLY
+            argument { type: VARIABLE variable { name: "a" } }
+            argument { type: CONSTANT constant { type: INT32 int32_value: 10 } } } }
+        argument { type: VARIABLE variable { name: "b" } }
+      }"""
+    assert _tp(spark, text) == 23.0
+
+
+def test_textproto_case_layout(spark):
+    """CASE arg0 WHEN arg2 THEN arg3 ELSE arg1 (expressions.proto:101-105)."""
+    text = """
+      type: OPERATION
+      operation {
+        type: CASE
+        argument { type: VARIABLE variable { name: "s" } }
+        argument { type: CONSTANT constant { type: STRING string_value: "other" } }
+        argument { type: CONSTANT constant { type: STRING string_value: "Hello" } }
+        argument { type: CONSTANT constant { type: STRING string_value: "greeting" } }
+      }"""
+    assert _tp(spark, text) == "greeting"
+
+
+def test_textproto_null_date_datetime_constants(spark):
+    # no *_value field set ⇒ NULL of the declared type
+    assert _tp(spark, "type: CONSTANT constant { type: INT64 }") is None
+    # date_value: days since epoch; datetime_value: µs since epoch
+    import datetime as dt
+
+    assert _tp(spark, "type: CONSTANT constant { type: DATE date_value: 19723 }") == dt.date(
+        2024, 1, 1
+    )
+    got = _tp(
+        spark,
+        "type: CONSTANT constant { type: DATETIME datetime_value: 1704067200000001 }",
+    )
+    assert got == dt.datetime(2024, 1, 1, 0, 0, 0, 1)
+
+
+def test_textproto_regexp_and_cast(spark):
+    # REGEXP_PARTIAL alias + the data-at-0 / pattern-at-1 layout
+    text = """
+      type: OPERATION
+      operation {
+        type: REGEXP_PARTIAL
+        argument { type: VARIABLE variable { name: "s" } }
+        argument { type: CONSTANT constant { type: STRING string_value: "ell" } }
+      }"""
+    assert _tp(spark, text) is True
+    # CAST with the data_type_value constant at argument 0 (bep.cc:474)
+    text = """
+      type: OPERATION
+      operation {
+        type: CAST
+        argument { type: CONSTANT constant { type: DATA_TYPE data_type_value: DOUBLE } }
+        argument { type: VARIABLE variable { name: "a" } }
+      }"""
+    assert _tp(spark, text) == 2.0
+
+
+def test_textproto_string_escapes_and_angle_brackets(spark):
+    text = r"""
+      type: OPERATION
+      operation <
+        type: CONCATENATE
+        argument < type: VARIABLE variable < name: "s" > >
+        argument < type: CONSTANT constant < type: STRING string_value: "\x21\n" > >
+      >"""
+    assert _tp(spark, text) == "Hello!\n"
+
+
+def test_textproto_errors():
+    from supersonic_spark.functions.textproto import (
+        expression_from_textproto,
+        parse_text_format,
+    )
+
+    with pytest.raises(ValueError, match="syntax error"):
+        parse_text_format("type: @bogus")
+    with pytest.raises(ValueError, match="missing closing"):
+        parse_text_format("operation { type: ADD")
+    with pytest.raises(ValueError, match="unsupported"):
+        expression_from_textproto("type: TUPLE tuple { }")
+    with pytest.raises(ValueError, match="unknown operator"):
+        expression_from_textproto(
+            "type: OPERATION operation { type: FROBNICATE }"
+        )
+    with pytest.raises(ValueError, match="exactly once"):
+        expression_from_textproto("type: VARIABLE")

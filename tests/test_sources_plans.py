@@ -214,8 +214,10 @@ def test_resize_and_audio_kernels(spark):
     assert feats[1]["ok"] and feats[1]["n_bytes"] == 32 and feats[1]["zero_crossings"] > 0
     assert not feats[2]["ok"] and feats[2]["n_bytes"] == 0
 
-    with pytest.raises(Exception, match="NotImplementedError|real codec|not available"):
-        multimodal.resize_image(df, "blob", 8, 4, fake=False).collect()
+    # real path: undecodable bytes → NULL struct, not a stage-killing error
+    real = {r["id"]: r["resized"] for r in multimodal.resize_image(
+        df, "blob", 8, 4, fake=False).collect()}
+    assert real[1] is None and real[2] is None
 
 
 def test_stream_changed_and_smudge(spark, tmp_path):
