@@ -197,11 +197,19 @@ _VALUE_FIELDS = {
     "data_type_value": "DATA_TYPE",
 }
 
-#: OperationType spellings that differ from the serde layer's OperatorId
+#: OperationType spellings that differ from the serde layer's OperatorId.
+#: The engine runs with a pinned UTC session timezone (session.py runtime
+#: conf), so the proto's *_LOCAL and *_UTC extractor pairs resolve to the
+#: same µs-exact implementations.
 _OP_ALIASES = {
     "REGEXP_PARTIAL": "REGEXP_PARTIAL_MATCH",
     "REGEXP_FULL": "REGEXP_FULL_MATCH",
     "CONCATENATE_SEPARATED": "CONCATENATE_WITH_SEPARATOR",
+    "PARSE_STRING": "PARSE_STRING_NULLING",  # reference default policy
+    **{f"{base}_{tz}": base
+       for base in ("YEAR", "MONTH", "DAY", "WEEKDAY", "YEARDAY",
+                    "HOUR", "MINUTE", "QUARTER")
+       for tz in ("LOCAL", "UTC")},
 }
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
@@ -265,3 +273,162 @@ def expression_from_textproto(text: str) -> Column:
     operator, wrong arity, malformed constant) surface as ValueError from
     the shared deserializer, text-format syntax errors from the parser."""
     return expression_from_json(description_to_json(parse_text_format(text)))
+
+
+# ------------------------------------------------------------- binary wire
+
+# Enum number → name tables, transcribed from the reference protos
+# (utils/proto/expressions.proto ExpressionType/OperationType;
+# utils/proto/types.proto DataType) — required to read the BINARY wire
+# format, which carries enum NUMBERS.
+
+_EXPRESSION_TYPE_NUM = {
+    0: "CONSTANT", 1: "VARIABLE", 2: "OPERATION",
+    3: "CUSTOM_FUNCTION_CALL", 4: "TUPLE", 5: "PATH",
+}
+
+_DATA_TYPE_NUM = {
+    0: "STRING", 1: "INT32", 2: "INT64", 3: "UINT64", 4: "DATETIME",
+    5: "DOUBLE", 6: "BOOL", 7: "BINARY", 8: "UINT32", 9: "FLOAT",
+    10: "DATE", 11: "DATA_TYPE", 12: "NULL_TYPE", 13: "ENUM",
+}
+
+_OPERATION_TYPE_NUM = {
+    0: "ADD", 1: "MULTIPLY", 2: "SUBTRACT", 36: "DIVIDE", 30: "CPP_DIVIDE",
+    35: "DIVIDE_SIGNALING", 3: "DIVIDE_NULLING", 37: "DIVIDE_QUIET",
+    4: "NEGATE", 5: "AND", 6: "OR", 7: "NOT", 8: "EQUAL", 9: "NOT_EQUAL",
+    10: "GREATER", 11: "GREATER_OR_EQUAL", 12: "LESS", 13: "LESS_OR_EQUAL",
+    14: "IS_NULL", 15: "REGEXP_PARTIAL", 25: "REGEXP_FULL",
+    221: "REGEXP_EXTRACT", 222: "REGEXP_REPLACE", 16: "IN", 17: "CASE",
+    18: "IF", 19: "CAST", 20: "IFNULL", 21: "MODULUS", 22: "IS_ODD",
+    23: "IS_EVEN", 24: "AND_NOT", 26: "XOR", 50: "BITWISE_AND",
+    51: "BITWISE_OR", 52: "BITWISE_NOT", 53: "BITWISE_XOR",
+    54: "SHIFT_LEFT", 55: "SHIFT_RIGHT", 60: "COPY", 100: "ROUND_TO_INT",
+    113: "ROUND", 101: "TRUNC", 102: "CEIL_TO_INT", 114: "CEIL",
+    104: "FLOOR_TO_INT", 115: "FLOOR", 103: "EXP", 105: "LN", 108: "LOG",
+    106: "LOG10", 120: "SQRT_SIGNALING", 121: "SQRT_NULLING",
+    107: "SQRT_QUIET", 122: "SQRT", 109: "IS_FINITE", 110: "IS_INF",
+    111: "IS_NAN", 112: "IS_NORMAL", 117: "SIN", 118: "COS", 119: "TAN",
+    123: "PI", 124: "POWER_SIGNALING", 125: "POWER_NULLING",
+    126: "POWER_QUIET", 150: "LENGTH", 151: "LTRIM", 152: "RTRIM",
+    153: "TRIM", 154: "TOUPPER", 155: "TOLOWER", 156: "SUBSTRING",
+    157: "CONCATENATE", 158: "TOSTRING", 159: "STRING_OFFSET",
+    160: "REPLACE", 226: "PARSE_STRING", 170: "UNIXTIMESTAMP",
+    171: "FROMUNIXTIME", 172: "MAKEDATE", 173: "YEAR_LOCAL",
+    174: "MONTH_LOCAL", 175: "DAY_LOCAL", 176: "WEEKDAY_LOCAL",
+    177: "YEARDAY_LOCAL", 178: "HOUR_LOCAL", 179: "MINUTE_LOCAL",
+    180: "SECOND", 181: "MICROSECOND", 182: "QUARTER_LOCAL",
+    228: "YEAR_UTC", 229: "MONTH_UTC", 230: "DAY_UTC", 231: "WEEKDAY_UTC",
+    232: "YEARDAY_UTC", 233: "HOUR_UTC", 234: "MINUTE_UTC",
+    235: "QUARTER_UTC", 183: "MAKEDATETIME", 184: "DATEDIFF",
+    185: "DATETIMEDIFF", 223: "ADD_MINUTE", 201: "ADD_DAY",
+    202: "ADD_WEEK", 203: "ADD_MONTH", 204: "ADD_YEAR",
+    205: "TRUNC_TO_SECOND", 206: "TRUNC_TO_MINUTE", 207: "TRUNC_TO_HOUR",
+    208: "TRUNC_TO_DAY", 209: "TRUNC_TO_MONTH", 210: "TRUNC_TO_QUARTER",
+    211: "TRUNC_TO_YEAR", 189: "DATE_FORMAT_LOCAL", 227: "DATE_FORMAT_UTC",
+    190: "FORMAT", 224: "RANDOM_INT32", 225: "SEQUENCE",
+}
+
+#: per-message wire schemas: field number → (name, kind).  Kinds: int
+#: (signed varint), bool, f32, f64, str, bytes, enum:<table>, msg:<schema>
+_CONSTANT_WIRE = {
+    1: ("type", "enum:dt"), 2: ("int32_value", "int"), 3: ("int64_value", "int"),
+    4: ("uint32_value", "int"), 5: ("uint64_value", "int"),
+    6: ("float_value", "f32"), 7: ("double_value", "f64"),
+    8: ("bool_value", "bool"), 9: ("date_value", "int"),
+    10: ("datetime_value", "int"), 11: ("binary_value", "bytes"),
+    12: ("string_value", "str"), 13: ("data_type_value", "enum:dt"),
+}
+_VARIABLE_WIRE = {1: ("name", "str")}
+_OPERATION_WIRE = {1: ("type", "enum:op"), 2: ("argument", "msg:desc")}
+_DESC_WIRE = {
+    1: ("type", "enum:expr"), 2: ("constant", "msg:const"),
+    3: ("variable", "msg:var"), 4: ("operation", "msg:oper"),
+    5: ("function_call", "bytes"), 6: ("tuple", "bytes"), 7: ("path", "bytes"),
+}
+_WIRE_SCHEMAS: dict[str, dict] = {
+    "desc": _DESC_WIRE, "const": _CONSTANT_WIRE,
+    "var": _VARIABLE_WIRE, "oper": _OPERATION_WIRE,
+}
+_ENUM_TABLES = {"dt": _DATA_TYPE_NUM, "op": _OPERATION_TYPE_NUM,
+                "expr": _EXPRESSION_TYPE_NUM}
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint in binary proto")
+        b = buf[pos]
+        out |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 64 bits")
+
+
+def _parse_wire_message(buf: bytes, schema: dict) -> dict[str, list[Any]]:
+    """Binary proto message → the same {field: [values]} tree the
+    text-format parser produces (enum numbers resolved to names), so both
+    wire shapes feed one mapping layer."""
+    import struct as _struct
+
+    msg: dict[str, list[Any]] = {}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wtype = key >> 3, key & 7
+        if wtype == 0:
+            raw, pos = _read_varint(buf, pos)
+        elif wtype == 1:
+            if pos + 8 > len(buf):
+                raise ValueError("truncated fixed64")
+            raw, pos = buf[pos : pos + 8], pos + 8
+        elif wtype == 5:
+            if pos + 4 > len(buf):
+                raise ValueError("truncated fixed32")
+            raw, pos = buf[pos : pos + 4], pos + 4
+        elif wtype == 2:
+            n, pos = _read_varint(buf, pos)
+            if pos + n > len(buf):
+                raise ValueError("truncated length-delimited field")
+            raw, pos = buf[pos : pos + n], pos + n
+        else:
+            raise ValueError(f"unsupported wire type {wtype} (field {field})")
+        if field not in schema:
+            continue  # unknown fields skip, like any proto reader
+        name, kind = schema[field]
+        if kind == "int":
+            val = raw - (1 << 64) if raw >= (1 << 63) else raw
+        elif kind == "bool":
+            val = bool(raw)
+        elif kind == "f32":
+            val = _struct.unpack("<f", raw)[0]
+        elif kind == "f64":
+            val = _struct.unpack("<d", raw)[0]
+        elif kind == "str":
+            val = raw.decode("utf-8")
+        elif kind == "bytes":
+            val = bytes(raw)
+        elif kind.startswith("enum:"):
+            table = _ENUM_TABLES[kind[5:]]
+            if raw not in table:
+                raise ValueError(f"unknown enum value {raw} for field {name!r}")
+            val = table[raw]
+        elif kind.startswith("msg:"):
+            val = _parse_wire_message(raw, _WIRE_SCHEMAS[kind[4:]])
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+        msg.setdefault(name, []).append(val)
+    return msg
+
+
+def expression_from_binaryproto(blob: bytes) -> Column:
+    """Deserialize a BINARY-serialized ``common.ExpressionDescription``
+    (the actual proto wire bytes) → Column.  Same mapping layer as the
+    text-format path; no protobuf runtime required."""
+    return expression_from_json(
+        description_to_json(_parse_wire_message(bytes(blob), _DESC_WIRE))
+    )

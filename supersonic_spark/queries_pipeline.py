@@ -1085,6 +1085,55 @@ def q_dedup_decontaminate(spark, sf_dir):
     return sort_ops.sort(out, [SortKey("doc_id")])
 
 
+_CLUSTERS_ORACLE = _exact_pair_stats_sql("""
+SELECT id, component FROM (
+  WITH RECURSIVE
+  p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+  e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+  reach(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+  )
+  SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+) ORDER BY id""")
+
+
+@q("dedup_duplicate_clusters", _CLUSTERS_ORACLE)
+def q_dedup_duplicate_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: exact-Jaccard pairs → connected
+    components by min-label propagation (id, component = min reachable id).
+    The oracle recomputes the same pairs in DuckDB and closes them with a
+    recursive-CTE transitive closure — a full hash check of the clustering,
+    not just the pair list."""
+    t = _t(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", shingle_words=3, threshold=0.5
+    )
+    cc = dedup.connected_components(pairs)
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(cc, [SortKey("id")]).select("id", "component")
+
+
+@q("dedup_clusters_two_phase", _CLUSTERS_ORACLE)
+def q_dedup_clusters_two_phase(spark, sf_dir):
+    """Same clustering, computed by the large-star/small-star algorithm
+    (O(log n) rounds — the deep-graph scale path) and hash-checked against
+    the identical recursive-closure oracle."""
+    t = _t(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", shingle_words=3, threshold=0.5
+    )
+    cc = dedup.connected_components_two_phase(pairs)
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(cc, [SortKey("id")]).select("id", "component")
+
+
 _UNIGRAM_LM_ORACLE = r"""
 WITH p AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token

@@ -386,6 +386,87 @@ def test_stream_stream_left_outer_soundness(spark, tables, tmp_path):
     assert len(null_ids) == len([r for r in got if r["v_ts"] is None])  # unique
 
 
+def test_stream_left_outer_watermark_lateness_sweep(spark, tmp_path):
+    """Property sweep over TRIGGER BOUNDARIES: however a time-ordered replay
+    is cut into micro-batches, the left-outer interval join must emit
+    exactly the on-time inner matches (once each), never resurrect a
+    beyond-watermark late row whose partner state was evicted, and NULL-pad
+    only truly unmatched purchases.  The single-scenario replay test above
+    pins one boundary; this sweeps three."""
+    import datetime as dtm
+    import time as _time
+
+    from supersonic_spark.streaming.ops import stream_stream_interval_join
+
+    T0 = dtm.datetime(2024, 1, 1)
+
+    def mins(m):
+        return T0 + dtm.timedelta(minutes=m)
+
+    # purchases every 30 min; each has an on-time view 5 min earlier except
+    # purchases 3 and 7 (the genuinely unmatched ones)
+    events = []
+    for i in range(10):
+        events.append((100 + i, i % 3, "purchase", mins(30 * i)))
+        if i not in (3, 7):
+            events.append((200 + i, i % 3, "view", mins(30 * i - 5)))
+    events.sort(key=lambda e: e[3])
+    # final batch: a view for purchase 0 arriving HOURS past the watermark
+    # (its partner state is long evicted ⇒ must not match), plus a flush
+    # view that advances the watermark beyond every purchase
+    late_batch = [(900, 0, "view", mins(-2)), (901, 99, "view", mins(600))]
+
+    on_time_matches = sorted(
+        (100 + i, mins(30 * i - 5)) for i in range(10) if i not in (3, 7)
+    )
+
+    for run, cuts in enumerate([[150], [75, 160], [45, 125, 230]]):
+        src = str(tmp_path / f"sweep{run}")
+        bounds = [mins(c) for c in cuts]
+        slices, lo = [], None
+        for hi in bounds + [None]:
+            slices.append(
+                [e for e in events
+                 if (lo is None or e[3] >= lo) and (hi is None or e[3] < hi)]
+            )
+            lo = hi
+        slices.append(late_batch)
+        for s in slices:
+            spark.createDataFrame(
+                s, "event_id long, user_id long, event_type string, ts timestamp"
+            ).coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)  # file mtime ordering = batch ordering
+
+        schema = spark.read.parquet(src).schema
+
+        def stream():
+            return (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).parquet(src))
+
+        purch = stream().filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts").alias("p_ts")
+        )
+        views = stream().filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("v_ts")
+        )
+        j = stream_stream_interval_join(
+            purch, views, ["user_id"], "p_ts", "v_ts",
+            lower="15 minutes", upper="0 seconds", watermark="10 minutes",
+            how="left_outer",
+        )
+        sink = f"t_wm_sweep_{run}"
+        (j.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True)
+         .start().awaitTermination(180))
+        got = spark.table(sink).collect()
+
+        got_inner = sorted((r["event_id"], r["v_ts"]) for r in got
+                           if r["v_ts"] is not None)
+        assert got_inner == on_time_matches, f"boundary set {cuts}"
+        null_ids = [r["event_id"] for r in got if r["v_ts"] is None]
+        assert set(null_ids) <= {103, 107} and len(null_ids) == len(set(null_ids))
+
+
 # ---------------------------------------------------------------------
 # csv/json round-trips preserve values
 # ---------------------------------------------------------------------

@@ -280,3 +280,103 @@ def test_textproto_errors():
         )
     with pytest.raises(ValueError, match="exactly once"):
         expression_from_textproto("type: VARIABLE")
+
+
+# --- binary proto wire format ---
+
+def _enc_varint(n: int) -> bytes:
+    if n < 0:
+        n += 1 << 64
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_field(field: int, wtype: int, payload: bytes) -> bytes:
+    return _enc_varint((field << 3) | wtype) + payload
+
+
+def _enc_msg(field: int, body: bytes) -> bytes:
+    return _enc_field(field, 2, _enc_varint(len(body)) + body)
+
+
+def _bin_const(dtype_num: int, value_field: int | None = None,
+               value: bytes = b"") -> bytes:
+    body = _enc_field(1, 0, _enc_varint(dtype_num))
+    if value_field is not None:
+        body += value
+    # ExpressionDescription{ type: CONSTANT, constant: {...} }
+    return _enc_field(1, 0, _enc_varint(0)) + _enc_msg(2, body)
+
+
+def _bin_var(name: str) -> bytes:
+    var = _enc_msg(1, b"") if not name else _enc_field(1, 2, _enc_varint(len(name.encode())) + name.encode())
+    return _enc_field(1, 0, _enc_varint(1)) + _enc_msg(3, var)
+
+
+def _bin_op(op_num: int, *args: bytes) -> bytes:
+    body = _enc_field(1, 0, _enc_varint(op_num))
+    for a in args:
+        body += _enc_msg(2, a)
+    return _enc_field(1, 0, _enc_varint(2)) + _enc_msg(4, body)
+
+
+def test_binaryproto_matches_json(spark):
+    """Hand-encoded proto wire bytes for a*10+b deserialize and evaluate
+    identically to the JSON/text paths (ADD=0, MULTIPLY=1, INT32 dtype=1
+    with int32_value at field 2)."""
+    from supersonic_spark.functions.textproto import expression_from_binaryproto
+
+    ten = _bin_const(1, 2, _enc_field(2, 0, _enc_varint(10)))
+    tree = _bin_op(0, _bin_op(1, _bin_var("a"), ten), _bin_var("b"))
+    df = spark.createDataFrame([(2, 3.0, "Hello")], "a int, b double, s string")
+    out = df.select(expression_from_binaryproto(tree).alias("out")).collect()[0]["out"]
+    assert out == 23.0
+
+
+def test_binaryproto_negative_int_and_double(spark):
+    import struct
+
+    from supersonic_spark.functions.textproto import expression_from_binaryproto
+
+    neg = _bin_const(2, 3, _enc_field(3, 0, _enc_varint(-7)))  # INT64=-7
+    df = spark.createDataFrame([(1,)], "a int")
+    assert df.select(
+        expression_from_binaryproto(neg).alias("o")).collect()[0]["o"] == -7
+    dbl = _bin_const(5, 7, _enc_field(7, 1, struct.pack("<d", 2.5)))  # DOUBLE
+    assert df.select(
+        expression_from_binaryproto(dbl).alias("o")).collect()[0]["o"] == 2.5
+
+
+def test_binaryproto_string_and_null(spark):
+    from supersonic_spark.functions.textproto import expression_from_binaryproto
+
+    s = "hi"
+    sc = _bin_const(0, 12, _enc_field(12, 2, _enc_varint(len(s)) + s.encode()))
+    df = spark.createDataFrame([(1,)], "a int")
+    assert df.select(
+        expression_from_binaryproto(sc).alias("o")).collect()[0]["o"] == "hi"
+    # Constant with only a type ⇒ NULL of that type (INT64=2)
+    null64 = _enc_field(1, 0, _enc_varint(0)) + _enc_msg(
+        2, _enc_field(1, 0, _enc_varint(2)))
+    assert df.select(
+        expression_from_binaryproto(null64).alias("o")).collect()[0]["o"] is None
+
+
+def test_binaryproto_errors():
+    from supersonic_spark.functions.textproto import expression_from_binaryproto
+
+    with pytest.raises(ValueError, match="truncated"):
+        expression_from_binaryproto(b"\x08")  # key then missing varint
+    with pytest.raises(ValueError, match="unknown enum"):
+        expression_from_binaryproto(_enc_field(1, 0, _enc_varint(99)))
+    # TUPLE kind rejected by the shared mapping layer
+    tup = _enc_field(1, 0, _enc_varint(4)) + _enc_msg(6, b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        expression_from_binaryproto(tup)
