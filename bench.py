@@ -64,6 +64,40 @@ HEADLINE: dict[str, list[str]] = {
 }
 
 
+def _operator_overrides() -> dict:
+    """Pure-OPERATOR plans for the hash/approx names whose registry twins
+    deliberately compute their exact ground truth in the same plan (the
+    error-bound-boolean oracle pattern: LSH next to corpus-wide exact
+    Jaccard, SimHash next to planted-dup verification).  The oracle gate
+    wants that heavier fused plan; the bench wants the operator a user
+    actually runs — and the r1/r2 history recorded the operator, so this
+    keeps the per-query series comparable."""
+    from pyspark.sql import functions as F
+
+    from supersonic_spark.pipeline import dedup
+    from supersonic_spark.session import load_tables
+
+    def minhash_lsh(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return dedup.minhash_lsh_pairs(t["documents"], "doc_id", "text", threshold=0.5)
+
+    def minhash_est(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return dedup.minhash_lsh_pairs(
+            t["documents"], "doc_id", "text", threshold=0.5, verify="estimate"
+        )
+
+    def simhash(spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        return dedup.simhash_dedup(t["documents"], "doc_id", "text", max_hamming=3)
+
+    return {
+        "dedup_minhash_lsh": minhash_lsh,
+        "dedup_minhash_estimate": minhash_est,
+        "dedup_simhash": simhash,
+    }
+
+
 def _table_rows(sf_dir: str) -> dict[str, int]:
     """Input-table row counts from parquet footers (no Spark jobs)."""
     import pyarrow.parquet as pq
@@ -123,7 +157,7 @@ def main() -> None:
 
     spark = get_spark("supersonic_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = queries()
+    qs = dict(queries(), **_operator_overrides())
 
     ingest_sec = None
     if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":

@@ -332,16 +332,17 @@ def heavy_hitters(
     :func:`salted_join` — run it on a join/group key before committing a
     plan shape at scale.  Exact counts via one partial-aggregated shuffle
     (the candidate set is bounded because at most 1/min_share keys can
-    exceed the share), then distributed top-k.
+    exceed the share), then distributed top-k.  The corpus total rides the
+    same plan as a broadcast scalar (1-row aggregate cross-join) — one
+    lazy job end to end, no separate count() action.
     """
-    total = df.count()
-    if total == 0:
-        return df.select(
-            F.col(col).alias("key"), F.lit(0).alias("n"), F.lit(0.0).alias("share")
-        ).limit(0)
     counted = df.groupBy(F.col(col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
-    out = counted.withColumn("share", F.col("n") / F.lit(float(total))).filter(
-        F.col("share") >= min_share
+    total = counted.agg(F.sum("n").alias("__total"))
+    out = (
+        counted.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("__total").cast("double"))
+        .filter(F.col("share") >= min_share)
+        .drop("__total")
     )
     return out.orderBy(F.col("n").desc(), F.col("key")).limit(max_keys)
 

@@ -374,3 +374,76 @@ def prefilter_join(
     if isinstance(on, str):
         return fact.join(dim, on=on, how=how)
     return fact.join(dim, on=fact[fk] == dim[dk], how=how)
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 6,
+) -> DataFrame:
+    """Bloom-filter semi-join reduction: prune the fact side BEFORE its
+    shuffle when the dim key set is too large for :func:`prefilter_join`'s
+    exact IN-list but its Bloom sketch still fits comfortably on the driver
+    (``num_bits`` bits ⇒ num_bits/8 bytes — 128 KiB at the 2²⁰ default,
+    good for ~10⁵ keys at ~1% fpp with 6 hashes).
+
+    Build: one aggregation over the dim keys — k = ``num_hashes`` seeded
+    xxhash64 probes per key, positions folded into 64-bit words with a
+    ``bit_or`` partial-aggregating groupBy (at most num_bits/64 rows ever
+    reach the driver; the collect is bounded by construction, like the
+    IN-list and k-means-state collects elsewhere in this package).
+    Probe: the word array becomes a LITERAL array<long> in a codegen'd
+    conjunction of ``element_at(...) & (1<<bit) != 0`` checks — the filter
+    runs inside the fact table's scan stage, entirely JVM-side, so the
+    shuffle (and with min/max-friendly keys, even the read) only sees
+    surviving rows.  False positives are removed by the exact join that
+    follows; the result is ALWAYS identical to the plain join.
+
+    This is the engine-level twin of Spark's runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) with an explicit
+    build point, and of the reference's build-side probe filtering
+    (cursor/core/hash_join.cc — the lookup index is the filter); here the
+    probe side never even shuffles the pruned rows.
+    """
+    fk, dk = (on, on) if isinstance(on, str) else on
+    n_words = max(1, num_bits // 64)
+    m = n_words * 64
+
+    def probes(col):
+        return [F.pmod(F.xxhash64(F.lit(i), col), F.lit(m)) for i in range(num_hashes)]
+
+    pos = dim.where(F.col(dk).isNotNull()).select(
+        F.explode(F.array(*probes(F.col(dk)))).alias("__pos")
+    ).select(
+        (F.col("__pos") / 64).cast("int").alias("__w"),
+        (F.col("__pos") % 64).cast("int").alias("__b"),
+    )
+    words_rows = (
+        pos.groupBy("__w")
+        .agg(F.bit_or(F.expr("shiftleft(1L, __b)")).alias("__bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in words_rows:
+        words[r["__w"]] = r["__bits"]
+
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    key = F.col(fk)
+    tmp, conds, aux = fact, [], []
+    for i, p in enumerate(probes(key)):
+        tmp = tmp.withColumn(f"__bw{i}", F.element_at(arr, (p / 64).cast("int") + 1))
+        tmp = tmp.withColumn(f"__bb{i}", (p % 64).cast("int"))
+        conds.append(F.expr(f"(__bw{i} & shiftleft(1L, __bb{i})) != 0"))
+        aux += [f"__bw{i}", f"__bb{i}"]
+    cond = key.isNotNull()
+    for c in conds:
+        cond = cond & c
+    fact = tmp.where(cond).drop(*aux)
+    if how in ("semi", "left_semi", "leftsemi"):
+        return fact.join(dim, on=fact[fk] == dim[dk], how="left_semi")
+    if isinstance(on, str):
+        return fact.join(dim, on=on, how=how)
+    return fact.join(dim, on=fact[fk] == dim[dk], how=how)

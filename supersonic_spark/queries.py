@@ -572,6 +572,42 @@ def q_prefilter_join_part_revenue(spark, sf_dir):
     return sort_ops.sort(out, [SortKey("p_brand")])
 
 
+@q(
+    "bloom_prefilter_join_supplier",
+    """SELECT s.s_nationkey,
+              CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+              COUNT(*) AS n_items
+       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       WHERE s.s_acctbal > 9000
+       GROUP BY s.s_nationkey ORDER BY s.s_nationkey""",
+)
+def q_bloom_prefilter_join_supplier(spark, sf_dir):
+    """Bloom semi-join reduction: the filtered supplier keys fold into a
+    driver-bounded Bloom sketch (bit_or word aggregation) whose probe is a
+    codegen'd literal-array bit test in the lineitem scan stage — the fact
+    side's shuffle sees only surviving rows, with no exact-IN-list size cap.
+    False positives die in the exact join, so the oracle IS the plain
+    join."""
+    t = _t(spark, sf_dir)
+    dim = core.filter_op(
+        t["supplier"], F.col("s_acctbal") > 9000, ["s_suppkey", "s_nationkey"]
+    )
+    fact = core.project(t["lineitem"], ["l_suppkey", "l_quantity"])
+    j = join_ops.bloom_prefilter_join(
+        fact, dim, on=("l_suppkey", "s_suppkey"), num_bits=1 << 17
+    )
+    j = core.compute(j, {"qty_d": _dec("l_quantity")}, keep_input=True)
+    out = agg.group_aggregate(
+        j,
+        ["s_nationkey"],
+        [
+            AggSpec(Aggregation.SUM, "qty_d", "qty", output_type="double"),
+            AggSpec(Aggregation.COUNT, None, "n_items"),
+        ],
+    )
+    return sort_ops.sort(out, [SortKey("s_nationkey")])
+
+
 # =====================================================================
 # §2.6 — set / stream combination
 # =====================================================================

@@ -564,6 +564,56 @@ def q_multimodal_audio_wav(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_resize_roundtrip",
+    """SELECT doc_id,
+              4::BIGINT AS width, 3::BIGINT AS height,
+              (4 * 3 * 3 * (doc_id % 256))::BIGINT AS pix_sum
+       FROM documents WHERE doc_id % 5 = 0""",
+)
+def q_multimodal_resize_roundtrip(spark, sf_dir):
+    """REAL resize path end to end: synthesize a solid-fill PNG per doc,
+    decode → nearest-neighbor resample to 4×3 → re-encode as PNG inside the
+    kernel, then decode the RESIZED bytes with the real decoder and check
+    dimensions + pixel checksum (solid fill survives nearest-neighbor
+    exactly, so pix_sum = 4·3·3·fill in closed form)."""
+    t = _t(spark, sf_dir)
+    docs = core.filter_op(t["documents"], F.col("doc_id") % 5 == 0)
+    dims = docs.select(
+        "doc_id",
+        (2 + F.col("doc_id") % 14).cast("int").alias("w"),
+        (2 + F.col("doc_id") % 7).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("v"),
+    )
+    blobs = multimodal.synthesize_png(dims, "w", "h", "v")
+    resized = multimodal.resize_image(blobs, "blob", 4, 3, fake=False)
+    redecoded = multimodal.decode_image_meta(
+        resized.select("doc_id", F.col("resized.data").alias("blob")), "blob", fake=False
+    )
+    return redecoded.select(
+        "doc_id",
+        F.col("image_features.width").cast("long").alias("width"),
+        F.col("image_features.height").cast("long").alias("height"),
+        F.col("image_features.pix_sum").cast("long").alias("pix_sum"),
+    )
+
+
+@q(
+    "multimodal_frame_plan",
+    """SELECT doc_id, unnest(range(0, GREATEST((octet_length(encode(text)) // 1024) - 1, 0) + 1, 3))::BIGINT AS frame_index
+       FROM documents""",
+)
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: JVM-side explode of the frame-index
+    sequence (stub rate 1 frame/KiB) so a downstream decode kernel only
+    ever touches sampled frames — the explode IS the plan, no Python in
+    the path."""
+    t = _t(spark, sf_dir)
+    blobs = t["documents"].select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+    out = multimodal.frame_sample_plan(blobs, "blob", every_n=3)
+    return out.select("doc_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
 _CURATION_ORACLE = """
 WITH w AS (
   SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS words

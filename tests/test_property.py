@@ -173,3 +173,74 @@ def test_window_navigation_lag_lead_inverse(spark, rows):
         assert r["prv"] == (vals[i - 1] if i > 0 else None)
     qs = [r["q"] for r in out]
     assert qs == sorted(qs)
+
+
+# --- wire-format round trip: text format ↔ JSON grammar (no Spark) ---
+
+_json_expr = st_.deferred(
+    lambda: st_.one_of(
+        st_.builds(lambda n: {"variable": n},
+                   st_.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)),
+        st_.builds(lambda v: {"constant": {"type": "INT64", "value": v}},
+                   st_.integers(min_value=-(2**62), max_value=2**62)),
+        st_.builds(lambda v: {"constant": {"type": "STRING", "value": v}},
+                   st_.text(alphabet=st_.characters(codec="utf-8",
+                                                    exclude_categories=("Cs", "Cc")),
+                            max_size=12)),
+        st_.builds(lambda v: {"constant": {"type": "BOOL", "value": v}}, st_.booleans()),
+        st_.builds(
+            lambda op, args: {"operation": {"operator": op, "arguments": args}},
+            st_.sampled_from(["PLUS", "MULTIPLY", "AND", "EQUAL", "CONCATENATE"]),
+            st_.lists(_json_expr, min_size=1, max_size=3),
+        ),
+    )
+)
+
+
+def _render_textproto(node: dict) -> str:
+    """JSON grammar → protobuf text format (test-local encoder)."""
+    if "variable" in node:
+        return 'type: VARIABLE variable { name: "%s" }' % node["variable"]
+    if "constant" in node:
+        t, v = node["constant"]["type"], node["constant"]["value"]
+        field = {"INT64": "int64_value", "STRING": "string_value",
+                 "BOOL": "bool_value"}[t]
+        if t == "STRING":
+            esc = v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+            lit = '"%s"' % esc
+        elif t == "BOOL":
+            lit = "true" if v else "false"
+        else:
+            lit = str(v)
+        return "type: CONSTANT constant { type: %s %s: %s }" % (t, field, lit)
+    op = node["operation"]
+    args = " ".join(
+        "argument { %s }" % _render_textproto(a) for a in op["arguments"]
+    )
+    # reference enum spelling for the serde alias exercised most
+    name = {"PLUS": "ADD"}.get(op["operator"], op["operator"])
+    return "type: OPERATION operation { type: %s %s }" % (name, args)
+
+
+@given(tree=_json_expr)
+@settings(max_examples=60, deadline=None)
+def test_textproto_roundtrips_to_json_grammar(tree):
+    """Render any expression tree to text format, parse it back, and the
+    mapped JSON must equal the original (modulo the ADD→PLUS enum alias,
+    which the shared deserializer resolves to the same operator)."""
+    from supersonic_spark.functions.textproto import (
+        description_to_json,
+        parse_text_format,
+    )
+
+    got = description_to_json(parse_text_format(_render_textproto(tree)))
+
+    def canon(n):
+        if "operation" in n:
+            o = n["operation"]
+            name = {"ADD": "PLUS"}.get(o["operator"], o["operator"])
+            return {"operation": {"operator": name,
+                                  "arguments": [canon(a) for a in o["arguments"]]}}
+        return n
+
+    assert canon(got) == canon(tree)
