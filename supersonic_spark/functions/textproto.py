@@ -258,10 +258,62 @@ def description_to_json(desc: dict) -> dict:
         name = str(_one(op, "type", "OperationDescription"))
         args = [description_to_json(a) for a in op.get("argument", [])]
         return {"operation": {"operator": _OP_ALIASES.get(name, name), "arguments": args}}
+    if etype == "TUPLE":
+        raise ValueError(
+            "TUPLE deserializes to a SELECT LIST, not a single expression — "
+            "use select_list_from_textproto / select_list_from_binaryproto "
+            "(reference: BuildTupleFromProto → CompoundExpression, "
+            "build_expression_from_proto.cc:737)"
+        )
     raise ValueError(
         f"ExpressionDescription type {etype!r} unsupported "
-        "(CONSTANT | VARIABLE | OPERATION; CUSTOM_FUNCTION_CALL/TUPLE/PATH "
-        "have no engine equivalent — the reference deserializer rejects them too)"
+        "(CONSTANT | VARIABLE | OPERATION | TUPLE; CUSTOM_FUNCTION_CALL is "
+        "ERROR_NOT_IMPLEMENTED in the reference too "
+        "(build_expression_from_proto.cc:731-735); PATH has no engine "
+        "equivalent)"
+    )
+
+
+def tuple_to_select_list(desc: dict) -> dict[str, Any]:
+    """TUPLE-typed ExpressionDescription → {output_name: json_tree} select
+    list (the reference's CompoundExpression, BuildTupleFromProto,
+    build_expression_from_proto.cc:737-752).  Unaliased entries get
+    positional default names ``expr{i}``; the reference's AddAsMulti
+    multi-alias form applies only to multi-output expressions, which every
+    engine expression here is not — multiple aliases raise."""
+    etype = str(_one(desc, "type", "ExpressionDescription"))
+    if etype != "TUPLE":
+        raise ValueError(f"expected a TUPLE ExpressionDescription, got {etype!r}")
+    tup = _one(desc, "tuple", "TUPLE node")
+    out: dict[str, Any] = {}
+    for i, te in enumerate(tup.get("expression", [])):
+        aliases = [str(a) for a in te.get("alias", [])]
+        if len(aliases) > 1:
+            raise ValueError(
+                f"tuple expression {i}: multi-alias (AddAsMulti) needs a "
+                "multi-output expression; scalar expressions take ≤1 alias"
+            )
+        name = aliases[0] if aliases else f"expr{i}"
+        if name in out:
+            raise ValueError(f"duplicate tuple output name {name!r}")
+        out[name] = description_to_json(_one(te, "expression", f"tuple expr {i}"))
+    return out
+
+
+def select_list_from_textproto(text: str) -> "dict[str, Column]":
+    """Text-format TUPLE ExpressionDescription → {name: Column} select list
+    (feed to ``operators.core.compute``)."""
+    from supersonic_spark.functions.serde import expressions_from_json
+
+    return expressions_from_json(tuple_to_select_list(parse_text_format(text)))
+
+
+def select_list_from_binaryproto(blob: bytes) -> "dict[str, Column]":
+    """Binary-wire TUPLE ExpressionDescription → {name: Column} select list."""
+    from supersonic_spark.functions.serde import expressions_from_json
+
+    return expressions_from_json(
+        tuple_to_select_list(_parse_wire_message(bytes(blob), _DESC_WIRE))
     )
 
 
@@ -341,14 +393,18 @@ _CONSTANT_WIRE = {
 }
 _VARIABLE_WIRE = {1: ("name", "str")}
 _OPERATION_WIRE = {1: ("type", "enum:op"), 2: ("argument", "msg:desc")}
+_TUPLE_EXPR_WIRE = {1: ("expression", "msg:desc"), 2: ("alias", "str")}
+_TUPLE_WIRE = {1: ("expression", "msg:tuple_expr")}
 _DESC_WIRE = {
     1: ("type", "enum:expr"), 2: ("constant", "msg:const"),
     3: ("variable", "msg:var"), 4: ("operation", "msg:oper"),
-    5: ("function_call", "bytes"), 6: ("tuple", "bytes"), 7: ("path", "bytes"),
+    5: ("function_call", "bytes"), 6: ("tuple", "msg:tuple"),
+    7: ("path", "bytes"),
 }
 _WIRE_SCHEMAS: dict[str, dict] = {
     "desc": _DESC_WIRE, "const": _CONSTANT_WIRE,
     "var": _VARIABLE_WIRE, "oper": _OPERATION_WIRE,
+    "tuple": _TUPLE_WIRE, "tuple_expr": _TUPLE_EXPR_WIRE,
 }
 _ENUM_TABLES = {"dt": _DATA_TYPE_NUM, "op": _OPERATION_TYPE_NUM,
                 "expr": _EXPRESSION_TYPE_NUM}

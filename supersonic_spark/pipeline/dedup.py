@@ -507,11 +507,20 @@ def simhash64_agg(
 
 
 def simhash_dedup(
-    df: DataFrame, id_col: str, text_col: str, shingle_words: int = 3, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    max_hamming: int = 3,
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates via 4×16-bit band blocking
     (a pair within Hamming distance ≤3 of 64 bits must agree exactly on at
     least one of 4 disjoint 16-bit bands — pigeonhole), verified by popcount.
+
+    ``skew_salt``: hot-band guard (boilerplate corpora put many docs in one
+    16-bit band bucket) — same pair-block decomposition as the MinHash
+    banding join (:func:`_bucket_self_pairs`).
     """
     from supersonic_spark.operators.core import ensure_parallelism
 
@@ -536,21 +545,8 @@ def simhash_dedup(
             )
         ).alias("__b"),
     ).select("__id", "__h", "__b.band", "__b.key")
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__h").alias("h_a"),
-            F.col("r.__h").alias("h_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_self_pairs(bands, ["band", "key"], ["__h"], skew_salt).select(
+        "id_a", "id_b", F.col("__h_a").alias("h_a"), F.col("__h_b").alias("h_b")
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
@@ -596,6 +592,7 @@ def embedding_lsh_pairs(
     threshold: float = 0.9,
     planes: int = 12,
     tables: int = 6,
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """Approximate embedding near-dup: candidates share a sign-random-
     projection bucket in ≥1 of ``tables`` hash tables; exact cosine then
@@ -605,6 +602,8 @@ def embedding_lsh_pairs(
     (similarity._bucket_sketch_udf); the only corpus-wide shuffle is the
     (table, bucket) self-join, and buckets shrink as planes grow.  Recall
     rises with ``tables``, precision cost falls with ``planes``.
+    ``skew_salt``: hot-bucket pair-block decomposition, as in the MinHash
+    banding join (:func:`_bucket_self_pairs`).
     """
     from supersonic_spark.operators.core import ensure_parallelism
     from supersonic_spark.pipeline.similarity import _bucket_sketch_udf, cosine
@@ -615,21 +614,8 @@ def embedding_lsh_pairs(
         .withColumn("__bkts", sketch("__v"))
         .select("__id", "__v", F.posexplode("__bkts").alias("tbl", "bkt"))
     )
-    l, r = base.alias("l"), base.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.tbl") == F.col("r.tbl"))
-            & (F.col("l.bkt") == F.col("r.bkt"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__v").alias("__va"),
-            F.col("r.__v").alias("__vb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_self_pairs(base, ["tbl", "bkt"], ["__v"], skew_salt).select(
+        "id_a", "id_b", F.col("__v_a").alias("__va"), F.col("__v_b").alias("__vb")
     )
     cos = cosine(F.col("__va"), F.col("__vb"))
     return cand.select("id_a", "id_b", cos.alias("cos")).filter(

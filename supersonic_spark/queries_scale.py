@@ -666,6 +666,50 @@ def q_serde_expression_textproto(spark, sf_dir):
 
 
 @q(
+    "serde_tuple_textproto",
+    """SELECT o_orderkey, o_totalprice * 1.1 AS inflated,
+              upper(o_orderpriority) AS prio
+       FROM orders WHERE o_totalprice > 100000""",
+)
+def q_serde_tuple_textproto(spark, sf_dir):
+    """TUPLE parity (§2.8): the reference's CompoundExpression — a
+    multi-output select list with aliases (BuildTupleFromProto,
+    build_expression_from_proto.cc:737-752) — arrives as one text-format
+    TUPLE ExpressionDescription and lands as the engine's compute select
+    list."""
+    from supersonic_spark.functions.textproto import (
+        expression_from_textproto,
+        select_list_from_textproto,
+    )
+
+    t = _t(spark, sf_dir)
+    cols = select_list_from_textproto("""
+        type: TUPLE
+        tuple {
+          expression {
+            expression { type: VARIABLE variable { name: "o_orderkey" } }
+            alias: "o_orderkey"
+          }
+          expression {
+            expression { type: OPERATION operation { type: MULTIPLY
+                argument { type: VARIABLE variable { name: "o_totalprice" } }
+                argument { type: CONSTANT constant { type: DOUBLE double_value: 1.1 } } } }
+            alias: "inflated"
+          }
+          expression {
+            expression { type: OPERATION operation { type: TOUPPER
+                argument { type: VARIABLE variable { name: "o_orderpriority" } } } }
+            alias: "prio"
+          }
+        }""")
+    pred = expression_from_textproto("""
+        type: OPERATION operation { type: GREATER
+          argument { type: VARIABLE variable { name: "o_totalprice" } }
+          argument { type: CONSTANT constant { type: DOUBLE double_value: 100000.0 } } }""")
+    return core.compute(core.filter_op(t["orders"], pred), cols)
+
+
+@q(
     "serde_plan_eval",
     """SELECT o_orderpriority, COUNT(*) AS n,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total

@@ -232,6 +232,40 @@ def test_doc_fingerprint_normalization(spark):
     assert out[0] == out[1]
 
 
+def test_pq_topk_clustered_recall(spark):
+    """PQ/ADC on clustered vectors: every retrieved neighbor must come from
+    the query's own cluster (clusters are far apart, subspace codebooks
+    learn them), and codebooks/encoding are deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 16) * 3
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.randn(16) * 0.3])
+        for i in range(400)
+    ]
+    df = core.scan_view(spark, rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = df.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = similarity.pq_topk(
+        q, c, "query_id", "query_vec", "corpus_id", "corpus_vec", k=10, m=4, ksub=16
+    )
+    got = out.collect()
+    assert len(got) == 8 * 10
+    for r in got:
+        assert r["corpus_id"] % 8 == r["query_id"] % 8
+
+    books1 = similarity.pq_train_codebooks(c, "corpus_id", "corpus_vec", m=4, ksub=16)
+    books2 = similarity.pq_train_codebooks(c, "corpus_id", "corpus_vec", m=4, ksub=16)
+    assert books1 == books2
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train_codebooks(c, "corpus_id", "corpus_vec", m=5)
+
+
 # --- multimodal ---
 
 def test_multimodal_stub_plumbing(spark, docs):

@@ -144,6 +144,16 @@ def test_salted_banding_join_skew_bounded(spark):
         ).collect()
     }
     assert salted_exact == base
+    # simhash shares the same candidate-join helper: salted ≡ unsalted
+    sh_base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_dedup(docs, "doc_id", "text").collect()
+    }
+    sh_salt = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_dedup(docs, "doc_id", "text", skew_salt=4).collect()
+    }
+    assert sh_salt == sh_base and {(a, b) for a, b in base} <= sh_base
 
     # task-skew bound, asserted on the join-key distribution directly: one
     # bucket of k=20 docs is ONE key (C(20,2)=190 pairs in one task) when

@@ -272,8 +272,10 @@ def test_textproto_errors():
         parse_text_format("type: @bogus")
     with pytest.raises(ValueError, match="missing closing"):
         parse_text_format("operation { type: ADD")
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="SELECT LIST"):
         expression_from_textproto("type: TUPLE tuple { }")
+    with pytest.raises(ValueError, match="unsupported"):
+        expression_from_textproto("type: PATH path { }")
     with pytest.raises(ValueError, match="unknown operator"):
         expression_from_textproto(
             "type: OPERATION operation { type: FROBNICATE }"
@@ -376,7 +378,63 @@ def test_binaryproto_errors():
         expression_from_binaryproto(b"\x08")  # key then missing varint
     with pytest.raises(ValueError, match="unknown enum"):
         expression_from_binaryproto(_enc_field(1, 0, _enc_varint(99)))
-    # TUPLE kind rejected by the shared mapping layer
+    # TUPLE is a select list, not a single expression
     tup = _enc_field(1, 0, _enc_varint(4)) + _enc_msg(6, b"")
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="SELECT LIST"):
         expression_from_binaryproto(tup)
+
+
+def test_textproto_tuple_select_list(spark):
+    """TUPLE → CompoundExpression parity (BuildTupleFromProto): a select
+    list with aliases and positional default names."""
+    from supersonic_spark.functions.textproto import select_list_from_textproto
+
+    cols = select_list_from_textproto("""
+      type: TUPLE
+      tuple {
+        expression {
+          expression { type: VARIABLE variable { name: "a" } }
+          alias: "a_out"
+        }
+        expression {
+          expression { type: OPERATION operation { type: MULTIPLY
+              argument { type: VARIABLE variable { name: "b" } }
+              argument { type: CONSTANT constant { type: DOUBLE double_value: 2.0 } } } }
+        }
+      }""")
+    assert list(cols) == ["a_out", "expr1"]
+    df = spark.createDataFrame([(2, 3.0, "x")], "a int, b double, s string")
+    row = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert row["a_out"] == 2 and row["expr1"] == 6.0
+
+
+def test_binaryproto_tuple_select_list(spark):
+    from supersonic_spark.functions.textproto import select_list_from_binaryproto
+
+    var_a = _bin_var("a")
+    te1 = _enc_msg(1, var_a) + _enc_field(2, 2, _enc_varint(5) + b"a_out")
+    te2 = _enc_msg(1, _bin_var("s"))
+    tup = (_enc_field(1, 0, _enc_varint(4))  # type: TUPLE
+           + _enc_msg(6, _enc_msg(1, te1) + _enc_msg(1, te2)))
+    cols = select_list_from_binaryproto(tup)
+    assert list(cols) == ["a_out", "expr1"]
+    df = spark.createDataFrame([(7, 1.0, "hey")], "a int, b double, s string")
+    row = df.select(*[c.alias(n) for n, c in cols.items()]).collect()[0]
+    assert row["a_out"] == 7 and row["expr1"] == "hey"
+
+
+def test_tuple_errors():
+    from supersonic_spark.functions.textproto import tuple_to_select_list, parse_text_format
+
+    with pytest.raises(ValueError, match="expected a TUPLE"):
+        tuple_to_select_list(parse_text_format("type: VARIABLE variable { name: \"x\" }"))
+    with pytest.raises(ValueError, match="multi-alias"):
+        tuple_to_select_list(parse_text_format("""
+          type: TUPLE tuple { expression {
+            expression { type: VARIABLE variable { name: "x" } }
+            alias: "p" alias: "q" } }"""))
+    with pytest.raises(ValueError, match="duplicate"):
+        tuple_to_select_list(parse_text_format("""
+          type: TUPLE tuple {
+            expression { expression { type: VARIABLE variable { name: "x" } } alias: "p" }
+            expression { expression { type: VARIABLE variable { name: "y" } } alias: "p" } }"""))
