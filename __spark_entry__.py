@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted for hash-based
-    operators — driver records the weaker rows-only check for those)."""
+    """DuckDB-runnable ANSI SQL oracle per query.  EVERY registry query has
+    one: hash/approx operators use the error-bound-boolean pattern (exact
+    values + invariant booleans recomputed by DuckDB) so nothing falls back
+    to the weaker rows-only check."""
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

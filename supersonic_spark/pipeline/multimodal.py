@@ -75,8 +75,10 @@ def _decode_one(blob: bytes, fake: bool) -> dict:
     if blob is None:
         return none
     if fake:
-        h = zlib.crc32(bytes(blob))  # deterministic across runs/processes
-        w = 64 + (h % 1920)
+        # dimensions derive from blob LENGTH (not a Python-only hash) so the
+        # fake path is replayable by any SQL engine — the plumbing query's
+        # oracle recomputes these from octet_length
+        w = 64 + (len(blob) % 1920)
         return {"width": int(w), "height": int((w * 3) // 4), "n_bytes": len(blob),
                 "channels": 3, "pix_sum": None, "ok": True}
     try:

@@ -640,3 +640,203 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    corpus_id,
+    corpus_vec,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+    iters: int = 12,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train an IVF-PQ index driver-side on one deterministic bounded
+    sample: spherical-k-means coarse centroids (cells), then per-subspace
+    L2 codebooks over the RESIDUALS (v̂ − centroid(cell(v̂))) — residual
+    magnitudes are much smaller than raw vectors, so the same ksub buys
+    finer quantization (the reason IVF-PQ beats flat PQ at equal bits).
+
+    Returns (centroids n_cells × dim, codebooks m × ksub × dim/m).  Index
+    metadata stays O(n_cells·dim + ksub·dim) regardless of corpus size.
+    """
+    centroids = ivf_train_centroids(
+        corpus, corpus_id, corpus_vec, n_cells, sample_size, iters
+    )
+    C = np.asarray(centroids, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    rows = (
+        corpus.select(_c(corpus_vec).alias("v"), _c(corpus_id).alias("i"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([list(r.v) for r in rows], dtype="float64")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(Xn @ Cn.T, axis=1)
+    R = Xn - Cn[assign]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = []
+    for j in range(m):
+        S = R[:, j * d : (j + 1) * d]
+        k = min(ksub, len(S))
+        Cb = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - Cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for t in range(k):
+                members = S[a == t]
+                if len(members):
+                    Cb[t] = members.mean(axis=0)
+                else:
+                    Cb[t] = S[int(np.argmax(d2.min(axis=1)))]
+        books.append([list(map(float, c)) for c in Cb])
+    return centroids, books
+
+
+def _ivfpq_encode_udf(centroids, codebooks):
+    """Arrow-batched IVF-PQ encoder: per vector, nearest cell + m residual
+    codes, one pass."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    B = [np.asarray(b, dtype="float64") for b in codebooks]
+    d = B[0].shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(v: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="float64") for e in v])
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(xn @ Cn.T, axis=1)
+        R = xn - Cn[cell]
+        out = np.empty((len(x), 1 + len(B)), dtype="int32")
+        out[:, 0] = cell
+        for j, Cb in enumerate(B):
+            S = R[:, j * d : (j + 1) * d]
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+            out[:, 1 + j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return enc
+
+
+def _ivfpq_query_udf(centroids, codebooks, nprobe: int):
+    """Arrow-batched query prep: per query, the ``nprobe`` nearest cells,
+    each with its bias term <q̂, centroid> and the shared m×ksub residual
+    LUT — emitted as one array [cell0, bias0, …, lut…] per probe via a
+    struct-free flat layout (cells, biases, lut)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype="float64")
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    B = [np.asarray(b, dtype="float64") for b in codebooks]
+    d = B[0].shape[1]
+    out_type = StructType([
+        StructField("cells", ArrayType(IntegerType())),
+        StructField("biases", ArrayType(DoubleType())),
+        StructField("lut", ArrayType(DoubleType())),
+    ])
+
+    @pandas_udf(out_type)
+    def prep(v: pd.Series) -> pd.DataFrame:
+        x = np.stack([np.asarray(e, dtype="float64") for e in v])
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sim = xn @ Cn.T
+        cells = np.argsort(-sim, axis=1)[:, :nprobe].astype("int32")
+        biases = np.take_along_axis(sim, cells, axis=1)
+        lut = np.concatenate(
+            [xn[:, j * d : (j + 1) * d] @ B[j].T for j in range(len(B))], axis=1
+        )
+        return pd.DataFrame(
+            {"cells": list(cells), "biases": list(biases), "lut": list(lut)}
+        )
+
+    return prep
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id,
+    query_vec,
+    corpus_id,
+    corpus_vec,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    index: tuple | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the canonical billion-scale ANN index
+    (coarse inverted lists + residual product quantization):
+
+    - corpus: ONE Arrow-batched pass emits (cell, m residual codes); rows
+      shuffle once on cell id and thereafter cost m ints each;
+    - queries: probe their ``nprobe`` nearest cells; per probed cell the
+      approximate cosine is bias(<q̂, centroid>) + m LUT lookups — a
+      JVM-side fold, no float vectors move;
+    - candidates: only rows in probed cells are scored (the IVF pruning),
+      each at PQ cost (the compression) — versus :func:`pq_topk`'s full
+      scan and :func:`ivf_topk`'s full-width vectors.
+
+    Exactness: score ≈ cosine with residual-quantization error; rerank the
+    shortlist with :func:`cosine_topk` when exact order matters.
+    """
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    if index is None:
+        index = ivfpq_train(corpus, corpus_id, corpus_vec, n_cells, m, ksub)
+    centroids, codebooks = index
+    ksub_real = len(codebooks[0])
+    enc = _ivfpq_encode_udf(centroids, codebooks)
+    prep = _ivfpq_query_udf(centroids, codebooks, nprobe)
+
+    c = (
+        ensure_parallelism(corpus)
+        .select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
+        .withColumn("__e", enc("__cv"))
+        .select(
+            "__cid",
+            F.col("__e")[0].alias("cell"),
+            F.slice(F.col("__e"), 2, len(codebooks)).alias("__codes"),
+        )
+    )
+    q = (
+        queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
+        .withColumn("__p", prep("__qv"))
+        .select(
+            "__qid",
+            F.col("__p.lut").alias("__lut"),
+            F.posexplode(F.col("__p.cells")).alias("__probe", "cell"),
+            F.col("__p.biases").alias("__biases"),
+        )
+        .select(
+            "__qid", "cell", "__lut",
+            F.element_at(F.col("__biases"), F.col("__probe") + 1).alias("__bias"),
+        )
+    )
+    cand = c.join(F.broadcast(q), "cell")
+    score = F.col("__bias") + F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("__lut"),
+            (j * ksub_real + F.element_at(F.col("__codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col("__cid").alias("corpus_id"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -433,6 +433,81 @@ def q_similarity_pq_ann(spark, sf_dir):
     )
 
 
+@q(
+    "similarity_ivfpq_ann",
+    """SELECT q.vec_id AS query_id,
+              (SELECT c.vec_id FROM embeddings c WHERE c.vec_id <> q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id LIMIT 1)::BIGINT AS best_other,
+              (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_corpus,
+              TRUE AS ann_signal_ok
+       FROM embeddings q WHERE q.vec_id < 10 ORDER BY 1""",
+)
+def q_similarity_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ ANN (coarse inverted lists + residual product quantization —
+    the canonical billion-scale index): corpus rows cost one cell id + m
+    codes after a single Arrow-batched encode pass, probing scores only
+    nprobe cells' rows at m-lookup cost.  Oracle pattern as
+    similarity_pq_ann: exact best-other pinned via DuckDB cosine, corpus
+    count pinned, ANN shortlist bounded by an overlap-or-self floor."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    ann = similarity.ivfpq_topk(
+        queries, corpus, "query_id", "query_vec", "corpus_id", "corpus_vec",
+        k=5, n_cells=16, nprobe=4, m=8, ksub=16,
+    )
+    exact = similarity.cosine_topk(queries, corpus, k=6)
+    best_other = (
+        exact.filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("similarity").desc(), F.col("corpus_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("corpus_id").cast("long").alias("best_other"))
+    )
+    exact5 = exact.filter(F.col("rank") <= 5).select(
+        "query_id", F.col("corpus_id").alias("__eid")
+    )
+    overlap = (
+        ann.join(
+            exact5,
+            (ann["query_id"] == exact5["query_id"]) & (ann["corpus_id"] == exact5["__eid"]),
+        )
+        .groupBy(ann["query_id"].alias("qid"))
+        .agg(F.count(F.lit(1)).alias("__n_overlap"))
+    )
+    self_hit = ann.groupBy("query_id").agg(
+        F.max((F.col("query_id") == F.col("corpus_id")).cast("int")).alias("__self")
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        best_other.join(overlap, best_other["query_id"] == overlap["qid"], "left")
+        .join(self_hit, "query_id", "left")
+        .crossJoin(n_corpus)
+        .select(
+            "query_id",
+            "best_other",
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            (
+                (F.coalesce(F.col("__n_overlap"), F.lit(0)) >= 1)
+                | (F.coalesce(F.col("__self"), F.lit(0)) == 1)
+            ).alias("ann_signal_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # =====================================================================
 # text analysis
 # =====================================================================
@@ -552,21 +627,28 @@ def q_multimodal_bytes(spark, sf_dir):
     return t["documents"].select("doc_id", F.octet_length(blob).cast("long").alias("blob_bytes"))
 
 
-@q("multimodal_decode_stub")  # fake decode kernel: rows-only
+@q(
+    "multimodal_decode_stub",
+    """SELECT doc_id,
+              (64 + octet_length(encode(text)) % 1920)::BIGINT AS width,
+              ((64 + octet_length(encode(text)) % 1920) * 3 // 4)::BIGINT AS height,
+              octet_length(encode(text))::BIGINT AS n_bytes
+       FROM documents""",
+)
 def q_multimodal_decode_stub(spark, sf_dir):
     """Arrow-batched media decode plumbing with the deterministic fake
-    codec (hash-derived dimensions — see pipeline.multimodal; the REAL
-    codec path is oracle-checked by multimodal_decode_png)."""
+    codec (length-derived dimensions, SQL-replayable — see
+    pipeline.multimodal; the REAL codec path is oracle-checked by
+    multimodal_decode_png)."""
     t = _t(spark, sf_dir)
     blobs = t["documents"].select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
     media = multimodal.attach_media(blobs, "blob", media_type="image", fmt="fake")
     decoded = multimodal.decode_image_meta(media, "blob", fake=True)
     return decoded.select(
         "doc_id",
-        F.col("media_meta.content_hash").alias("content_hash"),
-        F.col("image_features.width").alias("width"),
-        F.col("image_features.height").alias("height"),
-        F.col("image_features.n_bytes").alias("n_bytes"),
+        F.col("image_features.width").cast("long").alias("width"),
+        F.col("image_features.height").cast("long").alias("height"),
+        F.col("image_features.n_bytes").cast("long").alias("n_bytes"),
     )
 
 

@@ -230,6 +230,37 @@ def q_source_csv_roundtrip(spark, sf_dir):
 
 
 @q(
+    "source_orc_roundtrip",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+       FROM customer GROUP BY c_mktsegment""",
+)
+def q_source_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round-trip: the second columnar container Spark
+    ships natively (predicate pushdown + column pruning work like parquet).
+    Write customer as ORC, read back, aggregate, hash-match the original.
+    Avro is NOT exercised: this build has no spark-avro module jar, and
+    file_input raises a clear error for it rather than half-supporting."""
+    t = _t(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "ss_src_orc_customer")
+    cust = t["customer"].select("c_custkey", "c_mktsegment", "c_acctbal")
+    ss_io.file_output(cust, path, format="orc", mode="overwrite")
+    back = ss_io.file_input(
+        spark, path, format="orc",
+        schema="c_custkey bigint, c_mktsegment string, c_acctbal double",
+    )
+    back = back.withColumn("bal_d", _dec("c_acctbal"))
+    return agg.group_aggregate(
+        back,
+        ["c_mktsegment"],
+        [
+            AggSpec(Aggregation.COUNT, None, "n"),
+            AggSpec(Aggregation.SUM, "bal_d", "total_bal", output_type="double"),
+        ],
+    )
+
+
+@q(
     "source_json_roundtrip",
     """SELECT s_nationkey, COUNT(*) AS n,
               CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,

@@ -166,3 +166,57 @@ def test_resize_nearest():
     assert np.array_equal(small, px[::2, ::2])
     up = codecs.resize_nearest(small, 8, 8)
     assert up.shape == (8, 8, 3)
+
+
+# --- property-based round trips (hypothesis) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@given(
+    px=arrays(np.uint8, st.tuples(st.integers(1, 12), st.integers(1, 12),
+                                  st.sampled_from([1, 2, 3, 4]))),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(px):
+    out = codecs.decode_png(codecs.encode_png(px))
+    assert out.shape == px.shape and np.array_equal(out, px)
+
+
+@given(
+    wave=arrays(np.float64, st.integers(1, 200),
+                elements=st.floats(-1.0, 1.0, allow_nan=False)),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(wave, rate):
+    out, got_rate = codecs.decode_wav(codecs.encode_wav_pcm16(wave, rate))
+    assert got_rate == rate and out.shape == (len(wave), 1)
+    # quantization (±0.5 LSB) + ×32767/÷32768 scale asymmetry
+    assert np.max(np.abs(out[:, 0] - wave)) < 1.0 / 16000
+
+
+@given(px=arrays(np.uint8, st.tuples(st.integers(1, 10), st.integers(1, 10),
+                                     st.just(3))))
+@settings(max_examples=30, deadline=None)
+def test_ppm_roundtrip_property(px):
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
+
+
+@given(data=st.binary(max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_decoders_never_crash_on_garbage(data):
+    """Arbitrary bytes must yield CodecError (mapped to ok=False by the
+    kernels), never an unhandled exception — corrupt blobs are data."""
+    for fn in (codecs.decode_png, codecs.decode_bmp, codecs.decode_ppm):
+        try:
+            fn(data)
+        except codecs.CodecError:
+            pass
+    try:
+        codecs.decode_wav(data)
+    except codecs.CodecError:
+        pass
+    codecs.sniff_format(data)

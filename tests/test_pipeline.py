@@ -266,6 +266,37 @@ def test_pq_topk_clustered_recall(spark):
         similarity.pq_train_codebooks(c, "corpus_id", "corpus_vec", m=5)
 
 
+def test_ivfpq_topk_clustered_recall(spark):
+    """IVF-PQ on clustered vectors: probed cells + residual codes must
+    retrieve only same-cluster neighbors; training is deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 16) * 3
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.randn(16) * 0.3])
+        for i in range(400)
+    ]
+    df = core.scan_view(spark, rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = df.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = similarity.ivfpq_topk(
+        q, c, "query_id", "query_vec", "corpus_id", "corpus_vec",
+        k=10, n_cells=8, nprobe=2, m=4, ksub=16,
+    )
+    got = out.collect()
+    assert len(got) == 80
+    for r in got:
+        assert r["corpus_id"] % 8 == r["query_id"] % 8
+    i1 = similarity.ivfpq_train(c, "corpus_id", "corpus_vec", n_cells=8, m=4, ksub=16)
+    i2 = similarity.ivfpq_train(c, "corpus_id", "corpus_vec", n_cells=8, m=4, ksub=16)
+    assert i1 == i2
+
+
 # --- multimodal ---
 
 def test_multimodal_stub_plumbing(spark, docs):
