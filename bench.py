@@ -42,6 +42,8 @@ HEADLINE: dict[str, list[str]] = {
     "multimodal_decode_png": ["documents"],
     "similarity_cosine_topk": ["embeddings"],
     "similarity_ivf_ann": ["embeddings"],
+    "similarity_pq_ann": ["embeddings"],
+    "similarity_ivfpq_ann": ["embeddings"],
     "text_quality": ["documents"],
     "tpch_q6_shape": ["lineitem"],
     "tpch_q10_shape": ["customer", "orders", "lineitem", "nation"],
@@ -91,10 +93,44 @@ def _operator_overrides() -> dict:
         t = load_tables(spark, sf_dir)
         return dedup.simhash_dedup(t["documents"], "doc_id", "text", max_hamming=3)
 
+    def lsh_ann(spark, sf_dir):
+        from supersonic_spark.pipeline import similarity
+
+        t = load_tables(spark, sf_dir)
+        emb = t["embeddings"]
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        c = emb.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+        )
+        return similarity.lsh_topk(q, c, k=5, dim=64, planes=8, tables=4)
+
+    def _ann(fn, **kw):
+        def run(spark, sf_dir):
+            from supersonic_spark.pipeline import similarity
+
+            t = load_tables(spark, sf_dir)
+            emb = t["embeddings"]
+            q = emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+            )
+            c = emb.select(
+                F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+            )
+            return getattr(similarity, fn)(
+                q, c, "query_id", "query_vec", "corpus_id", "corpus_vec", k=5, **kw
+            )
+        return run
+
     return {
         "dedup_minhash_lsh": minhash_lsh,
         "dedup_minhash_estimate": minhash_est,
         "dedup_simhash": simhash,
+        "similarity_lsh_ann": lsh_ann,
+        "similarity_ivf_ann": _ann("ivf_topk", n_cells=16, nprobe=4),
+        "similarity_pq_ann": _ann("pq_topk", m=8, ksub=16),
+        "similarity_ivfpq_ann": _ann("ivfpq_topk", n_cells=16, nprobe=4, m=8, ksub=16),
     }
 
 

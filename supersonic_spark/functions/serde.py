@@ -102,13 +102,16 @@ _OPS: dict[str, tuple[Any, int | None]] = {
     "MINUS": (_ar.minus, 2), "SUBTRACT": (_ar.minus, 2),
     "MULTIPLY": (_ar.multiply, 2),
     "NEGATE": (_ar.negate, 1),
-    "DIVIDE": (_ar.divide_nulling, 2),          # reference default policy
+    # bare-name default policies follow arithmetic_expressions.cc:100-113 —
+    # Divide/Modulus/CppDivide resolve to their SIGNALING forms
+    "DIVIDE": (_ar.divide_signaling, 2),
     "DIVIDE_SIGNALING": (_ar.divide_signaling, 2),
     "DIVIDE_NULLING": (_ar.divide_nulling, 2),
     "DIVIDE_QUIET": (_ar.divide_quiet, 2),
+    "CPP_DIVIDE": (_ar.cpp_divide_signaling, 2),
     "CPP_DIVIDE_NULLING": (_ar.cpp_divide_nulling, 2),
     "CPP_DIVIDE_SIGNALING": (_ar.cpp_divide_signaling, 2),
-    "MODULUS": (_ar.modulus_nulling, 2),
+    "MODULUS": (_ar.modulus_signaling, 2),
     "MODULUS_NULLING": (_ar.modulus_nulling, 2),
     "MODULUS_SIGNALING": (_ar.modulus_signaling, 2),
     "IS_ODD": (_ar.is_odd, 1), "IS_EVEN": (_ar.is_even, 1),
@@ -138,7 +141,8 @@ _OPS: dict[str, tuple[Any, int | None]] = {
     "LN_QUIET": (_m.ln_quiet, 1), "LN_SIGNALING": (_m.ln_signaling, 1),
     "LOG10": (_m.log10_nulling, 1), "LOG2": (_m.log2_nulling, 1),
     "LOG": (_m.log_nulling, 2),
-    "SQRT": (_m.sqrt_nulling, 1), "SQRT_NULLING": (_m.sqrt_nulling, 1),
+    "SQRT": (_m.sqrt_quiet, 1),  # bare Sqrt → SqrtQuiet (math_expressions.cc:276)
+    "SQRT_NULLING": (_m.sqrt_nulling, 1),
     "SQRT_QUIET": (_m.sqrt_quiet, 1), "SQRT_SIGNALING": (_m.sqrt_signaling, 1),
     "POWER": (_m.power_nulling, 2), "POWER_NULLING": (_m.power_nulling, 2),
     "POWER_QUIET": (_m.power_quiet, 2),
@@ -185,6 +189,14 @@ _OPS: dict[str, tuple[Any, int | None]] = {
     "ADD_MONTHS": (_dtf.add_months, 2), "ADD_MONTH": (_dtf.add_month, 1),
     # hashing
     "FINGERPRINT": (_hash.fingerprint, None),
+}
+
+
+#: proto arity-overloaded date adders: 1 arg → add one unit, 2 → add n
+_ADD_OVERLOADS = {
+    "ADD_MINUTE": (_dtf.add_minute, _dtf.add_minutes),
+    "ADD_DAY": (_dtf.add_day, _dtf.add_days),
+    "ADD_MONTH": (_dtf.add_month, _dtf.add_months),
 }
 
 
@@ -286,6 +298,17 @@ def expression_from_json(node: dict) -> Column:
             return _hash.hash_with_seed(
                 expression_from_json(args[1]), int(_const_python(args[0]))
             )
+        if name in _ADD_OVERLOADS:
+            # proto arity overloading: ADD_MINUTE/ADD_DAY/ADD_MONTH take 1
+            # arg (add one unit) or 2 (add n units) under ONE enum name
+            # (build_expression_from_proto.cc:612-633)
+            one, many = _ADD_OVERLOADS[name]
+            cols = [expression_from_json(a) for a in args]
+            if len(cols) == 1:
+                return one(cols[0])
+            if len(cols) == 2:
+                return many(*cols)
+            raise ValueError(f"{name} takes 1 or 2 arguments, got {len(args)}")
         if name not in _OPS:
             raise ValueError(f"unknown operator {name!r}")
         fn, arity = _OPS[name]

@@ -438,3 +438,38 @@ def test_tuple_errors():
           type: TUPLE tuple {
             expression { expression { type: VARIABLE variable { name: "x" } } alias: "p" }
             expression { expression { type: VARIABLE variable { name: "y" } } alias: "p" } }"""))
+
+
+def test_bare_name_default_policies(spark):
+    """Bare proto names resolve to the reference's default policies
+    (arithmetic_expressions.cc:100-113, math_expressions.cc:276): DIVIDE/
+    MODULUS → SIGNALING (raise on /0), SQRT → QUIET (NaN on negative)."""
+    import math as _math
+
+    div = {"operation": {"operator": "DIVIDE", "arguments": [
+        {"variable": "a"}, {"constant": {"type": "INT32", "value": 2}}]}}
+    assert _eval(spark, div) == 1.0  # SQL semantics: 2/2 = 1.0 (double)
+    div0 = {"operation": {"operator": "DIVIDE", "arguments": [
+        {"variable": "a"}, {"constant": {"type": "INT32", "value": 0}}]}}
+    with pytest.raises(Exception):  # signaling: /0 raises at evaluation
+        _eval(spark, div0)
+    sqrt_neg = {"operation": {"operator": "SQRT", "arguments": [
+        {"constant": {"type": "DOUBLE", "value": -4.0}}]}}
+    out = _eval(spark, sqrt_neg)
+    assert out is not None and _math.isnan(out)  # quiet: NaN, not NULL
+
+
+def test_add_overload_arity_dispatch(spark):
+    """ADD_MINUTE/ADD_DAY/ADD_MONTH are arity-overloaded under one enum
+    name (bep.cc:612-633): 1 arg adds one unit, 2 args add n units."""
+    import datetime as dt
+
+    base = {"constant": {"type": "DATETIME", "value": "2024-03-01T10:00:00"}}
+    one = {"operation": {"operator": "ADD_DAY", "arguments": [base]}}
+    assert _eval(spark, one) == dt.datetime(2024, 3, 2, 10, 0, 0)
+    many = {"operation": {"operator": "ADD_DAY", "arguments": [
+        base, {"constant": {"type": "INT32", "value": 10}}]}}
+    assert _eval(spark, many) == dt.datetime(2024, 3, 11, 10, 0, 0)
+    with pytest.raises(ValueError, match="1 or 2 arguments"):
+        expression_from_json({"operation": {"operator": "ADD_MONTH", "arguments": [
+            base, base, base]}})
