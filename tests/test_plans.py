@@ -213,3 +213,27 @@ def test_prefilter_join_pushes_in_list_to_scan(spark, qs):
     plan = _plan(qs["prefilter_join_part_revenue"](spark, SF_DIR))
     # the dim side's key set must reach the fact scan as an IN pushdown
     assert "In(l_partkey" in plan
+
+
+def test_plan_to_dot(spark, tables):
+    """DOT plan rendering (dot_drawer parity): valid digraph, scan at a
+    leaf, join and aggregate nodes present, edges child→parent."""
+    from supersonic_spark.plans.dot import plan_to_dot
+
+    from pyspark.sql import functions as F
+
+    df = (
+        tables["orders"].join(tables["customer"],
+                              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment").count()
+    )
+    dot = plan_to_dot(df)
+    assert dot.startswith("digraph plan {") and dot.rstrip().endswith("}")
+    assert "Scan" in dot and "Join" in dot and "Aggregate" in dot
+    assert "->" in dot
+    # logical variants render too
+    dot_opt = plan_to_dot(df, which="optimized")
+    assert "Join" in dot_opt
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="which must be"):
+        plan_to_dot(df, which="bogus")

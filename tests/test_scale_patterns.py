@@ -702,11 +702,17 @@ _SWEEP_QUERIES = [
     "mode_aggregate",
     "skew_salted_join",
     "semi_join_active_customers",
+    # round-3 additions: the block-size-sweep analog must cover them too
+    "bloom_prefilter_join_supplier",
+    "dedup_duplicate_clusters",
+    "serde_tuple_textproto",
+    "multimodal_decode_stub",
 ]
 
 
 def test_new_catalog_queries_partition_invariant(spark, sf_dir):
     from supersonic_spark.queries import REGISTRY
+    import supersonic_spark.queries_pipeline  # noqa: F401 (registers)
     import supersonic_spark.queries_scale  # noqa: F401 (registers)
 
     baseline = {}
