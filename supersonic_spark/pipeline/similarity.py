@@ -840,3 +840,44 @@ def ivfpq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rerank_topk(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id,
+    query_vec,
+    corpus_id,
+    corpus_vec,
+    k: int = 5,
+) -> DataFrame:
+    """Exact-cosine rerank of an ANN shortlist: join the (query_id,
+    corpus_id) candidates from any approximate index (:func:`lsh_topk`,
+    :func:`ivf_topk`, :func:`pq_topk`, :func:`ivfpq_topk`) back to their
+    float vectors and re-score exactly — the standard two-stage retrieval
+    (ANN recalls, exact ranks).
+
+    Scale shape: only shortlist rows (|queries|·k_ann, tiny vs corpus)
+    fetch vectors; the corpus side joins on its id (one shuffle of the
+    shortlist, broadcastable query side), never a full scan.  Output:
+    (query_id, corpus_id, similarity, rank) like :func:`cosine_topk`.
+    """
+    q = queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
+    c = corpus.select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
+    cand = shortlist.select(
+        _c(query_id).alias("__qid"), _c(corpus_id).alias("__cid")
+    ).dropDuplicates(["__qid", "__cid"])
+    scored = (
+        cand.join(c, "__cid")
+        .join(F.broadcast(q), "__qid")
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("corpus_id"),
+            cosine("__qv", "__cv").alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("corpus_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -893,3 +893,35 @@ def test_cap_per_key_quota_and_partition_invariance(spark):
     for r in ranked.collect():
         per_key.setdefault(r["k"], []).append(r["cap_rank"])
     assert all(sorted(v) == [1, 2, 3] for v in per_key.values())
+
+
+def test_rerank_topk_matches_exact_on_recalled_set(spark, vecs):
+    """Two-stage retrieval: reranking an ANN shortlist with exact cosine
+    must order candidates exactly as cosine_topk does wherever the
+    shortlist contains them, and never invent candidates."""
+    q = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    ann = similarity.pq_topk(
+        q, c, "query_id", "query_vec", "corpus_id", "corpus_vec", k=10, m=4, ksub=8
+    )
+    rr = similarity.rerank_topk(
+        ann, q, c, "query_id", "query_vec", "corpus_id", "corpus_vec", k=3
+    )
+    shortlist = {}
+    for r in ann.collect():
+        shortlist.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    exact = similarity.cosine_topk(q, c, k=20)
+    exact_order = {}
+    for r in sorted(exact.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        exact_order.setdefault(r["query_id"], []).append(r["corpus_id"])
+    got = {}
+    for r in sorted(rr.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["corpus_id"])
+    for qid, ids in got.items():
+        assert set(ids) <= shortlist[qid]  # rerank never invents candidates
+        want = [cid for cid in exact_order[qid] if cid in shortlist[qid]][:3]
+        assert ids == want  # exact order restored on the recalled set
