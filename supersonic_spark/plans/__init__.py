@@ -9,7 +9,8 @@ trees, §4.2 benchmark wiretaps).
   QueryExecutionListener.
 """
 
+from supersonic_spark.plans.dot import plan_to_dot
 from supersonic_spark.plans.instrument import spy
 from supersonic_spark.plans.ops import Pipeline
 
-__all__ = ["Pipeline", "spy"]
+__all__ = ["Pipeline", "plan_to_dot", "spy"]
