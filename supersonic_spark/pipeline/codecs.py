@@ -14,11 +14,12 @@ Formats:
 - BMP  decode (uncompressed 24/32-bit BITMAPINFOHEADER) — bottom-up rows
 - PPM  decode (binary ``P6``, maxval ≤ 255) + encode
 - WAV  decode (RIFF PCM int8/16/32 + IEEE float32) + encode (PCM16)
+- JPEG baseline decode + encode (DCT/Huffman/4:4:4/4:2:0) — see
+  :mod:`supersonic_spark.pipeline.codecs_jpeg`
 
-JPEG/MP4/etc. need entropy coders that are out of scope for a pure-stdlib
-kernel; blobs in those formats decode to ``ok=False`` rather than raising —
-at 100 TB a corrupt or exotic blob is data to be filtered, not a reason to
-kill the stage.
+Progressive JPEG / video containers remain out of scope; blobs in those
+formats decode to ``ok=False`` rather than raising — at 100 TB a corrupt
+or exotic blob is data to be filtered, not a reason to kill the stage.
 """
 
 from __future__ import annotations
@@ -236,8 +237,9 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 # ---------------------------------------------------------------- image front door
 
 def decode_image(blob: bytes, fmt: str | None = None) -> np.ndarray:
-    """Decode PNG/BMP/PPM bytes → (h, w, ch) uint8; raises CodecError on
-    malformed or unsupported input (JPEG etc.)."""
+    """Decode PNG/BMP/PPM/baseline-JPEG bytes → (h, w, ch) uint8; raises
+    CodecError on malformed or unsupported input (progressive JPEG,
+    WebP, …)."""
     fmt = fmt or sniff_format(blob)
     if fmt == "png":
         return decode_png(blob)
@@ -245,6 +247,11 @@ def decode_image(blob: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_bmp(blob)
     if fmt == "ppm":
         return decode_ppm(blob)
+    if fmt == "jpeg":
+        # lazy import: codecs_jpeg imports CodecError from this module
+        from supersonic_spark.pipeline.codecs_jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise CodecError(f"unsupported image format: {fmt!r}")
 
 

@@ -1,0 +1,528 @@
+"""Pure-python baseline JPEG codec (encoder + decoder), numpy-vectorized.
+
+Completes the multimodal codec family (:mod:`supersonic_spark.pipeline.
+codecs`) with the one image container that needs an entropy coder: JFIF
+baseline sequential DCT, standard Annex-K Huffman and quantization
+tables, 4:4:4 or 4:2:0 chroma subsampling, grayscale, restart markers
+(decode).  Like the other codecs this is pure stdlib + numpy — it runs
+inside the Arrow-batched media kernels with no native dependency.
+
+Scope (documented, not hidden): baseline DCT process only — no
+progressive scans, no arithmetic coding, no 12-bit precision; encoder
+emits interleaved single-scan JFIF.  Malformed input raises
+:class:`supersonic_spark.pipeline.codecs.CodecError`, which the kernels
+map to ok=False.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from supersonic_spark.pipeline.codecs import CodecError
+
+# ---------------------------------------------------------------- tables
+
+#: zigzag scan order: index i of the zigzag sequence → (row-major) position
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+#: ITU-T T.81 Annex K base quantization tables (quality 50)
+_STD_LUMA_QT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,   12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,   14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_STD_CHROMA_QT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,  18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,  47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,  99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,  99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+#: Annex K Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+#: orthonormal 8×8 DCT-II matrix: dct(block) = D @ block @ D.T
+_D = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _D[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _huff_codes(spec):
+    """(BITS, HUFFVAL) → {symbol: (code, length)} per T.81 C.2."""
+    bits, vals = spec
+    if sum(bits) > len(vals):
+        raise CodecError("JPEG huffman table shorter than its BITS counts")
+    out, code, idx = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(spec):
+    """(BITS, HUFFVAL) → {(length, code): symbol} for the bit-serial reader."""
+    enc = _huff_codes(spec)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) padded-to-8 plane → (n_blocks_y, n_blocks_x, 8, 8)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).swapaxes(1, 2)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self):
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """v → (category, mantissa bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = int(a).bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_plane_blocks(blocks2d, qt, dc_codes, ac_codes, bw, dc_pred):
+    """Huffman-encode one component's block list (row-major); returns the
+    updated DC predictor.  ``blocks2d``: (n, 8, 8) float, level-shifted."""
+    for blk in blocks2d:
+        coef = _D @ blk @ _D.T
+        q = np.round(coef.reshape(64) / qt.reshape(64)).astype(np.int64)
+        zz = q[_ZIGZAG]
+        cat, bits = _magnitude(int(zz[0]) - dc_pred)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+        dc_pred = int(zz[0])
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat, bits = _magnitude(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits, cat)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+    return dc_pred
+
+
+def _marker(tag: int, body: bytes) -> bytes:
+    return struct.pack(">HH", tag, len(body) + 2) + body
+
+
+def _dht_body(tc_th: int, spec) -> bytes:
+    bits, vals = spec
+    return bytes([tc_th]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85, subsample: str = "444") -> bytes:
+    """(H, W, 3) RGB or (H, W)/(H, W, 1) grayscale uint8 → baseline JFIF
+    bytes.  ``subsample``: "444" (no chroma subsampling) or "420" (2×2
+    chroma decimation, the common web layout)."""
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2 or px.shape[2] == 1
+    if gray and px.ndim == 3:
+        px = px[:, :, 0]
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = px.shape[:2]
+    luma_qt = _scaled_qt(_STD_LUMA_QT, quality)
+    chroma_qt = _scaled_qt(_STD_CHROMA_QT, quality)
+    dc_l = _huff_codes(_DC_LUMA_SPEC)
+    ac_l = _huff_codes(_AC_LUMA_SPEC)
+    dc_c = _huff_codes(_DC_CHROMA_SPEC)
+    ac_c = _huff_codes(_AC_CHROMA_SPEC)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # DQT payload: table id byte + 64 entries in zigzag order
+    out += _marker(0xFFDB, b"\x00" + bytes(np.uint8(luma_qt.reshape(64)[_ZIGZAG])))
+    if not gray:
+        out += _marker(0xFFDB, b"\x01" + bytes(np.uint8(chroma_qt.reshape(64)[_ZIGZAG])))
+
+    hv = 0x22 if (subsample == "420" and not gray) else 0x11
+    sof = struct.pack(">BHHB", 8, h, w, 1 if gray else 3) + b"\x01" + bytes([hv, 0])
+    if not gray:
+        sof += b"\x02\x11\x01" + b"\x03\x11\x01"
+    out += _marker(0xFFC0, sof)
+    out += _marker(0xFFC4, _dht_body(0x00, _DC_LUMA_SPEC))
+    out += _marker(0xFFC4, _dht_body(0x10, _AC_LUMA_SPEC))
+    if not gray:
+        out += _marker(0xFFC4, _dht_body(0x01, _DC_CHROMA_SPEC))
+        out += _marker(0xFFC4, _dht_body(0x11, _AC_CHROMA_SPEC))
+    sos = bytes([1 if gray else 3])
+    sos += b"\x01\x00" + (b"" if gray else b"\x02\x11\x03\x11")
+    sos += b"\x00\x3f\x00"
+    out += _marker(0xFFDA, sos)
+
+    bw = _BitWriter()
+    if gray:
+        mcu = 8
+        ph = (h + mcu - 1) // mcu * mcu
+        pw = (w + mcu - 1) // mcu * mcu
+        y = np.pad(px.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        yb = _blocks_of(y)
+        _encode_plane_blocks(
+            yb.reshape(-1, 8, 8), luma_qt, dc_l, ac_l, bw, 0
+        )
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        mcu = 16 if subsample == "420" else 8
+        ph = (h + mcu - 1) // mcu * mcu
+        pw = (w + mcu - 1) // mcu * mcu
+        ycc = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+        y = ycc[..., 0] - 128.0
+        if subsample == "420":
+            cb = ycc[..., 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+            cr = ycc[..., 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)) - 128.0
+        else:
+            cb = ycc[..., 1] - 128.0
+            cr = ycc[..., 2] - 128.0
+        yb, cbb, crb = _blocks_of(y), _blocks_of(cb), _blocks_of(cr)
+        preds = [0, 0, 0]
+        n_my, n_mx = ph // mcu, pw // mcu
+        for my in range(n_my):
+            for mx in range(n_mx):
+                if subsample == "420":
+                    units = [yb[2 * my, 2 * mx], yb[2 * my, 2 * mx + 1],
+                             yb[2 * my + 1, 2 * mx], yb[2 * my + 1, 2 * mx + 1]]
+                else:
+                    units = [yb[my, mx]]
+                preds[0] = _encode_plane_blocks(
+                    np.stack(units), luma_qt, dc_l, ac_l, bw, preds[0])
+                preds[1] = _encode_plane_blocks(
+                    cbb[my, mx][None], chroma_qt, dc_c, ac_c, bw, preds[1])
+                preds[2] = _encode_plane_blocks(
+                    crb[my, mx][None], chroma_qt, dc_c, ac_c, bw, preds[2])
+    bw.pad()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at markers."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        if self.pos >= len(self.buf):
+            raise CodecError("truncated JPEG entropy data")
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt - 0xD0)
+            else:
+                raise _EndOfScan()
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise CodecError("invalid JPEG huffman code")
+
+    def align(self):
+        self.nbits = 0
+        self.acc = 0
+
+    def skip_restart(self):
+        # consume the RSTn marker bytes (reader is byte-aligned here)
+        if self.buf[self.pos] == 0xFF and 0xD0 <= self.buf[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, n):
+        self.n = n
+
+
+class _EndOfScan(Exception):
+    pass
+
+
+def _extend(bits: int, cat: int) -> int:
+    """Mantissa bits → signed value (T.81 F.2.2.1 EXTEND)."""
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (H, W, 3) RGB (or (H, W, 1) grayscale) uint8.
+
+    Supports SOF0/SOF1 Huffman sequential, any sampling factors (4:4:4,
+    4:2:0, 4:2:2, …), restart intervals, multiple DQT/DHT segments.
+    Progressive (SOF2) and arithmetic coding raise CodecError."""
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        raise CodecError("not a JPEG (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    comps = None  # list of (id, h, v, tq)
+    h = w = 0
+    restart_interval = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise CodecError(f"JPEG marker expected at {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            raise CodecError("JPEG has no scan data before EOI")
+        seg_len = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        body = blob[pos + 4 : pos + 2 + seg_len]
+        if seg_len < 2 or len(body) != seg_len - 2:
+            raise CodecError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise CodecError("16-bit quantization tables unsupported")
+                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.float64)
+                nat = np.empty(64)
+                nat[_ZIGZAG] = zz
+                qts[tq] = nat
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended huffman
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xC2:
+            raise CodecError("progressive JPEG unsupported (baseline only)")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huffs[(tc, th)] = _huff_decode_table((bits, vals))
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            pos = pos + 2 + seg_len
+            return _decode_scan(
+                blob, pos, h, w, comps, scan, qts, huffs, restart_interval
+            )
+        pos += 2 + seg_len
+    raise CodecError("JPEG missing SOS")
+
+
+def _decode_scan(blob, pos, h, w, comps, scan, qts, huffs, restart_interval):
+    if comps is None or not h or not w:
+        raise CodecError("JPEG missing SOF before SOS")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    n_mx = (w + mcu_w - 1) // mcu_w
+    n_my = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for cid, ch, cv, tq in comps:
+        planes.append(np.zeros((n_my * cv * 8, n_mx * ch * 8), dtype=np.float64))
+    by_id = {cid: i for i, (cid, *_rest) in enumerate(comps)}
+    tables = {}
+    for cs, td, ta in scan:
+        if (0, td) not in huffs or (1, ta) not in huffs:
+            raise CodecError("JPEG scan references missing huffman table")
+        tables[cs] = (huffs[(0, td)], huffs[(1, ta)])
+
+    br = _BitReader(blob, pos)
+    preds = {cid: 0 for cid, *_ in comps}
+    mcu_index = 0
+    for my in range(n_my):
+        for mx in range(n_mx):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                br.align()
+                br.skip_restart()
+                preds = {cid: 0 for cid, *_ in comps}
+            try:
+                for cid, ch, cv, tq in comps:
+                    dc_t, ac_t = tables[cid]
+                    qt = qts.get(tq)
+                    if qt is None:
+                        raise CodecError("JPEG missing quantization table")
+                    for v in range(cv):
+                        for u in range(ch):
+                            zz = np.zeros(64, dtype=np.float64)
+                            cat = br.read_huff(dc_t)
+                            diff = _extend(br.read(cat), cat) if cat else 0
+                            preds[cid] += diff
+                            zz[0] = preds[cid]
+                            k = 1
+                            while k < 64:
+                                rs = br.read_huff(ac_t)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    raise CodecError("JPEG AC run past block end")
+                                zz[k] = _extend(br.read(rs & 0xF), rs & 0xF)
+                                k += 1
+                            nat = np.empty(64)
+                            nat[_ZIGZAG] = zz
+                            blk = _D.T @ ((nat * qt).reshape(8, 8)) @ _D + 128.0
+                            py, px_ = (my * cv + v) * 8, (mx * ch + u) * 8
+                            planes[by_id[cid]][py : py + 8, px_ : px_ + 8] = blk
+            except _RestartMarker:
+                raise CodecError("unexpected restart marker mid-MCU")
+            except _EndOfScan:
+                raise CodecError("JPEG entropy data ended mid-scan")
+            mcu_index += 1
+
+    # upsample each component to full MCU-grid resolution, crop, convert
+    full = []
+    for (cid, ch, cv, tq), plane in zip(comps, planes):
+        ry, rx = max_v // cv, max_h // ch
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
+    if len(full) != 3:
+        raise CodecError(f"JPEG with {len(full)} components unsupported")
+    return _ycbcr_to_rgb(full[0], full[1], full[2])

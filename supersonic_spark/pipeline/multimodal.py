@@ -6,11 +6,12 @@ DataFrame plans as the text/relational data (partition by content hash,
 never collect, never string-ify).
 
 The decode kernels are REAL for the formats whose codecs are pure stdlib
-(see :mod:`supersonic_spark.pipeline.codecs`): PNG / BMP / PPM images and
-RIFF PCM WAV audio decode to actual pixels/samples inside the Arrow-batched
-kernels below.  Formats that need entropy coders not in this container
-(JPEG, MP4, …) decode to ``ok=False`` — at corpus scale an undecodable blob
-is data to filter, not a reason to kill the stage.  ``fake=True`` keeps the
+(see :mod:`supersonic_spark.pipeline.codecs` and ``codecs_jpeg``): PNG /
+BMP / PPM / baseline JPEG images and RIFF PCM WAV audio decode to actual
+pixels/samples inside the Arrow-batched kernels below.  Anything else
+(progressive JPEG, video containers, corrupt bytes) decodes to
+``ok=False`` — at corpus scale an undecodable blob is data to filter, not
+a reason to kill the stage.  ``fake=True`` keeps the
 deterministic codec-free stand-in (dimensions derived from the content
 hash) for plumbing tests that don't construct real files.
 """
@@ -65,11 +66,12 @@ def attach_media(df: DataFrame, blob_col: str, media_type: str, fmt: str | None 
 def _decode_one(blob: bytes, fake: bool) -> dict:
     """Decode a single image blob → image-features dict.
 
-    Real path: pure-stdlib PNG/BMP/PPM decode (see pipeline.codecs) — actual
-    dimensions, channel count, and a pixel checksum proving the pixels were
-    recovered, not just the header read.  Undecodable/unsupported blobs
-    (JPEG, corrupt data) yield ok=False.  ``fake=True`` keeps the
-    deterministic codec-free stand-in (hash-derived dimensions)."""
+    Real path: pure-stdlib PNG/BMP/PPM/baseline-JPEG decode (see
+    pipeline.codecs) — actual dimensions, channel count, and a pixel
+    checksum proving the pixels were recovered, not just the header read.
+    Undecodable/unsupported blobs (progressive JPEG, corrupt data) yield
+    ok=False.  ``fake=True`` keeps the deterministic codec-free stand-in
+    (length-derived dimensions)."""
     none = {"width": None, "height": None, "n_bytes": None, "channels": None,
             "pix_sum": None, "ok": False}
     if blob is None:
@@ -136,6 +138,38 @@ def synthesize_png(df: DataFrame, width_col: str, height_col: str, fill_col: str
             out = pdf[in_cols].copy()
             out[out_col] = [
                 codecs.encode_png(np.full((int(h), int(w), 3), int(v) & 0xFF, dtype=np.uint8))
+                for w, h, v in zip(pdf[width_col], pdf[height_col], pdf[fill_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synthesize_jpeg(df: DataFrame, width_col: str, height_col: str, fill_col: str,
+                    quality: int = 85, subsample: str = "444",
+                    out_col: str = "blob") -> DataFrame:
+    """Synthesize solid-fill RGB baseline-JPEG blobs from per-row
+    dimensions — drives the REAL entropy-coded decode path (DCT + Huffman)
+    end to end.  A solid fill is pure DC, so the decoded mean pixel is
+    within half a quantization step of the fill value — the oracle-checkable
+    property for a lossy codec."""
+    import numpy as np
+
+    from supersonic_spark.operators.core import ensure_parallelism
+    from supersonic_spark.pipeline import codecs_jpeg
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.BinaryType(), True)])
+    in_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            out[out_col] = [
+                codecs_jpeg.encode_jpeg(
+                    np.full((int(h), int(w), 3), int(v) & 0xFF, dtype=np.uint8),
+                    quality=quality, subsample=subsample,
+                )
                 for w, h, v in zip(pdf[width_col], pdf[height_col], pdf[fill_col])
             ]
             yield out

@@ -726,6 +726,45 @@ def q_multimodal_audio_wav(spark, sf_dir):
 
 
 @q(
+    "multimodal_decode_jpeg",
+    """SELECT doc_id,
+              (8 + doc_id % 24)::BIGINT AS width,
+              (8 + doc_id % 16)::BIGINT AS height,
+              3::BIGINT AS channels,
+              TRUE AS dc_ok
+       FROM documents WHERE doc_id % 3 = 0""",
+)
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode end to end: synthesize an actual
+    entropy-coded JFIF blob per document (solid fill — pure DC), parse it
+    back through the Huffman/DCT decoder, and check exact dimensions plus
+    the DC-accuracy bound (decoded mean pixel within half a quantization
+    step of the fill; a header-only 'decode' could fake width/height but
+    not the reconstructed pixels)."""
+    t = _t(spark, sf_dir)
+    docs = core.filter_op(t["documents"], F.col("doc_id") % 3 == 0)
+    dims = docs.select(
+        "doc_id",
+        (8 + F.col("doc_id") % 24).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 16).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("v"),
+    )
+    blobs = multimodal.synthesize_jpeg(dims, "w", "h", "v", quality=85)
+    decoded = multimodal.decode_image_meta(blobs, "blob", fake=False)
+    mean_px = (
+        F.col("image_features.pix_sum").cast("double")
+        / (F.col("image_features.width") * F.col("image_features.height") * 3)
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("image_features.width").cast("long").alias("width"),
+        F.col("image_features.height").cast("long").alias("height"),
+        F.col("image_features.channels").cast("long").alias("channels"),
+        (F.abs(mean_px - F.col("v")) <= 2.5).alias("dc_ok"),
+    )
+
+
+@q(
     "multimodal_resize_roundtrip",
     """SELECT doc_id,
               4::BIGINT AS width, 3::BIGINT AS height,
