@@ -765,6 +765,53 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
 
 
 @q(
+    "multimodal_mixed_corpus",
+    """SELECT doc_id,
+              (doc_id % 4 < 2) AS ok,
+              CASE WHEN doc_id % 4 = 0 THEN (2 + doc_id % 30)::BIGINT
+                   WHEN doc_id % 4 = 1 THEN (8 + doc_id % 24)::BIGINT
+                   ELSE NULL END AS width
+       FROM documents""",
+)
+def q_multimodal_mixed_corpus(spark, sf_dir):
+    """Mixed-format media corpus — the realistic 100 TB shape: one binary
+    column holding PNGs, entropy-coded JPEGs, and plain undecodable bytes
+    side by side.  One decode pass sniffs each blob's container, recovers
+    real dimensions for the decodable ones, and flags the rest ok=False —
+    no stage failure, no per-format branching in the plan."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    png = multimodal.synthesize_png(
+        core.filter_op(docs, F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            (2 + F.col("doc_id") % 30).cast("int").alias("w"),
+            (1 + F.col("doc_id") % 9).cast("int").alias("h"),
+            (F.col("doc_id") % 256).cast("int").alias("v"),
+        ),
+        "w", "h", "v",
+    ).select("doc_id", "blob")
+    jpg = multimodal.synthesize_jpeg(
+        core.filter_op(docs, F.col("doc_id") % 4 == 1).select(
+            "doc_id",
+            (8 + F.col("doc_id") % 24).cast("int").alias("w"),
+            (8 + F.col("doc_id") % 16).cast("int").alias("h"),
+            (F.col("doc_id") % 256).cast("int").alias("v"),
+        ),
+        "w", "h", "v",
+    ).select("doc_id", "blob")
+    garbage = core.filter_op(docs, F.col("doc_id") % 4 >= 2).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    corpus = png.unionByName(jpg).unionByName(garbage)
+    decoded = multimodal.decode_image_meta(corpus, "blob", fake=False)
+    return decoded.select(
+        "doc_id",
+        F.col("image_features.ok").alias("ok"),
+        F.col("image_features.width").cast("long").alias("width"),
+    )
+
+
+@q(
     "multimodal_resize_roundtrip",
     """SELECT doc_id,
               4::BIGINT AS width, 3::BIGINT AS height,
