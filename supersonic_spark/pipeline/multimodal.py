@@ -205,11 +205,95 @@ def synthesize_wav(df: DataFrame, frames_col: str, level_col: str,
     return df.mapInPandas(run, out_schema)
 
 
+def synthesize_gif(df: DataFrame, frames_col: str, width_col: str, height_col: str,
+                   fill_col: str, out_col: str = "blob") -> DataFrame:
+    """Synthesize multi-frame GIF blobs: ``frames`` solid-gray frames where
+    frame f's fill is (fill + 7·f) mod 256 — GIF is lossless, so every
+    decoded frame's pixel sum has an exact closed form."""
+    import numpy as np
+
+    from supersonic_spark.operators.core import ensure_parallelism
+    from supersonic_spark.pipeline import codecs_gif
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.BinaryType(), True)])
+    in_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[in_cols].copy()
+            blobs = []
+            for n, w, h, v in zip(pdf[frames_col], pdf[width_col],
+                                  pdf[height_col], pdf[fill_col]):
+                frames = [
+                    np.full((int(h), int(w), 3), (int(v) + 7 * f) % 256, dtype=np.uint8)
+                    for f in range(int(n))
+                ]
+                blobs.append(codecs_gif.encode_gif(frames))
+            out[out_col] = blobs
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+GIF_FRAME_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("frame_index", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pix_sum", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def gif_frame_features(df: DataFrame, blob_col: str, every_n: int = 1) -> DataFrame:
+    """REAL multi-frame (video-shaped) decode: parse each GIF blob, decode
+    its frames through LZW, and emit one row per SAMPLED frame (stride
+    ``every_n``) with exact per-frame pixel stats — the decoded-frames
+    successor of :func:`frame_sample_plan`'s byte-count stub.  Undecodable
+    blobs emit a single ok=False row, keeping the corpus-tolerant
+    contract."""
+    from supersonic_spark.operators.core import ensure_parallelism
+    from supersonic_spark.pipeline import codecs_gif
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("frame", GIF_FRAME_FEATURES_TYPE, True)]
+    )
+    in_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                base = {c: row[c] for c in in_cols}
+                try:
+                    frames = codecs_gif.decode_gif_frames(bytes(row[blob_col]))
+                except codecs.CodecError:
+                    rows.append(dict(base, frame={
+                        "frame_index": None, "n_frames": None, "width": None,
+                        "height": None, "pix_sum": None, "ok": False}))
+                    continue
+                for fi in range(0, len(frames), every_n):
+                    fr = frames[fi]
+                    rows.append(dict(base, frame={
+                        "frame_index": fi, "n_frames": len(frames),
+                        "width": int(fr.shape[1]), "height": int(fr.shape[0]),
+                        "pix_sum": int(fr.sum(dtype="int64")), "ok": True}))
+            yield pd.DataFrame(rows, columns=in_cols + ["frame"])
+
+    return df.mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, blob_col: str, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: emits (video, frame_index) rows for a
     downstream decode kernel — the explode happens JVM-side so the Python
-    decode only ever sees the frames it must touch.  Decode itself is the
-    stubbed kernel above."""
+    decode only ever sees the frames it must touch.  For containers with a
+    real decoder here (GIF), :func:`gif_frame_features` does plan + decode
+    in one kernel; this byte-count stub stands in for codecs (MP4/H.264)
+    that have none."""
     n_frames = (F.octet_length(F.col(blob_col)) / F.lit(1024)).cast("int")  # stub: 1 frame/KiB
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.withColumn("frame_index", F.explode(idx))

@@ -765,6 +765,43 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
 
 
 @q(
+    "multimodal_gif_frames",
+    """SELECT doc_id,
+              unnest(range(0, 2 + doc_id % 4, 2))::BIGINT AS frame_index,
+              (2 + doc_id % 4)::BIGINT AS n_frames,
+              (3 + doc_id % 6)::BIGINT AS width,
+              (2 + doc_id % 5)::BIGINT AS height,
+              ((3 + doc_id % 6) * (2 + doc_id % 5) * 3
+                * ((doc_id % 256 + 7 * unnest(range(0, 2 + doc_id % 4, 2))) % 256))::BIGINT AS pix_sum
+       FROM documents WHERE doc_id % 6 = 0""",
+)
+def q_multimodal_gif_frames(spark, sf_dir):
+    """REAL multi-frame (video-shaped) decode: synthesize animated GIFs
+    (2–5 solid frames, per-frame fill in closed form), LZW-decode them, and
+    sample every 2nd frame — GIF is lossless, so frame count, dimensions,
+    and every sampled frame's exact pixel sum hash-match the oracle."""
+    t = _t(spark, sf_dir)
+    docs = core.filter_op(t["documents"], F.col("doc_id") % 6 == 0)
+    dims = docs.select(
+        "doc_id",
+        (2 + F.col("doc_id") % 4).cast("int").alias("n"),
+        (3 + F.col("doc_id") % 6).cast("int").alias("w"),
+        (2 + F.col("doc_id") % 5).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("v"),
+    )
+    blobs = multimodal.synthesize_gif(dims, "n", "w", "h", "v")
+    frames = multimodal.gif_frame_features(blobs, "blob", every_n=2)
+    return frames.select(
+        "doc_id",
+        F.col("frame.frame_index").cast("long").alias("frame_index"),
+        F.col("frame.n_frames").cast("long").alias("n_frames"),
+        F.col("frame.width").cast("long").alias("width"),
+        F.col("frame.height").cast("long").alias("height"),
+        F.col("frame.pix_sum").cast("long").alias("pix_sum"),
+    )
+
+
+@q(
     "multimodal_mixed_corpus",
     """SELECT doc_id,
               (doc_id % 4 < 2) AS ok,

@@ -925,3 +925,26 @@ def test_rerank_topk_matches_exact_on_recalled_set(spark, vecs):
         assert set(ids) <= shortlist[qid]  # rerank never invents candidates
         want = [cid for cid in exact_order[qid] if cid in shortlist[qid]][:3]
         assert ids == want  # exact order restored on the recalled set
+
+
+def test_gif_frame_features_kernel(spark):
+    """GIF frame extraction: stride sampling, exact lossless pixel sums,
+    and single ok=False row for undecodable blobs."""
+    import numpy as np
+
+    from supersonic_spark.pipeline import codecs_gif
+
+    frames = [np.full((4, 6, 3), 10 * (f + 1), dtype=np.uint8) for f in range(5)]
+    good = codecs_gif.encode_gif(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"junk bytes"))], "id long, blob binary"
+    )
+    out = multimodal.gif_frame_features(df, "blob", every_n=2).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["frame"])
+    assert [f["frame_index"] for f in by_id[1]] == [0, 2, 4]
+    for f in by_id[1]:
+        assert f["n_frames"] == 5 and f["width"] == 6 and f["height"] == 4
+        assert f["pix_sum"] == 4 * 6 * 3 * 10 * (f["frame_index"] + 1)
+    assert len(by_id[2]) == 1 and by_id[2][0]["ok"] is False
