@@ -13,6 +13,10 @@ interlaced frames are rejected (CodecError), frame composition semantics
 independently into its own rect on the logical screen, which is exact for
 the full-frame animations the encoder here produces.  Malformed bytes
 raise :class:`supersonic_spark.pipeline.codecs.CodecError`.
+
+Throughput honesty: LZW decode is byte-serial Python — fine for test
+corpora and small assets, 2-3 orders below a native codec; the kernel
+boundary (`multimodal.gif_frame_features`) is the swap-in point.
 """
 
 from __future__ import annotations

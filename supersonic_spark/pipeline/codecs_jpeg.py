@@ -12,6 +12,14 @@ progressive scans, no arithmetic coding, no 12-bit precision; encoder
 emits interleaved single-scan JFIF.  Malformed input raises
 :class:`supersonic_spark.pipeline.codecs.CodecError`, which the kernels
 map to ok=False.
+
+Throughput honesty: the entropy loop is bit-serial Python (~100 KB/s of
+coded data per core) — numpy carries the DCT/color math but Huffman is
+inherently sequential.  That is 2-3 orders below libjpeg-turbo; at real
+100 TB scale you swap a native codec into ``_decode_one`` (the single
+integration point) and keep every Spark-side plan unchanged.  The value
+here is a fully correct, dependency-free reference implementation that
+makes the whole pipeline testable end to end.
 """
 
 from __future__ import annotations

@@ -244,3 +244,68 @@ def test_textproto_roundtrips_to_json_grammar(tree):
         return n
 
     assert canon(got) == canon(tree)
+
+
+def _render_binproto(node: dict) -> bytes:
+    """JSON grammar → binary proto wire bytes (test-local encoder)."""
+    def varint(n):
+        if n < 0:
+            n += 1 << 64
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out.append(b | 0x80 if n else b)
+            if not n:
+                return bytes(out)
+
+    def field(fno, wt, payload):
+        return varint((fno << 3) | wt) + payload
+
+    def msg(fno, body):
+        return field(fno, 2, varint(len(body)) + body)
+
+    if "variable" in node:
+        name = node["variable"].encode()
+        return field(1, 0, varint(1)) + msg(3, field(1, 2, varint(len(name)) + name))
+    if "constant" in node:
+        t, v = node["constant"]["type"], node["constant"]["value"]
+        if t == "INT64":
+            body = field(1, 0, varint(2)) + field(3, 0, varint(v))
+        elif t == "BOOL":
+            body = field(1, 0, varint(6)) + field(8, 0, varint(int(v)))
+        else:  # STRING
+            enc = v.encode()
+            body = field(1, 0, varint(0)) + field(12, 2, varint(len(enc)) + enc)
+        return field(1, 0, varint(0)) + msg(2, body)
+    op = node["operation"]
+    nums = {"PLUS": 0, "ADD": 0, "MULTIPLY": 1, "AND": 5, "EQUAL": 8,
+            "CONCATENATE": 157}
+    body = field(1, 0, varint(nums[op["operator"]]))
+    for a in op["arguments"]:
+        body += msg(2, _render_binproto(a))
+    return field(1, 0, varint(2)) + msg(4, body)
+
+
+@given(tree=_json_expr)
+@settings(max_examples=60, deadline=None)
+def test_binaryproto_roundtrips_to_json_grammar(tree):
+    """Binary wire bytes for any generated expression tree parse back to
+    the original JSON grammar (modulo the ADD→PLUS enum alias)."""
+    from supersonic_spark.functions.textproto import (
+        _DESC_WIRE,
+        _parse_wire_message,
+        description_to_json,
+    )
+
+    got = description_to_json(_parse_wire_message(_render_binproto(tree), _DESC_WIRE))
+
+    def canon(n):
+        if "operation" in n:
+            o = n["operation"]
+            name = {"ADD": "PLUS"}.get(o["operator"], o["operator"])
+            return {"operation": {"operator": name,
+                                  "arguments": [canon(a) for a in o["arguments"]]}}
+        return n
+
+    assert canon(got) == canon(tree)
