@@ -239,3 +239,29 @@ def cap_per_key(
     if keep_rank:
         return kept.withColumnRenamed("__rank", "cap_rank")
     return kept.drop("__rank")
+
+
+def fixed_size_sample(df: DataFrame, k: int, key_col: str, portable: bool = True) -> DataFrame:
+    """Deterministic fixed-SIZE uniform sample (the distributed reservoir):
+    rank every row by a hash of its key and keep the k smallest — exactly k
+    rows (when the input has ≥ k), reproducible across runs, partitionings,
+    and cluster sizes, with no RNG state.
+
+    ``portable=True`` orders by md5 of the key's string form — a hash every
+    engine computes identically, so the SELECTED SET itself is replayable
+    by an external oracle (DuckDB md5 == Spark md5).  ``portable=False``
+    uses xxhash64 (cheaper; Spark-only).
+
+    Scale shape: rank-k selection is a TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on one reducer; no global sort of the corpus.
+    """
+    key = _c(key_col)
+    order = (
+        F.md5(key.cast("string")) if portable else F.xxhash64(key)
+    )
+    return (
+        df.withColumn("__ord", order)
+        .orderBy(F.col("__ord"), key)
+        .limit(k)
+        .drop("__ord")
+    )

@@ -974,6 +974,33 @@ FROM documents
 """
 
 
+@q(
+    "sample_fixed_k",
+    """SELECT doc_id, n_words FROM (
+         SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                md5(CAST(doc_id AS VARCHAR)) AS h
+         FROM documents ORDER BY h, doc_id LIMIT 50)
+       ORDER BY doc_id""",
+)
+def q_sample_fixed_k(spark, sf_dir):
+    """Deterministic fixed-size uniform sample (distributed reservoir):
+    rank by a PORTABLE hash (md5 — identical in every engine) and keep the
+    k smallest, so the selected set itself hash-matches the oracle — no
+    error-bound booleans needed.  Plan: per-partition top-k + k-row merge
+    (TakeOrderedAndProject), never a global sort."""
+    from supersonic_spark.pipeline import sampling
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", textstats.token_count("text").alias("n_words")
+    )
+    out = sampling.fixed_size_sample(docs, 50, "doc_id", portable=True)
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")])
+
+
 @q("sample_split_hash", _SPLIT_ORACLE)
 def q_sample_split_hash(spark, sf_dir):
     """Deterministic train/val/test assignment by identity hash — checked

@@ -948,3 +948,18 @@ def test_gif_frame_features_kernel(spark):
         assert f["n_frames"] == 5 and f["width"] == 6 and f["height"] == 4
         assert f["pix_sum"] == 4 * 6 * 3 * 10 * (f["frame_index"] + 1)
     assert len(by_id[2]) == 1 and by_id[2][0]["ok"] is False
+
+
+def test_fixed_size_sample_deterministic_partition_invariant(spark):
+    from supersonic_spark.pipeline import sampling
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in sampling.fixed_size_sample(df, 37, "k").collect()}
+    b = {r["k"] for r in sampling.fixed_size_sample(df.repartition(13), 37, "k").collect()}
+    assert len(a) == 37 and a == b  # exactly k, partitioning-invariant
+    # fewer rows than k → all rows
+    assert sampling.fixed_size_sample(df.limit(5), 37, "k").count() == 5
+    # top-k plan, not a global sort
+    plan = (sampling.fixed_size_sample(df, 37, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
