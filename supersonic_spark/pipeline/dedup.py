@@ -282,28 +282,34 @@ def minhash_lsh_pairs(
     # earlier small-slice measurement had suggested the opposite; the
     # corpus-wide A/B is the one that matches the 100 TB shape.)
     arr = base.select("__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sigarr"))
-    sig = arr.select(
-        "__id", *[F.col("__sigarr")[i].alias(f"__s{i}") for i in range(num_hashes)]
-    )
 
     # Banding over the narrow signature only: the (band, bucket) self-join
     # shuffles 20 bytes × bands per document, never the shingle arrays.
+    # Each bucket hashes a SLICE of the signature array directly —
+    # xxhash64 accepts array columns — instead of fanning the signature
+    # out into num_hashes scalar columns and concat_ws-ing their string
+    # casts.  The fan-out shape generated an enormous projection method
+    # (64 casts + a 64-arg concat per band) that sat beyond the JIT's
+    # compile appetite: at sf1 (50k docs) the first ~3 runs of the query
+    # each burned 1900-7300 JVM-CPU-s in interpreted bytecode before C2
+    # warmed, then dropped to ~75 CPU-s.  The slice shape is a handful of
+    # expression nodes, compiles immediately, and is stable from run 1
+    # (sf1 A/B in the git history).
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.concat_ws(",", *[F.col(f"__s{i}").cast("string")
-                                   for i in range(b * rows, (b + 1) * rows)])
+                F.slice(F.col("__sigarr"), b * rows + 1, rows)
             ).alias("bucket"),
         )
         for b in range(bands)
     ]
     if verify == "estimate":
-        return _estimate_pairs_from_sig(sig, band_cols, num_hashes, threshold, skew_salt)
+        return _estimate_pairs_from_sig(arr, band_cols, num_hashes, threshold, skew_salt)
     if verify != "exact":
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
 
-    banded = sig.select("__id", F.explode(F.array(*band_cols)).alias("__b")).select(
+    banded = arr.select("__id", F.explode(F.array(*band_cols)).alias("__b")).select(
         "__id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
     )
 
@@ -334,20 +340,21 @@ def minhash_lsh_pairs(
 
 
 def _estimate_pairs_from_sig(
-    sig: DataFrame,
+    arr: DataFrame,
     band_cols: list[Column],
     num_hashes: int,
     threshold: float | None,
     skew_salt: int | None = None,
 ) -> DataFrame:
     """Estimate-mode tail of :func:`minhash_lsh_pairs`: the signature array
-    rides through the band explode so the (band, bucket) self-join yields
-    both sides' signatures directly — zero verification joins.  The
-    component-match count is a 64-element zip_with fold evaluated only on
-    candidate pairs (post-banding, a vanishing fraction of the corpus)."""
-    banded = sig.select(
+    (``__sigarr`` on ``arr``) rides through the band explode so the
+    (band, bucket) self-join yields both sides' signatures directly — zero
+    verification joins.  The component-match count is a 64-element
+    zip_with fold evaluated only on candidate pairs (post-banding, a
+    vanishing fraction of the corpus)."""
+    banded = arr.select(
         "__id",
-        F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("__sig"),
+        F.col("__sigarr").alias("__sig"),
         F.explode(F.array(*band_cols)).alias("__b"),
     ).select("__id", "__sig", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
     cand = _bucket_self_pairs(banded, ["band", "bucket"], ["__sig"], skew_salt).select(
