@@ -146,7 +146,7 @@ def _table_rows(sf_dir: str) -> dict[str, int]:
     return out
 
 
-def _optimize_layout(spark, sf_dir: str) -> tuple[str, float]:
+def _optimize_layout(spark, sf_dir: str, big_files: int = 8) -> tuple[str, float]:
     """One-time storage-optimized ingest (reported as ``ingest_sec``).
 
     The driver's testdata parquet is single-row-group — an UNSPLITTABLE
@@ -173,7 +173,7 @@ def _optimize_layout(spark, sf_dir: str) -> tuple[str, float]:
 
     def write(item):
         name, df = item
-        n = 8 if name in ("lineitem", "orders", "events") else 1
+        n = big_files if name in ("lineitem", "orders", "events") else 1
         (df.repartition(n).write.mode("overwrite")
            .parquet(os.path.join(dst, f"{name}.parquet")))
 

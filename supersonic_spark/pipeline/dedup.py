@@ -898,3 +898,150 @@ def ngram_overlap(
         F.count_distinct("__k").alias("n_shared_grams"),
         F.count_distinct("__bid").alias("n_bench_docs"),
     ).withColumnRenamed("__id", id_col)
+
+
+# ------------------------------------------------- line-level boilerplate
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_frac: float | None = None,
+    max_doc_count: int | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal (the CCNet/RefinedWeb
+    discipline): a line whose document frequency exceeds the cap is
+    boilerplate (cookie banners, nav bars, license footers) and is dropped
+    from every document; remaining lines are reassembled in order.
+
+    Returns (id, text, n_lines, n_dropped) with ``id``/``text`` named after
+    the input columns.  Exactly one of ``max_doc_frac`` (fraction of the
+    corpus) / ``max_doc_count`` (absolute) must be given.
+
+    Scale shape (100 TB): lines explode once; document frequency is one
+    hash aggregation keyed on the 8-byte line hash (per-doc repeats
+    collapsed map-side by the distinct); the boilerplate set is tiny by
+    construction (only lines in >cap of all documents) so it broadcasts
+    back as a left join; reassembly is one groupBy per document.  No
+    corpus-wide join on raw line text ever happens — the shuffle key is
+    always the 64-bit hash.  Raw-line equality after hash equality is not
+    re-verified (xxhash64 collisions ~2^-64 — same stance as exact_dedup).
+    """
+    if (max_doc_frac is None) == (max_doc_count is None):
+        raise ValueError("give exactly one of max_doc_frac / max_doc_count")
+    lines = df.select(
+        _c(id_col).alias("__id"),
+        F.posexplode(F.split(_c(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__lh", F.xxhash64(F.trim(F.col("__line"))))
+    docfreq = (
+        lines.select("__id", "__lh").distinct()
+        .groupBy("__lh").agg(F.count(F.lit(1)).alias("__df"))
+    )
+    if max_doc_count is not None:
+        boiler = docfreq.filter(F.col("__df") > int(max_doc_count))
+    else:
+        # in-plan broadcast scalar (no driver action) for the corpus size
+        n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+        boiler = docfreq.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("__df").cast("double")
+            > F.lit(float(max_doc_frac)) * F.col("__n").cast("double")
+        )
+    flagged = lines.join(
+        F.broadcast(boiler.select("__lh", F.lit(True).alias("__boiler"))),
+        "__lh",
+        "left",
+    )
+    kept_struct = F.when(
+        F.col("__boiler").isNull(), F.struct(F.col("__pos"), F.col("__line"))
+    )  # NULL for boilerplate rows -> collect_list skips them
+    out = flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(
+            F.sum(F.col("__boiler").cast("int")), F.lit(0)
+        ).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["__line"]
+            ),
+        ).alias("__text"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__text").alias(text_col),
+        "n_lines",
+        "n_dropped",
+    )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column: cluster the corpus
+    with spherical k-means, then inside each cluster drop every vector that
+    has a LOWER-ID neighbor with cosine ≥ ``threshold`` (keep-lowest-id
+    rule).  This is the SemDeDup recipe (cluster first so the quadratic
+    neighbor scan runs only within a cell, never corpus-wide).
+
+    Returns (id, cell, dropped) for every input row: ``dropped`` marks the
+    semantic duplicates to remove; keeping ``NOT dropped`` rows yields the
+    deduplicated corpus.
+
+    Scale shape (100 TB): centroids train driver-side on a bounded
+    deterministic sample (similarity.ivf_train_centroids); assignment is
+    one Arrow-batched matmul pass; the only corpus-wide shuffle keys on the
+    cell id; pair work is quadratic ONLY within a cell, so n_cells is the
+    knob that bounds per-task cost (SemDeDup's own argument).  Cross-cell
+    near-dup pairs are missed by construction — that is the documented
+    approximation, same trade as every clustered-ANN operator here.
+
+    The keep-lowest-id rule is evaluated against ALL lower-id same-cell
+    neighbors (not only kept ones), so a chain a~b~c with cos(a,c) below
+    threshold still drops both b and c.  That matches the per-pair greedy
+    of the paper's released implementation and keeps the operator one
+    join + one aggregation (an iterative transitive variant would need a
+    fixpoint loop like connected_components).
+    """
+    from supersonic_spark.operators.core import ensure_parallelism
+    from supersonic_spark.pipeline.similarity import (
+        _assign_cells_udf,
+        cosine,
+        ivf_train_centroids,
+    )
+
+    cents = ivf_train_centroids(
+        df, id_col, vec_col, n_cells, sample_size=sample_size, iters=iters
+    )
+    assign = _assign_cells_udf(cents, nprobe=1)
+    base = ensure_parallelism(df).select(
+        _c(id_col).alias("__id"), _c(vec_col).alias("__v")
+    ).withColumn("__cell", assign("__v")[0])
+    a = base.select(
+        F.col("__cell"), F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        F.col("__cell"), F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+    )
+    dropped = (
+        a.join(b, ["__cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    out = base.join(dropped, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__cell").alias("cell"),
+        F.coalesce(F.col("__dropped"), F.lit(False)).alias("dropped"),
+    )
+    return out

@@ -1783,3 +1783,142 @@ def q_sample_cap_per_key(spark, sf_dir):
         out.select("doc_id", "source", "cap_rank"),
         [SortKey("source"), SortKey("doc_id")],
     )
+
+
+_LINE_DEDUP_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         text || chr(10) || 'subscribe to our newsletter for updates'
+              || chr(10) || 'footer of document ' || CAST(doc_id AS VARCHAR)
+         AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+    SELECT doc_id,
+           unnest([{'pos': i + 1, 'line': ls[i + 1]}
+                   for i in range(0, len(ls))]) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m)
+  )
+), d AS (
+  SELECT trim(line) AS k, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1
+), b AS (
+  SELECT k FROM d WHERE df > 0.5 * (SELECT COUNT(*) FROM m)
+), f AS (
+  SELECT l.doc_id, l.pos, l.line, (b.k IS NOT NULL) AS boiler
+  FROM l LEFT JOIN b ON trim(l.line) = b.k
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       COUNT(*)::BIGINT AS n_lines,
+       COUNT(*) FILTER (WHERE boiler)::BIGINT AS n_dropped
+FROM f GROUP BY doc_id
+"""
+
+
+@q("line_dedup_boilerplate", _LINE_DEDUP_ORACLE)
+def q_line_dedup_boilerplate(spark, sf_dir):
+    """Cross-document line-level boilerplate removal (CCNet/RefinedWeb
+    style): lines whose document frequency exceeds 50% of the corpus are
+    dropped from every document, texts reassembled in order.  The corpus
+    is built deterministically from `documents` — each doc gains a shared
+    banner line (df = 100% ⇒ dropped) and a per-doc unique footer (kept)
+    — so the full (doc_id, text, n_lines, n_dropped) output hash-matches
+    a pure-SQL replay.  Scale shape: doc frequency aggregates on the
+    8-byte line hash; the boilerplate set broadcasts back (it is tiny by
+    construction); one groupBy reassembles."""
+    t = _t(spark, sf_dir)
+    m = t["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter for updates"),
+            F.concat(F.lit("footer of document "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(m, "doc_id", "text", max_doc_frac=0.5)
+
+
+_SEMDEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 500),
+aug AS (
+  SELECT * FROM e
+  UNION ALL
+  SELECT vec_id + 1000000, v FROM e WHERE vec_id < 20
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.95
+)
+SELECT (SELECT COUNT(*) FROM aug)::BIGINT AS n_vecs,
+       (SELECT COUNT(*) FROM p)::BIGINT AS n_dup_pairs,
+       (SELECT COUNT(DISTINCT id_b) FROM p)::BIGINT AS n_dropped,
+       TRUE AS partition_ok, TRUE AS dropped_justified_ok,
+       TRUE AS planted_dropped_ok
+"""
+
+
+@q("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
+def q_dedup_semantic_semdedup(spark, sf_dir):
+    """SemDeDup: spherical-k-means cluster, then drop every vector with a
+    lower-id same-cell neighbor at cosine >= 0.95.  20 planted exact
+    copies (id + 1e6) are the only pairs above 0.95 in this corpus (the
+    natural max pairwise cosine is ~0.51), and an exact copy always lands
+    in its original's cell (identical vector => identical argmax), so
+    n_dropped equals the DuckDB-computed count of ids having a lower-id
+    exact-cosine duplicate — the k-means dependence cancels out.
+    Booleans re-verify independently: kept+dropped partitions the corpus,
+    every dropped id has a justifying lower-id same-cell neighbor, and
+    every planted copy was dropped."""
+    t = _t(spark, sf_dir)
+    emb = core.filter_op(t["embeddings"], F.col("vec_id") < 500).select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    aug = emb.unionByName(planted)
+    res = dedup.semdedup(aug, "vec_id", "embedding", n_cells=8, threshold=0.95)
+    # independent exact ground truth in the same plan
+    exact = dedup.embedding_cosine_pairs(aug, "vec_id", "embedding", threshold=0.95)
+    n_vecs = aug.agg(F.count(F.lit(1)).alias("n_vecs"))
+    n_pairs = exact.agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    n_dropped = res.agg(
+        F.coalesce(F.sum(F.col("dropped").cast("int")), F.lit(0))
+        .cast("long").alias("n_dropped"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # every dropped id must have a lower-id SAME-CELL neighbor >= 0.95
+    cells = res.select(F.col("vec_id").alias("id_b"), F.col("cell").alias("cell_b"))
+    cells_a = res.select(F.col("vec_id").alias("id_a"), F.col("cell").alias("cell_a"))
+    justified = (
+        exact.join(cells, "id_b").join(cells_a, "id_a")
+        .filter(F.col("cell_a") == F.col("cell_b"))
+        .select("id_b").distinct()
+    )
+    unjust = (
+        res.filter(F.col("dropped"))
+        .join(justified.withColumn("__j", F.lit(1)),
+              res["vec_id"] == justified["id_b"], "left")
+        .agg(F.coalesce(F.sum(F.col("__j").isNull().cast("int")), F.lit(0))
+             .alias("n_unjustified"))
+    )
+    planted_missed = res.filter(
+        (F.col("vec_id") >= 1000000) & (~F.col("dropped"))
+    ).agg(F.count(F.lit(1)).alias("n_planted_missed"))
+    return (
+        n_vecs.crossJoin(n_pairs).crossJoin(n_dropped)
+        .crossJoin(unjust).crossJoin(planted_missed)
+        .select(
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_dup_pairs").cast("long").alias("n_dup_pairs"),
+            F.col("n_dropped"),
+            (F.col("n_rows") == F.col("n_vecs")).alias("partition_ok"),
+            (F.col("n_unjustified") == 0).alias("dropped_justified_ok"),
+            (F.col("n_planted_missed") == 0).alias("planted_dropped_ok"),
+        )
+    )

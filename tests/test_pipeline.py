@@ -963,3 +963,112 @@ def test_fixed_size_sample_deterministic_partition_invariant(spark):
     plan = (sampling.fixed_size_sample(df, 37, "k")
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------- line dedup
+
+def test_line_dedup_drops_boilerplate(spark):
+    from supersonic_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one\nSHARED BANNER\nunique tail 1"),
+            (2, "beta two\nSHARED BANNER\nunique tail 2"),
+            (3, "gamma three\nSHARED BANNER\nunique tail 3"),
+            (4, "SHARED BANNER"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(df, "doc_id", "text", max_doc_count=3).collect()
+    }
+    assert out[1]["text"] == "alpha one\nunique tail 1"
+    assert out[1]["n_lines"] == 3 and out[1]["n_dropped"] == 1
+    # a doc that was ONLY boilerplate survives as an empty text, not a lost row
+    assert out[4]["text"] == "" and out[4]["n_dropped"] == 1
+    # under the cap nothing is dropped
+    kept = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(df, "doc_id", "text", max_doc_count=4).collect()
+    }
+    assert kept[2]["text"] == "beta two\nSHARED BANNER\nunique tail 2"
+    assert kept[2]["n_dropped"] == 0
+
+
+def test_line_dedup_trim_normalization_and_frac(spark):
+    from supersonic_spark.pipeline import dedup
+
+    # banner matches across leading/trailing whitespace variants (trim key),
+    # but the KEPT lines keep their original raw spelling
+    df = spark.createDataFrame(
+        [
+            (1, "  banner  \nkeep me 1"),
+            (2, "banner\nkeep me 2"),
+            (3, "banner \nkeep me 3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(df, "doc_id", "text", max_doc_frac=0.5).collect()
+    }
+    assert all(out[i]["n_dropped"] == 1 for i in (1, 2, 3))
+    assert out[1]["text"] == "keep me 1"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.line_dedup(df, "doc_id", "text")
+    with _pytest.raises(ValueError):
+        dedup.line_dedup(df, "doc_id", "text", max_doc_frac=0.5, max_doc_count=1)
+
+
+# ---------------------------------------------------------------- semdedup
+
+def test_semdedup_drops_exact_copies_keeps_rest(spark):
+    import numpy as np
+
+    from supersonic_spark.pipeline import dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows_ = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # exact copies of vectors 0..4 under higher ids
+    rows_ += [(100 + i, [float(x) for x in base[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows_, ["vec_id", "embedding"])
+    res = dedup.semdedup(df, "vec_id", "embedding", n_cells=4, threshold=0.99,
+                         sample_size=64)
+    got = {r["vec_id"]: r["dropped"] for r in res.collect()}
+    assert len(got) == 45
+    for i in range(5):
+        assert got[100 + i] is True          # copy dropped
+        assert got[i] is False               # original kept
+    assert sum(got.values()) == 5            # nothing else dropped
+
+
+def test_semdedup_chain_uses_lower_id_neighbors_not_kept_set(spark):
+    import numpy as np
+
+    from supersonic_spark.pipeline import dedup
+
+    # a -> b cos ~0.997, b -> c cos ~0.997, a -> c cos ~0.99: with
+    # threshold between, BOTH b and c drop (b justifies c even though b
+    # itself was dropped) — the documented per-pair greedy
+    a = np.ones(8)
+    def tilt(v, i, eps):
+        w = v.copy(); w[i] += eps; return w / np.linalg.norm(w)
+    an = a / np.linalg.norm(a)
+    b = tilt(a, 0, 0.6)
+    c = tilt(b * np.linalg.norm(a), 1, 0.6)
+    cos_ab = float(an @ b); cos_bc = float(b @ c); cos_ac = float(an @ c)
+    assert cos_ab > 0.97 and cos_bc > 0.97 and cos_ac < cos_ab
+    thr = (max(cos_ac, 0.9) + min(cos_ab, cos_bc)) / 2
+    df = spark.createDataFrame(
+        [(1, [float(x) for x in an]), (2, [float(x) for x in b]),
+         (3, [float(x) for x in c])],
+        ["vec_id", "embedding"],
+    )
+    res = dedup.semdedup(df, "vec_id", "embedding", n_cells=1, threshold=thr,
+                         sample_size=8)
+    got = {r["vec_id"]: r["dropped"] for r in res.collect()}
+    assert got == {1: False, 2: True, 3: True}

@@ -767,3 +767,91 @@ def test_source_roundtrip(spark, tables, fmt):
         **opts,
     )
     assert rows(back) == rows(sup)
+
+
+def test_stream_stream_full_outer_soundness(spark, tables, tmp_path):
+    """Full-outer stream-stream interval join: the left-outer soundness
+    properties must hold on BOTH sides — every inner match exactly once,
+    purchase-side NULL padding only for truly matchless purchases,
+    view-side NULL padding only for views no purchase interval covers,
+    and no row both matched and padded.  (Spark supports full_outer
+    stream-stream joins with a watermark + time-range bound; state ages
+    out on both sides exactly as for left_outer.)"""
+    import time as _time
+
+    from supersonic_spark.streaming.ops import stream_stream_interval_join
+
+    src = str(tmp_path / "ev5")
+    ev_ts = tables["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    bounds = ["2024-01-09", "2024-01-17", "2024-01-25"]
+    slices = [
+        ev_ts.filter(F.col("ts") < bounds[0]),
+        ev_ts.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev_ts.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+        ev_ts.filter(F.col("ts") >= bounds[2]),
+    ]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    purch = stream().filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    views = stream().filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    j = stream_stream_interval_join(
+        purch, views, ["user_id"], "p_ts", "v_ts",
+        lower="6 hours", upper="0 seconds", watermark="1 hour",
+        how="full_outer",
+    )
+    sink = "t_ss_fouter"
+    (
+        j.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True)
+        .start().awaitTermination(180)
+    )
+    got = spark.table(sink).collect()
+
+    ev = tables["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts"), "user_id"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    inner = p.join(
+        v,
+        (p["user_id"] == v["vu"])
+        & (v["v_ts"] >= p["p_ts"] - F.expr("INTERVAL 6 HOURS"))
+        & (v["v_ts"] <= p["p_ts"]),
+    )
+    want_inner = sorted((r["event_id"], r["view_id"]) for r in inner.collect())
+    got_inner = sorted(
+        (r["event_id"], r["view_id"])
+        for r in got
+        if r["event_id"] is not None and r["view_id"] is not None
+    )
+    assert got_inner == want_inner  # every match, exactly once
+
+    matched_p = {e for e, _ in want_inner}
+    matched_v = {w for _, w in want_inner}
+    null_p = [r["event_id"] for r in got
+              if r["event_id"] is not None and r["view_id"] is None]
+    null_v = [r["view_id"] for r in got
+              if r["view_id"] is not None and r["event_id"] is None]
+    # padded rows are unique and never overlap the matched sets
+    assert len(null_p) == len(set(null_p))
+    assert len(null_v) == len(set(null_v))
+    assert set(null_p).isdisjoint(matched_p)
+    assert set(null_v).isdisjoint(matched_v)

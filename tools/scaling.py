@@ -99,13 +99,25 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    opt_dirs: dict[str, str] = {}
+    for sf_dir, sf in sfs:
+        # Same storage-optimized ingest as bench.py: the driver's parquet is
+        # single-row-group (1-task scans), which would otherwise make small
+        # SFs read SLOWER than the splittable synthesized sf1 and corrupt
+        # the exponent (a negative slope was observed for exactly this
+        # reason).  File count scales with the data so task size stays
+        # roughly constant across SFs (8 files at sf0.1 — the measured
+        # sweet spot — up to 64).
+        big = min(64, max(8, round(8 * sf / 0.1)))
+        opt_dirs[sf_dir], _ = bench._optimize_layout(spark, sf_dir, big_files=big)
     for sf_dir, _sf in sfs:
+        opt = opt_dirs[sf_dir]
         for name in QUERIES:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            qs[name](spark, opt).write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(n_runs):
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                qs[name](spark, opt).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             results[name][sf_dir] = best
 
