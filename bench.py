@@ -63,6 +63,8 @@ HEADLINE: dict[str, list[str]] = {
     "approx_distinct_users": ["events"],
     "sketch_distinct_merge": ["events"],
     "skew_salted_join": ["events", "customer"],
+    "line_dedup_boilerplate": ["documents"],
+    "dedup_semantic_semdedup": ["embeddings"],
 }
 
 
@@ -123,10 +125,19 @@ def _operator_overrides() -> dict:
             )
         return run
 
+    def semdedup_op(spark, sf_dir):
+        # pure operator over the FULL embeddings table (the registry twin
+        # restricts to 500 rows because it fuses O(n²) exact verification)
+        t = load_tables(spark, sf_dir)
+        return dedup.semdedup(
+            t["embeddings"], "vec_id", "embedding", n_cells=16, threshold=0.95
+        )
+
     return {
         "dedup_minhash_lsh": minhash_lsh,
         "dedup_minhash_estimate": minhash_est,
         "dedup_simhash": simhash,
+        "dedup_semantic_semdedup": semdedup_op,
         "similarity_lsh_ann": lsh_ann,
         "similarity_ivf_ann": _ann("ivf_topk", n_cells=16, nprobe=4),
         "similarity_pq_ann": _ann("pq_topk", m=8, ksub=16),
