@@ -444,31 +444,43 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- simhash
 
+#: literal 2^j masks as signed longs (bit 63 wraps negative — bitwiseAND
+#: on longs is sign-agnostic)
+_POW2 = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+
+
 def simhash64(shingles: Column) -> Column:
     """64-bit SimHash of a shingle set: bit j of the result is the sign of
     sum over shingles of ±1 according to bit j of xxhash64(shingle).
 
-    Pure per-row array fold — shuffle-FREE, which makes it the default
-    plan: A/B at sf0.1 measured this 4.6× faster than the explode→64-agg
-    twin (:func:`simhash64_agg`), whose 64-buffer HashAggregate falls out
-    of whole-stage codegen.  Each element is hashed once; the 64 bit-folds
-    are interpreted HOF evals but stay cheaper than an uncompiled
-    aggregate plus a shuffle."""
+    ONE per-row array fold with a 64-wide accumulator (zip_with against a
+    literal 2^j mask array) — shuffle-free AND a small expression tree.
+    The previous shape built 64 SEPARATE aggregate folds (one per bit):
+    same arithmetic, but 64× the HOF dispatch and a projection too large
+    for the JIT — A/B min-of-4 steady: 64-folds 0.55/2.91 s (sf0.1/sf1)
+    with max spikes to 12.9 s pre-JIT, single fold 0.29/1.85 s, max
+    1.98 s.  Bit-identical outputs (also pinned vs the explode→64-agg
+    twin, which remains slower still: a 64-buffer HashAggregate falls out
+    of whole-stage codegen AND pays a shuffle — see
+    :func:`simhash64_agg`)."""
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-
-    def mk(j: int):
-        # closure factory — keeps merge-lambda arity at 2 (see minhash note)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_sums = [F.aggregate(hashes, F.lit(0), mk(j)) for j in range(64)]
-    out = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        out = out.bitwiseOR(
-            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2])
+    folded = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            folded, pow2,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseOR(b),
+    )
 
 
 def simhash64_agg(
