@@ -137,23 +137,30 @@ _LONG_MAX = 9223372036854775807
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """array<long> MinHash signature: h_i = min over shingles of
-    xxhash64(i, shingle).  Seeding by a leading literal column gives
-    ``num_hashes`` independent 64-bit families without Python UDFs.
+    xxhash64(seed_i, xxhash64(shingle)).  Each shingle STRING is hashed
+    exactly once; the ``num_hashes`` independent families are cheap
+    long-input rehashes of that digest (the standard
+    one-hash-then-k-mixes construction — min-wise independence comes from
+    the outer family, and family quality is xxhash64's).
 
-    Single-pass shape: one ``transform`` emits all ``num_hashes`` hashes per
-    shingle and one ``aggregate`` folds an elementwise min.  HOF lambdas are
-    interpreted per *invocation*, so one pass doing 64 hashes beats 64
-    passes doing one hash by ~the HOF dispatch factor; no shuffle either
-    way."""
-    def all_hashes(s):
-        # NB: no default-arg captures — an extra lambda param would make
-        # pyspark bind the array index to it.
-        return F.array(*[F.xxhash64(F.lit(i), s) for i in range(num_hashes)])
-
-    hashed = F.transform(shingles, all_hashes)
+    Single-pass, shuffle-free: one ``transform`` hashes the strings, one
+    ``aggregate`` folds a ``num_hashes``-wide elementwise min via
+    zip_with against a literal seed array — a SMALL expression tree, so
+    it compiles immediately.  A/B min-of-4 steady vs the previous shape
+    (64 string-hashes per element inside a wide transform): sf0.1
+    0.41 vs 0.40 s but max 0.69 vs 2.15 s; sf1 1.68 vs 2.03 s min and
+    max 2.11 vs 15.36 s — the wide shape ran interpreted until C2
+    warmed (same JIT cliff as the banding fan-out, fixed in the same
+    round)."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
     init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
     return F.aggregate(
-        hashed, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda a, sd: F.least(a, F.xxhash64(sd, h))
+        ),
     )
 
 
