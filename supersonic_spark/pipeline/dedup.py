@@ -936,7 +936,9 @@ def line_dedup(
 
     Returns (id, text, n_lines, n_dropped) with ``id``/``text`` named after
     the input columns.  Exactly one of ``max_doc_frac`` (fraction of the
-    corpus) / ``max_doc_count`` (absolute) must be given.
+    corpus) / ``max_doc_count`` (absolute) must be given.  Rows with NULL
+    text are dropped (posexplode of a NULL array emits nothing — same
+    stance as the shingling operators).
 
     Scale shape (100 TB): lines explode once; document frequency is one
     hash aggregation keyed on the 8-byte line hash (per-doc repeats
@@ -947,11 +949,15 @@ def line_dedup(
     always the 64-bit hash.  Raw-line equality after hash equality is not
     re-verified (xxhash64 collisions ~2^-64 — same stance as exact_dedup).
     """
+    import re as _re
+
     if (max_doc_frac is None) == (max_doc_count is None):
         raise ValueError("give exactly one of max_doc_frac / max_doc_count")
+    # F.split takes a REGEX but reassembly uses ``sep`` literally — escape
+    # so a separator like "." or "|" splits on the literal character
     lines = df.select(
         _c(id_col).alias("__id"),
-        F.posexplode(F.split(_c(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(F.split(_c(text_col), _re.escape(sep))).alias("__pos", "__line"),
     ).withColumn("__lh", F.xxhash64(F.trim(F.col("__line"))))
     docfreq = (
         lines.select("__id", "__lh").distinct()

@@ -1072,3 +1072,22 @@ def test_semdedup_chain_uses_lower_id_neighbors_not_kept_set(spark):
                          sample_size=8)
     got = {r["vec_id"]: r["dropped"] for r in res.collect()}
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_line_dedup_regex_special_separator(spark):
+    from supersonic_spark.pipeline import dedup
+
+    # '|' is a regex alternation metachar — the separator must be treated
+    # literally in both the split and the reassembly
+    df = spark.createDataFrame(
+        [(1, "a|BOILER|x"), (2, "b|BOILER|y"), (3, "c|BOILER|z")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(
+            df, "doc_id", "text", max_doc_count=2, sep="|"
+        ).collect()
+    }
+    assert out[1]["text"] == "a|x" and out[1]["n_dropped"] == 1
+    assert out[3]["text"] == "c|z" and out[3]["n_lines"] == 3
