@@ -80,7 +80,16 @@ def get_spark(app_name: str = "supersonic_spark", shuffle_partitions: int | None
         # size the heap like the 32-core executor it actually is.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB, not Spark's 10 MB default scaled up: dimension tables are
+        # ≤2 MB at every SF so they always broadcast, but a FACT-DERIVED
+        # intermediate near the threshold picks a pathological plan — at
+        # sf1, a 64 MB threshold let the filtered orders⋈customer side
+        # (~600k rows) broadcast into the lineitem join and q5 ran 3.68 s;
+        # at 16 MB the same join plans as sort-merge and runs 1.17 s, and
+        # sf3 had already crossed 64 MB (getting the fast SMJ plan on 3×
+        # the data).  sf0.1 times are unchanged.  At cluster scale the
+        # same rule holds: broadcast dims, shuffle facts.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONF.items():

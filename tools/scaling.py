@@ -89,6 +89,13 @@ def main() -> None:
     import bench
     from __spark_entry__ import queries
 
+    global QUERIES
+    # after a perf-relevant engine change, re-measure only the affected
+    # queries (their SCALING_RAW cells must be deleted first — the merge
+    # is a min, so stale fast cells would mask a regression)
+    subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if subset:
+        QUERIES = [q.strip() for q in subset.split(",") if q.strip()]
     sfs = _resolve_sfs()
     spark = get_spark("scaling_curve")
     spark.sparkContext.setLogLevel("ERROR")
@@ -142,12 +149,10 @@ def main() -> None:
     if os.path.exists(raw_path):
         with open(raw_path) as f:
             prev = json.load(f)
-        for name in results:
-            for sf_dir in results[name]:
-                if name in prev and sf_dir in prev[name]:
-                    results[name][sf_dir] = min(
-                        results[name][sf_dir], prev[name][sf_dir]
-                    )
+        for name, cells in prev.items():
+            mine = results.setdefault(name, {})
+            for sf_dir, t in cells.items():
+                mine[sf_dir] = min(mine[sf_dir], t) if sf_dir in mine else t
     with open(raw_path, "w") as f:
         json.dump(results, f, indent=1)
 
@@ -174,7 +179,9 @@ def main() -> None:
         "|" + "---|" * (len(sfs) + 2),
     ]
 
-    for name in QUERIES:
+    report = [n for n in dict.fromkeys(list(QUERIES) + sorted(results))
+              if all(p in results.get(n, {}) for p, _ in sfs)]
+    for name in report:
         ts = [results[name][p] for p, _ in sfs]
         t_hi, t_lo = results[name][hi_path], results[name][lo_path]
         exp = math.log(t_hi / t_lo) / math.log(ratio) if t_lo > 0 else float("nan")
