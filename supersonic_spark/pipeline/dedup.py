@@ -385,6 +385,131 @@ def _estimate_pairs_from_sig(
     return out
 
 
+# ------------------------------------------------- incremental (indexed)
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    shingle: str = "word",
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one row per (document, band)
+    with columns (``id_col``, band, bucket, signature).
+
+    This is the artifact an incremental-ingest pipeline writes ONCE per
+    corpus (e.g. ``index.write.partitionBy("band").parquet(path)``) and
+    every later batch probes via :func:`dedup_against_index` — the corpus
+    text is never re-shingled and its signatures never recomputed.  All
+    hashing is xxhash64 (deterministic across sessions and clusters), so
+    an index written by one job matches probes computed by any other as
+    long as (num_hashes, bands, shingle_words, shingle) agree.
+
+    Scale shape (100 TB): the index is ``bands`` rows of
+    (8B id + 8B bucket + num_hashes*8B signature) per document — the
+    signature rides along so index probes need zero joins back to the
+    corpus.  Writing it bucketed/partitioned by band keeps later probe
+    joins pruned and co-located.
+    """
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    rows = num_hashes // bands
+    make = with_word_shingles if shingle == "word" else with_char_shingles
+    base = make(ensure_parallelism(df), id_col, text_col, shingle_words)
+    arr = base.select(
+        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sigarr")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.slice(F.col("__sigarr"), b * rows + 1, rows)).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return arr.select(
+        "__id", "__sigarr", F.explode(F.array(*band_cols)).alias("__b")
+    ).select(
+        F.col("__id").alias(id_col),
+        F.col("__b.band").alias("band"),
+        F.col("__b.bucket").alias("bucket"),
+        F.col("__sigarr").alias("signature"),
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    shingle: str = "word",
+    threshold: float | None = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch of documents
+    against an existing corpus' :func:`minhash_band_index` without touching
+    the corpus text.
+
+    Returns (new_id, index_id, jaccard) — one row per (new document,
+    indexed document) pair that collides in ≥1 LSH band, scored by the
+    signature-match Jaccard estimator (both signatures ride the band join,
+    so scoring needs NO verification joins).  ``threshold=None`` returns
+    all banding candidates unscored-filtered.
+
+    The hash parameters MUST match the ones the index was built with —
+    xxhash64 determinism is what makes a stored index probe-able by a
+    different session.  Self-matches (same id on both sides, e.g. when
+    re-probing a batch already ingested) are dropped.
+
+    Scale shape (100 TB ingest): the daily batch is small next to the
+    corpus; the only shuffle of index data is the (band, bucket) join,
+    which prunes to the buckets the batch actually touches (partition the
+    index by band at write time, and with AQE the probe side broadcasts
+    when small).  Per-batch cost is O(batch) signature work + one join —
+    the corpus is never rescanned, which is the entire point vs re-running
+    :func:`minhash_lsh_pairs` over corpus+batch.
+    """
+    probe = minhash_band_index(
+        new_df, id_col, text_col, num_hashes, bands, shingle_words, shingle
+    )
+    n, x = probe.alias("n"), index.alias("x")
+    cand = (
+        n.join(
+            x,
+            (F.col("n.band") == F.col("x.band"))
+            & (F.col("n.bucket") == F.col("x.bucket")),
+        )
+        .filter(F.col(f"n.{id_col}") != F.col(f"x.{id_col}"))
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"x.{id_col}").alias("index_id"),
+            F.col("n.signature").alias("__sa"),
+            F.col("x.signature").alias("__sb"),
+        )
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("__sa"), F.col("__sb"), lambda a, b: F.when(a == b, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    out = cand.select(
+        "new_id",
+        "index_id",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
 # ---------------------------------------------------------------- jaccard
 
 def ngram_jaccard_pairs(

@@ -206,6 +206,90 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     )
 
 
+_INCREMENTAL_ORACLE = _exact_pair_stats_sql("""
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1)::BIGINT AS n_batch,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT AS n_corpus,
+       COALESCE(SUM((jac >= 0.8)::INT), 0)::BIGINT AS n_exact_hi,
+       TRUE AS est_err_ok, TRUE AS recall_hi_ok, TRUE AS spurious_hi_ok
+FROM j WHERE jac >= 0.1 AND (id_a % 2) <> (id_b % 2)""")
+
+
+@q("dedup_incremental_minhash", _INCREMENTAL_ORACLE)
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """Incremental dedup against a PERSISTED MinHash index: even-id docs
+    are the already-ingested corpus (their minhash_band_index is written
+    to parquet and read back — the cross-session artifact), odd-id docs
+    are the new batch probed against it via dedup_against_index.  The
+    corpus text is never re-shingled.  Bound against exact cross-parity
+    3-gram Jaccard ground truth with the estimator-oracle pattern:
+    estimator error ≤ 0.25 (4σ at 64 hashes) on agreed pairs, ≥95%
+    banding recall at exact J ≥ 0.8, and no high-estimate pair outside
+    the exact J ≥ 0.1 set."""
+    import os
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    corpus = core.filter_op(docs, F.col("doc_id") % 2 == 0)
+    batch = core.filter_op(docs, F.col("doc_id") % 2 == 1)
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    idx_path = os.path.join(tempfile.gettempdir(), f"ss_minhash_index{tag}")
+    dedup.minhash_band_index(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    found = dedup.dedup_against_index(
+        batch, index, "doc_id", "text", threshold=0.1
+    ).select(
+        F.least(F.col("new_id"), F.col("index_id")).alias("id_a"),
+        F.greatest(F.col("new_id"), F.col("index_id")).alias("id_b"),
+        F.col("jaccard").alias("est"),
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.1
+    ).filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+    joined = found.join(
+        exact.select("id_a", "id_b", F.col("jaccard").alias("ex")),
+        ["id_a", "id_b"],
+        "left",
+    )
+    stats = joined.agg(
+        F.coalesce(
+            F.max(F.when(F.col("ex").isNotNull(), F.abs(F.col("est") - F.col("ex")))),
+            F.lit(0.0),
+        ).alias("max_err"),
+        F.coalesce(
+            F.sum(((F.col("est") >= 0.5) & F.col("ex").isNull()).cast("int")), F.lit(0)
+        ).alias("n_spurious_hi"),
+    )
+    ex_agg = exact.agg(
+        F.coalesce(F.sum((F.col("jaccard") >= 0.8).cast("int")), F.lit(0)).alias(
+            "n_exact_hi"
+        )
+    )
+    hi_found = found.join(
+        exact.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b"), ["id_a", "id_b"]
+    ).agg(F.count(F.lit(1)).alias("n_hi_found"))
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        n_batch.crossJoin(n_corpus)
+        .crossJoin(ex_agg)
+        .crossJoin(stats)
+        .crossJoin(hi_found)
+        .select(
+            F.col("n_batch").cast("long").alias("n_batch"),
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            F.col("n_exact_hi").cast("long").alias("n_exact_hi"),
+            (F.col("max_err") <= 0.25).alias("est_err_ok"),
+            (F.col("n_hi_found") >= 0.95 * F.col("n_exact_hi")).alias("recall_hi_ok"),
+            (F.col("n_spurious_hi") == 0).alias("spurious_hi_ok"),
+        )
+    )
+
+
 _SIMHASH_ORACLE = """
 WITH dup AS (
   SELECT COALESCE(SUM(c * (c - 1) / 2), 0)::BIGINT AS n_dup_pairs

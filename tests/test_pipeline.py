@@ -99,6 +99,48 @@ def test_minhash_estimate_mode(spark, docs):
         dedup.minhash_lsh_pairs(docs, "doc_id", "text", verify="bogus")
 
 
+def test_minhash_index_roundtrip_incremental(spark, docs, tmp_path):
+    """A minhash_band_index written to parquet and read back by a probe
+    finds the planted near-dups: exact-dup probes estimate 1.0, banding
+    candidates agree with in-memory probing (xxhash64 determinism across
+    the write/read boundary), and self-matches are excluded."""
+    corpus = docs.filter(F.col("doc_id").isin(1, 3, 4))
+    batch = docs.filter(F.col("doc_id").isin(2, 5))
+    path = str(tmp_path / "idx")
+    dedup.minhash_band_index(corpus, "doc_id", "text").write.partitionBy(
+        "band"
+    ).parquet(path)
+    index = spark.read.parquet(path)
+    got = {
+        (r["new_id"], r["index_id"]): r["jaccard"]
+        for r in dedup.dedup_against_index(
+            batch, index, "doc_id", "text", threshold=0.1
+        ).collect()
+    }
+    # doc 2 is an exact dup of corpus doc 1 (and near-dup of 3); doc 5 has
+    # no shingles at all (too short) and must match nothing
+    assert got[(2, 1)] == 1.0
+    assert all(nid != 5 for nid, _ in got)
+    # determinism: probing an in-memory index yields identical pairs/scores
+    mem = {
+        (r["new_id"], r["index_id"]): r["jaccard"]
+        for r in dedup.dedup_against_index(
+            batch,
+            dedup.minhash_band_index(corpus, "doc_id", "text"),
+            "doc_id",
+            "text",
+            threshold=0.1,
+        ).collect()
+    }
+    assert got == mem
+    # self-match exclusion: probing the corpus against its own index never
+    # pairs a doc with itself
+    self_pairs = dedup.dedup_against_index(
+        corpus, index, "doc_id", "text", threshold=None
+    ).collect()
+    assert all(r["new_id"] != r["index_id"] for r in self_pairs)
+
+
 def test_ngram_jaccard_df_cap_kills_hub_shingle(spark):
     """A shingle planted in EVERY document creates k² candidate pairs; the
     df-cap drops it before the self-join, leaving only the genuine near-dup
