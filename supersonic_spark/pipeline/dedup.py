@@ -1125,6 +1125,24 @@ def line_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_frac: float | None = None,
+    max_doc_count: int | None = None,
+) -> DataFrame:
+    """Paragraph-granularity twin of :func:`line_dedup`: the unit of
+    cross-document boilerplate removal is a blank-line-separated paragraph
+    (multi-line disclaimers, repeated bios, licence blocks) instead of a
+    single line.  Identical machinery — explode once, document-frequency
+    on the 64-bit paragraph hash, broadcast the boilerplate set back,
+    reassemble in order — at separator "\\n\\n"."""
+    return line_dedup(
+        df, id_col, text_col, max_doc_frac, max_doc_count, sep="\n\n"
+    )
+
+
 # ------------------------------------------------- semantic dedup (SemDeDup)
 
 def semdedup(

@@ -1946,6 +1946,63 @@ SELECT (SELECT COUNT(*) FROM aug)::BIGINT AS n_vecs,
 """
 
 
+_PARAGRAPH_DEDUP_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10)
+              || 'legal disclaimer line one' || chr(10) || 'all rights reserved'
+              || chr(10) || chr(10)
+              || 'about the author of document ' || CAST(doc_id AS VARCHAR)
+         AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+    SELECT doc_id,
+           unnest([{'pos': i + 1, 'para': ps[i + 1]}
+                   for i in range(0, len(ps))]) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM m)
+  )
+), d AS (
+  SELECT trim(para) AS k, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY 1
+), b AS (
+  SELECT k FROM d WHERE df > 0.5 * (SELECT COUNT(*) FROM m)
+), f AS (
+  SELECT l.doc_id, l.pos, l.para, (b.k IS NOT NULL) AS boiler
+  FROM l LEFT JOIN b ON trim(l.para) = b.k
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT boiler THEN para END,
+                           chr(10) || chr(10) ORDER BY pos), '') AS text,
+       COUNT(*)::BIGINT AS n_lines,
+       COUNT(*) FILTER (WHERE boiler)::BIGINT AS n_dropped
+FROM f GROUP BY doc_id
+"""
+
+
+@q("paragraph_dedup_boilerplate", _PARAGRAPH_DEDUP_ORACLE)
+def q_paragraph_dedup_boilerplate(spark, sf_dir):
+    """Paragraph-level boilerplate removal: the dedup unit is a
+    blank-line-separated paragraph, so a MULTI-LINE disclaimer block
+    (which line-level dedup would only remove line by line) drops as one
+    unit when its document frequency exceeds 50%.  Each doc gains the
+    shared two-line disclaimer paragraph (dropped) and a unique
+    about-the-author paragraph (kept); full output hash-matches the SQL
+    replay."""
+    t = _t(spark, sf_dir)
+    m = t["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit("legal disclaimer line one\nall rights reserved"),
+            F.concat(
+                F.lit("about the author of document "), F.col("doc_id").cast("string")
+            ),
+        ).alias("text"),
+    )
+    return dedup.paragraph_dedup(m, "doc_id", "text", max_doc_frac=0.5)
+
+
 @q("dedup_semantic_semdedup", _SEMDEDUP_ORACLE)
 def q_dedup_semantic_semdedup(spark, sf_dir):
     """SemDeDup: spherical-k-means cluster, then drop every vector with a
