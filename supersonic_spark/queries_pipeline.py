@@ -290,6 +290,106 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+_STREAM_INCREMENTAL_ORACLE = _exact_pair_stats_sql("""
+SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1)::BIGINT AS n_batch,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT AS n_corpus,
+       COALESCE(SUM((jac >= 0.8)::INT), 0)::BIGINT AS n_exact_hi,
+       TRUE AS recall_hi_ok, TRUE AS stream_matches_batch_ok
+FROM j WHERE jac >= 0.1 AND (id_a % 2) <> (id_b % 2)""")
+
+
+@q("streaming_incremental_dedup", _STREAM_INCREMENTAL_ORACLE)
+def q_streaming_incremental_dedup(spark, sf_dir):
+    """STREAMING incremental dedup: odd-id docs arrive as a multi-batch
+    file stream (maxFilesPerTrigger=1 over a 2-file source — real
+    cross-trigger execution) and are probed per micro-batch against the
+    even-id corpus' persisted MinHash index via foreachBatch, landing
+    pairs under idempotent batch=<id> paths.  The sunk result must equal
+    the batch operator on the same inputs EXACTLY (pair-set and scores —
+    possible because the static index side is complete in every batch),
+    plus ≥95% banding recall against exact cross-parity Jaccard ground
+    truth."""
+    import os
+    import shutil
+    import tempfile
+
+    from supersonic_spark.streaming.ops import stream_dedup_against_index
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    corpus = core.filter_op(docs, F.col("doc_id") % 2 == 0)
+    batch = core.filter_op(docs, F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    idx_path = os.path.join(tempfile.gettempdir(), f"ss_stream_idx{tag}")
+    dedup.minhash_band_index(corpus, "doc_id", "text").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    src = os.path.join(tempfile.gettempdir(), f"ss_stream_newdocs{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    batch.coalesce(2).write.mode("overwrite").parquet(src)
+    sink = os.path.join(tempfile.gettempdir(), f"ss_stream_incdedup{tag}")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    pairs = stream_dedup_against_index(
+        stream, index, "doc_id", "text", sink, threshold=0.1
+    )
+
+    ref = dedup.dedup_against_index(batch, index, "doc_id", "text", threshold=0.1)
+    diff = pairs.withColumnRenamed("jaccard", "j_s").join(
+        ref.withColumnRenamed("jaccard", "j_b"), ["new_id", "index_id"], "full"
+    )
+    n_mismatch = diff.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("j_s").isNull()
+                    | F.col("j_b").isNull()
+                    | (F.abs(F.col("j_s") - F.col("j_b")) > 1e-12)
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("n_mismatch")
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.1
+    ).filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+    ex_agg = exact.agg(
+        F.coalesce(F.sum((F.col("jaccard") >= 0.8).cast("int")), F.lit(0)).alias(
+            "n_exact_hi"
+        )
+    )
+    canon = pairs.select(
+        F.least(F.col("new_id"), F.col("index_id")).alias("id_a"),
+        F.greatest(F.col("new_id"), F.col("index_id")).alias("id_b"),
+    )
+    hi_found = canon.join(
+        exact.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b"), ["id_a", "id_b"]
+    ).agg(F.count(F.lit(1)).alias("n_hi_found"))
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        n_batch.crossJoin(n_corpus)
+        .crossJoin(ex_agg)
+        .crossJoin(hi_found)
+        .crossJoin(n_mismatch)
+        .select(
+            F.col("n_batch").cast("long").alias("n_batch"),
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            F.col("n_exact_hi").cast("long").alias("n_exact_hi"),
+            (F.col("n_hi_found") >= 0.95 * F.col("n_exact_hi")).alias("recall_hi_ok"),
+            (F.col("n_mismatch") == 0).alias("stream_matches_batch_ok"),
+        )
+    )
+
+
 _SIMHASH_ORACLE = """
 WITH dup AS (
   SELECT COALESCE(SUM(c * (c - 1) / 2), 0)::BIGINT AS n_dup_pairs

@@ -150,6 +150,73 @@ def stream_dedup(
     return df.dropDuplicates(keys)
 
 
+def stream_dedup_against_index(
+    stream_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    sink_dir: str,
+    threshold: float | None = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    shingle: str = "word",
+    await_seconds: int = 300,
+) -> DataFrame:
+    """Streaming incremental near-dup detection: probe a document STREAM
+    against a static :func:`~supersonic_spark.pipeline.dedup.minhash_band_index`
+    and land (new_id, index_id, jaccard) pairs under idempotent per-batch
+    parquet paths.  Blocks until the availableNow drain finishes and
+    returns the sunk pairs re-read from ``sink_dir``.
+
+    Each micro-batch runs the full BATCH operator
+    (:func:`~supersonic_spark.pipeline.dedup.dedup_against_index`) via
+    foreachBatch — correct without any streaming state because a pair is
+    (new doc, indexed doc): the static side is complete in every batch and
+    each new doc arrives in exactly one batch, so no pair can span batches.
+    Batch output overwrites ``batch=<id>`` (exactly-once by idempotence,
+    same sink recipe as the foreachbatch_sink query).
+
+    This is the continuous-ingest front door at 100 TB: the corpus index
+    is built once and only probed; per-trigger cost is O(arrivals) —
+    signature folds on the new docs plus one pruned (band, bucket) join.
+    """
+    import os as _os
+
+    from supersonic_spark.pipeline.dedup import dedup_against_index
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        out = dedup_against_index(
+            df, index, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_words=shingle_words,
+            shingle=shingle, threshold=threshold,
+        )
+        out.write.mode("overwrite").parquet(
+            _os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(await_seconds)
+    )
+    # explicit schema (derived from the inputs' id types) so an empty sink
+    # (zero pairs anywhere) still reads as a valid empty DataFrame
+    pair_schema = T.StructType(
+        [
+            T.StructField("new_id", stream_df.schema[id_col].dataType),
+            T.StructField("index_id", index.schema[id_col].dataType),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+    return (
+        stream_df.sparkSession.read.option("recursiveFileLookup", "true")
+        .schema(pair_schema)
+        .parquet(sink_dir)
+    )
+
+
 _RSUM_STATE = T.StructType([T.StructField("acc", T.DoubleType(), False)])
 
 
