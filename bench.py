@@ -65,6 +65,7 @@ HEADLINE: dict[str, list[str]] = {
     "skew_salted_join": ["events", "customer"],
     "line_dedup_boilerplate": ["documents"],
     "dedup_semantic_semdedup": ["embeddings"],
+    "dedup_incremental_minhash": ["documents"],
 }
 
 
@@ -125,6 +126,20 @@ def _operator_overrides() -> dict:
             )
         return run
 
+    def incremental_minhash(spark, sf_dir):
+        # pure operator: build the even-id corpus index in-plan and probe
+        # the odd-id batch (the registry twin adds a parquet roundtrip and
+        # corpus-wide exact-Jaccard verification for the oracle gate)
+        t = load_tables(spark, sf_dir)
+        docs = t["documents"]
+        index = dedup.minhash_band_index(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+        )
+        return dedup.dedup_against_index(
+            docs.filter(F.col("doc_id") % 2 == 1), index, "doc_id", "text",
+            threshold=0.5,
+        )
+
     def semdedup_op(spark, sf_dir):
         # pure operator over the FULL embeddings table (the registry twin
         # restricts to 500 rows because it fuses O(n²) exact verification)
@@ -138,6 +153,7 @@ def _operator_overrides() -> dict:
         "dedup_minhash_estimate": minhash_est,
         "dedup_simhash": simhash,
         "dedup_semantic_semdedup": semdedup_op,
+        "dedup_incremental_minhash": incremental_minhash,
         "similarity_lsh_ann": lsh_ann,
         "similarity_ivf_ann": _ann("ivf_topk", n_cells=16, nprobe=4),
         "similarity_pq_ann": _ann("pq_topk", m=8, ksub=16),
