@@ -881,3 +881,82 @@ def rerank_topk(
         F.col("similarity").desc(), F.col("corpus_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_topk(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id,
+    query_vec,
+    corpus_id,
+    corpus_vec,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank of an ANN shortlist: greedily
+    select ``k`` results per query maximizing
+    ``lam * cos(q, d) - (1 - lam) * max over selected s of cos(d, s)``
+    (empty selected set ⇒ pure relevance, so rank 1 is the exact cosine
+    top-1).  Ties break on the smaller corpus id.  The standard retrieval
+    diversification — near-duplicate hits in the shortlist cannot occupy
+    multiple result slots.
+
+    Output: (query_id, corpus_id, similarity, mmr_score, rank).
+
+    Scale shape: the greedy loop is inherently sequential per query but
+    touches only that query's shortlist (m candidates, m ≪ corpus), so it
+    runs as one Arrow-batched applyInPandas group per query — O(k·m·dim)
+    numpy work per group, never a corpus scan.  Vector fetch is the same
+    shortlist-sized join as :func:`rerank_topk`.  Math is float64
+    regardless of the stored vector width (cross-engine replayability).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
+    c = corpus.select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
+    cand = shortlist.select(
+        _c(query_id).alias("__qid"), _c(corpus_id).alias("__cid")
+    ).dropDuplicates(["__qid", "__cid"])
+    joined = cand.join(c, "__cid").join(F.broadcast(q), "__qid")
+
+    out_schema = (
+        "query_id long, corpus_id long, similarity double, "
+        "mmr_score double, rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["__qid"].iloc[0]
+        cids = pdf["__cid"].to_numpy()
+        V = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+        qv = np.asarray(pdf["__qv"].iloc[0], dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ (qv / np.linalg.norm(qv))
+        order = np.argsort(cids)  # deterministic tie-break domain
+        chosen: list[int] = []
+        rows = []
+        # max-cosine-to-selected; -inf marks "empty selected set" (pure
+        # relevance) — do NOT clamp at 0: a negative max is a genuine
+        # diversity BONUS under the MMR definition
+        penalty = np.full(len(cids), -np.inf)
+        for rank in range(1, min(k, len(cids)) + 1):
+            score = lam * sims - (1.0 - lam) * np.where(
+                np.isneginf(penalty), 0.0, penalty
+            )
+            best = None
+            for i in order:
+                if i in chosen:
+                    continue
+                if best is None or score[i] > score[best]:
+                    best = int(i)
+            chosen.append(best)
+            rows.append((qid, int(cids[best]), float(sims[best]),
+                         float(score[best]), rank))
+            penalty = np.maximum(penalty, Vn @ Vn[best])
+        return pd.DataFrame(
+            rows, columns=["query_id", "corpus_id", "similarity",
+                           "mmr_score", "rank"]
+        )
+
+    return joined.groupBy("__qid").applyInPandas(pick, out_schema)

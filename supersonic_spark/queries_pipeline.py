@@ -460,6 +460,85 @@ def q_dedup_simhash(spark, sf_dir):
 # similarity search
 # =====================================================================
 
+_MMR_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+s AS (SELECT qid, cid, cv,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS sim
+      FROM q CROSS JOIN c),
+sl AS (SELECT qid, cid, cv, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rnk FROM s)
+       WHERE rnk <= 10),
+p AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             list_dot_product(a.cv, b.cv)
+               / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+               AS cc
+      FROM sl a JOIN sl b ON a.qid = b.qid),
+r1 AS (SELECT qid, cid, sim, 0.7 * sim AS score FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY 0.7 * sim DESC, cid) AS rn FROM sl)
+       WHERE rn = 1),
+pool2 AS (SELECT sl.qid, sl.cid, sl.sim, 0.7 * sl.sim - 0.3 * p.cc AS score
+          FROM sl JOIN r1 ON sl.qid = r1.qid AND sl.cid <> r1.cid
+          JOIN p ON p.qid = sl.qid AND p.ca = sl.cid AND p.cb = r1.cid),
+r2 AS (SELECT qid, cid, sim, score FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, cid) AS rn FROM pool2)
+       WHERE rn = 1),
+pool3 AS (SELECT sl.qid, sl.cid, sl.sim,
+                 0.7 * sl.sim - 0.3 * GREATEST(p1.cc, p2.cc) AS score
+          FROM sl JOIN r1 ON sl.qid = r1.qid JOIN r2 ON sl.qid = r2.qid
+          JOIN p p1 ON p1.qid = sl.qid AND p1.ca = sl.cid AND p1.cb = r1.cid
+          JOIN p p2 ON p2.qid = sl.qid AND p2.ca = sl.cid AND p2.cb = r2.cid
+          WHERE sl.cid <> r1.cid AND sl.cid <> r2.cid),
+r3 AS (SELECT qid, cid, sim, score FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, cid) AS rn FROM pool3)
+       WHERE rn = 1)
+SELECT qid AS query_id, cid AS corpus_id, round(sim, 6) AS similarity,
+       round(score, 6) AS mmr_score, CAST(1 AS INT) AS rank FROM r1
+UNION ALL
+SELECT qid, cid, round(sim, 6), round(score, 6), CAST(2 AS INT) FROM r2
+UNION ALL
+SELECT qid, cid, round(sim, 6), round(score, 6), CAST(3 AS INT) FROM r3
+"""
+
+
+@q("similarity_mmr_rerank", _MMR_ORACLE)
+def q_similarity_mmr_rerank(spark, sf_dir):
+    """MMR-diversified rerank: greedy maximal-marginal-relevance selection
+    (λ=0.7, k=3) over each query's exact top-10 cosine shortlist — rank 1
+    is the pure-relevance top-1, later ranks trade relevance against
+    redundancy with already-selected results.  FULL-VALUE oracle: the
+    greedy loop at fixed k unrolls into three chained argmax CTEs, so
+    DuckDB replays every (query, corpus, similarity, mmr_score, rank) row
+    exactly (scores rounded 6dp for cross-engine float portability)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cs = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    short = similarity.cosine_topk(
+        qs, cs, 10, query_id="qid", corpus_id="cid", query_vec="qv", corpus_vec="cv"
+    )
+    out = similarity.mmr_topk(short, qs, cs, "qid", "qv", "cid", "cv", k=3, lam=0.7)
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round(F.col("similarity"), 6).alias("similarity"),
+        F.round(F.col("mmr_score"), 6).alias("mmr_score"),
+        "rank",
+    )
+
+
 _TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

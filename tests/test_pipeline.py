@@ -400,6 +400,43 @@ def test_frame_sample_plan(spark):
     assert [r["frame_index"] for r in out] == [0, 2, 4]  # 5 stub frames, step 2
 
 
+def test_mmr_rerank_diversifies(spark):
+    """MMR: rank 1 is the exact cosine top-1; a near-copy of the top hit
+    cannot take slot 2 even though it out-scores every other candidate on
+    pure relevance — the redundancy penalty pushes the orthogonal result
+    up instead."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),           # query
+        (10, [0.99, 0.14, 0.0, 0.0]),        # best hit
+        (11, [0.99, 0.141, 0.0, 0.0]),       # near-copy of 10
+        (12, [0.6, 0.0, 0.8, 0.0]),          # decent, orthogonal-ish
+        (13, [0.5, 0.0, 0.0, 0.87]),         # decent, another direction
+    ]
+    df = core.scan_view(
+        spark, [(i, [float(x) for x in v]) for i, v in rows],
+        "vid long, vec array<double>",
+    )
+    q = df.filter(F.col("vid") == 0).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qv")
+    )
+    c = df.filter(F.col("vid") > 0).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("cv")
+    )
+    short = similarity.cosine_topk(
+        q, c, 4, query_id="qid", corpus_id="cid", query_vec="qv", corpus_vec="cv"
+    )
+    out = similarity.mmr_topk(
+        short, q, c, "qid", "qv", "cid", "cv", k=3, lam=0.5
+    ).orderBy("rank").collect()
+    picked = [r["corpus_id"] for r in out]
+    assert picked[0] == 10          # pure relevance at rank 1
+    assert 11 not in picked[:2]     # near-copy blocked from slot 2
+    assert set(picked) == {10, 12, 13}
+    # plain relevance rerank WOULD have put the near-copy second
+    plain = similarity.rerank_topk(short, q, c, "qid", "qv", "cid", "cv", k=2)
+    assert [r["corpus_id"] for r in plain.orderBy("rank").collect()] == [10, 11]
+
+
 def test_embedding_cosine_pairs_exact(spark, vecs):
     out = dedup.embedding_cosine_pairs(vecs, "vec_id", "embedding", threshold=0.999)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
