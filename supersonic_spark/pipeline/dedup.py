@@ -934,17 +934,35 @@ def cluster_dedup(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Attach near-dup cluster membership to every row: ``component`` (min
     id of the row's cluster; rows in no pair are their own singleton) and
     ``is_canonical`` (the keep-one-per-cluster flag).  Downstream removal
-    is ``.filter("is_canonical")``."""
+    is ``.filter("is_canonical")``.
+
+    ``quality_col``: keep the BEST cluster member instead of the lowest
+    id — canonical is the row with the maximum quality value (ties break
+    on the smaller id).  This is the curation-grade policy: when a page
+    was crawled five times at different completeness, keep the longest /
+    highest-scoring capture, not whichever got the smallest id.  Costs
+    one row_number window keyed on component (groups are near-dup
+    clusters — tiny — so the per-key sort is bounded); the default path
+    stays a pure column comparison with no extra shuffle.
+    """
     cc = connected_components(pairs, src, dst, max_iter).withColumnRenamed(
         "id", id_col
     )
     out = df.join(cc, id_col, "left")
     out = out.withColumn("component", F.coalesce("component", F.col(id_col)))
-    return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    if quality_col is None:
+        return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return out.withColumn("is_canonical", F.row_number().over(w) == 1)
 
 
 def fuzzy_pairs(

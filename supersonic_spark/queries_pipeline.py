@@ -1724,6 +1724,48 @@ SELECT id, component FROM (
 ) ORDER BY id""")
 
 
+_KEEP_BEST_ORACLE = _exact_pair_stats_sql("""
+SELECT doc_id, component, is_canonical FROM (
+  WITH RECURSIVE
+  p AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+  e AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+  reach(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+  ),
+  comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.component, d.doc_id)
+                             ORDER BY d.n_chars DESC, d.doc_id) = 1)
+           AS is_canonical
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+) ORDER BY doc_id""")
+
+
+@q("dedup_cluster_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_cluster_keep_best(spark, sf_dir):
+    """Quality-aware cluster dedup: near-dup clusters (exact-Jaccard pairs
+    → connected components) keep their HIGHEST-QUALITY member (max
+    n_chars, ties to the smaller id) instead of the lowest id — the
+    keep-the-longest-capture curation policy.  Full hash check: the
+    oracle recomputes pairs, closes them recursively, and replays the
+    same quality window over every document including singletons."""
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.5
+    )
+    out = dedup.cluster_dedup(docs, pairs, "doc_id", quality_col="n_chars")
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")]).select(
+        "doc_id", "component", "is_canonical"
+    )
+
+
 @q("dedup_duplicate_clusters", _CLUSTERS_ORACLE)
 def q_dedup_duplicate_clusters(spark, sf_dir):
     """Transitive near-dup clusters: exact-Jaccard pairs → connected
