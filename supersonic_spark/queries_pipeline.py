@@ -539,6 +539,63 @@ def q_similarity_mmr_rerank(spark, sf_dir):
     )
 
 
+@q(
+    "similarity_ivf_index_probe",
+    # the same exact-top-k SQL as similarity_cosine_topk: with
+    # nprobe = n_cells every inverted list is scanned, so the persisted
+    # index must return EXACT top-5 — a full hash check of the
+    # build→write→sidecar→prune→probe cycle
+    """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT query_id, corpus_id,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    AS similarity
+           FROM q CROSS JOIN c),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY similarity DESC, corpus_id) AS rnk
+           FROM s)
+SELECT query_id, corpus_id, round(similarity, 6) AS similarity, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 5
+""",
+)
+def q_similarity_ivf_index_probe(spark, sf_dir):
+    """PERSISTED IVF index, built once and probed from disk: the corpus
+    is written as cell-partitioned parquet inverted lists with a
+    centroid sidecar, and the probe prunes the scan to the probed cells'
+    partitions.  With nprobe = n_cells (8) every list is scanned, so the
+    result must be EXACT top-5 cosine — the oracle hash-checks the whole
+    cycle while similarity_ivf_ann covers the approximate (nprobe <
+    n_cells) recall bound."""
+    import os
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cs = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_ivf_index{tag}")
+    similarity.ivf_index_build(cs, "cid", "cv", path, n_cells=8, train=True)
+    out = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=5, nprobe=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        "corpus_id",
+        F.round(F.col("cos"), 6).alias("similarity"),
+        "rank",
+    )
+
+
 _TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

@@ -400,6 +400,42 @@ def test_frame_sample_plan(spark):
     assert [r["frame_index"] for r in out] == [0, 2, 4]  # 5 stub frames, step 2
 
 
+def test_ivf_index_build_probe(spark, tables, tmp_path):
+    """Persisted IVF index: probing every cell (nprobe = n_cells) returns
+    the exact cosine top-k, and a narrow probe's scan is partition-pruned
+    to the probed cells only."""
+    import io
+    from contextlib import redirect_stdout
+
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cs = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    path = str(tmp_path / "ivf")
+    similarity.ivf_index_build(cs, "cid", "cv", path, n_cells=4, train=True)
+    probe = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=3, nprobe=4)
+    got = {
+        (r["query_id"], r["corpus_id"]): round(r["cos"], 9) for r in probe.collect()
+    }
+    exact = similarity.cosine_topk(
+        qs, cs, 3, query_id="qid", corpus_id="cid", query_vec="qv", corpus_vec="cv"
+    )
+    want = {
+        (r["qid"], r["cid"]): round(r["similarity"], 9) for r in exact.collect()
+    }
+    assert got == want
+    # narrow probe: partition filter on cell reaches the index scan
+    narrow = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=3, nprobe=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        narrow.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_mmr_rerank_diversifies(spark):
     """MMR: rank 1 is the exact cosine top-1; a near-copy of the top hit
     cannot take slot 2 even though it out-scores every other candidate on

@@ -50,6 +50,8 @@ QUERIES = [
     "dedup_minhash_estimate",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_incremental_minhash",
+    "dedup_semantic_semdedup",
     "similarity_lsh_ann",
     "similarity_ivf_ann",
     "similarity_pq_ann",
