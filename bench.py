@@ -66,6 +66,7 @@ HEADLINE: dict[str, list[str]] = {
     "line_dedup_boilerplate": ["documents"],
     "dedup_semantic_semdedup": ["embeddings"],
     "dedup_incremental_minhash": ["documents"],
+    "similarity_ivf_index_probe": ["embeddings"],
 }
 
 
@@ -142,10 +143,22 @@ def _operator_overrides() -> dict:
 
     def semdedup_op(spark, sf_dir):
         # pure operator over the FULL embeddings table (the registry twin
-        # restricts to 500 rows because it fuses O(n²) exact verification)
+        # restricts to 500 rows because it fuses O(n²) exact verification).
+        # n_cells scales with the corpus — per-cell work is quadratic in
+        # cell size, so hold cell size ~125 vectors (16 cells at sf0.1,
+        # matching the recorded bench history; 1600 at sf10).  A constant
+        # cell count would make the benchmark quadratic by
+        # mis-parameterization, not by operator design.
+        import pyarrow.dataset as pads
+
         t = load_tables(spark, sf_dir)
+        # footer-only row count; handles both single files and directories
+        n = pads.dataset(
+            os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+        ).count_rows()
         return dedup.semdedup(
-            t["embeddings"], "vec_id", "embedding", n_cells=16, threshold=0.95
+            t["embeddings"], "vec_id", "embedding",
+            n_cells=max(16, n // 125), threshold=0.95,
         )
 
     return {

@@ -387,6 +387,42 @@ def _estimate_pairs_from_sig(
 
 # ------------------------------------------------- incremental (indexed)
 
+def digest_index(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The exact-dedup corpus index: one row per distinct 64-bit content
+    digest (xxhash64 over ``cols``), column ``digest``.  Write it once per
+    corpus; grow it per ingest batch by unioning the new batch's digests
+    (append-only — no rewrite).  8 bytes per unique document."""
+    return df.select(
+        F.xxhash64(*[_c(c) for c in cols]).alias("digest")
+    ).distinct()
+
+
+def dedup_exact_against_index(
+    new_df: DataFrame, index: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Incremental EXACT dedup: flag each new-batch row whose content
+    digest already exists in a :func:`digest_index` — the front-door
+    exactly-once content filter for continuous ingest.  Returns the new
+    batch with a ``seen_before`` boolean appended.
+
+    Scale shape: one join keyed on the 8-byte digest; the raw content
+    never shuffles (digest computed map-side) and the corpus is
+    represented only by its digest set.  Same xxhash64 collision stance
+    as :func:`exact_dedup`.  Batch-side duplicates are NOT flagged
+    against each other (use :func:`exact_dedup` within the batch first);
+    this operator answers only "has the corpus seen this content".
+    """
+    probe = new_df.withColumn(
+        "__digest", F.xxhash64(*[_c(c) for c in cols])
+    )
+    hit = index.select(
+        F.col("digest").alias("__digest"), F.lit(True).alias("__seen")
+    ).dropDuplicates(["__digest"])
+    out = probe.join(hit, "__digest", "left")
+    return out.select(
+        *new_df.columns, F.coalesce("__seen", F.lit(False)).alias("seen_before")
+    )
+
 def minhash_band_index(
     df: DataFrame,
     id_col: str,
@@ -1194,22 +1230,35 @@ def semdedup(
     The keep-lowest-id rule is evaluated against ALL lower-id same-cell
     neighbors (not only kept ones), so a chain a~b~c with cos(a,c) below
     threshold still drops both b and c.  That matches the per-pair greedy
-    of the paper's released implementation and keeps the operator one
-    join + one aggregation (an iterative transitive variant would need a
-    fixpoint loop like connected_components).
+    of the paper's released implementation.
 
-    The cell assignment (the one Arrow pass) feeds three plan branches
-    (both sides of the within-cell self-join plus the final row labels);
-    without staging, Spark recomputes it per branch.  It is materialized
-    exactly once: written to ``staging_path`` as parquet when given (the
-    real-scale path — an assignment table survives the job and re-runs),
-    else persisted MEMORY_AND_DISK (evicted LRU; fine for interactive
-    sessions).  Measured at sf0.1: 1.17 s -> single-assignment plan.
+    The within-cell scan is a BLOCKED numpy Gram pass per cell
+    (applyInPandas): sort the cell by id, normalize once, and compute
+    row-block × lower-triangle cosine products as BLAS matmuls — exactly
+    the paper implementation's per-cluster matmul shape.  The earlier
+    within-cell SELF-JOIN version pushed ``cosine(a,b) >= t`` into the
+    sort-merge-join predicate, where the dot-product fold evaluated
+    INTERPRETED per candidate pair: at a synthesized sf10 (200k vectors,
+    16 cells) that is ~1.25B interpreted 64-wide folds — observed as a
+    single multi-hour join stage (jstack: ZipWith.eval inside
+    SortMergeJoinEvaluator).  The Gram pass does the same pair work as
+    float64 BLAS, ~100× the throughput, with NO pair shuffle at all —
+    the only corpus-wide exchange is the groupBy on cell id.
+
+    ``n_cells`` must scale with the corpus (SemDeDup's own argument): the
+    per-cell cost is quadratic in cell size, so hold cell size roughly
+    constant (corpus/n_cells ≈ 10³-10⁴) as data grows.
+
+    The cell assignment feeds the single groupBy; ``staging_path`` still
+    materializes it as a parquet artifact first (survives the job,
+    re-probe-able) when given.
     """
+    import numpy as np
+    import pandas as pd
+
     from supersonic_spark.operators.core import ensure_parallelism
     from supersonic_spark.pipeline.similarity import (
         _assign_cells_udf,
-        cosine,
         ivf_train_centroids,
     )
 
@@ -1223,27 +1272,32 @@ def semdedup(
     if staging_path is not None:
         base.write.mode("overwrite").parquet(staging_path)
         base = df.sparkSession.read.parquet(staging_path)
-    else:
-        from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    a = base.select(
-        F.col("__cell"), F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+    thr = float(threshold)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        m = len(pdf)
+        V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        dropped = np.zeros(m, dtype=bool)
+        B = 1024  # bounds the Gram block at B × m doubles
+        for s in range(0, m, B):
+            e = min(s + B, m)
+            G = Vn[s:e] @ Vn[:e].T
+            for i in range(s, e):
+                if i > 0:
+                    dropped[i] = bool((G[i - s, :i] >= thr).any())
+        return pd.DataFrame(
+            {
+                "__id": pdf["__id"],
+                "cell": pdf["__cell"],
+                "dropped": dropped,
+            }
+        )
+
+    id_type = base.schema["__id"].dataType.simpleString()
+    out = base.groupBy("__cell").applyInPandas(
+        per_cell, f"__id {id_type}, cell int, dropped boolean"
     )
-    b = base.select(
-        F.col("__cell"), F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
-    )
-    dropped = (
-        a.join(b, ["__cell"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
-        .select(F.col("id_b").alias("__id"))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
-    out = base.join(dropped, "__id", "left").select(
-        F.col("__id").alias(id_col),
-        F.col("__cell").alias("cell"),
-        F.coalesce(F.col("__dropped"), F.lit(False)).alias("dropped"),
-    )
-    return out
+    return out.withColumnRenamed("__id", id_col)

@@ -290,6 +290,35 @@ def q_dedup_incremental_minhash(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_exact_incremental",
+    """SELECT b.doc_id,
+              (EXISTS (SELECT 1 FROM documents c
+                       WHERE c.doc_id % 2 = 0 AND c.text = b.text))
+                AS seen_before
+       FROM documents b WHERE b.doc_id % 2 = 1""",
+)
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Incremental EXACT dedup against a persisted digest index: even-id
+    docs' content digests are written once (8 bytes per unique doc) and
+    the odd-id batch is flagged by a digest-keyed join — raw text never
+    shuffles and the corpus is never rescanned.  Full hash check: the
+    oracle recomputes seen_before by literal text membership."""
+    import os
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    corpus = core.filter_op(docs, F.col("doc_id") % 2 == 0)
+    batch = core.filter_op(docs, F.col("doc_id") % 2 == 1)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    idx_path = os.path.join(tempfile.gettempdir(), f"ss_digest_index{tag}")
+    dedup.digest_index(corpus, ["text"]).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    out = dedup.dedup_exact_against_index(batch, index, ["text"])
+    return out.select("doc_id", "seen_before")
+
+
 _STREAM_INCREMENTAL_ORACLE = _exact_pair_stats_sql("""
 SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1)::BIGINT AS n_batch,
        (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT AS n_corpus,

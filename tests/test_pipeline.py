@@ -141,6 +141,27 @@ def test_minhash_index_roundtrip_incremental(spark, docs, tmp_path):
     assert all(r["new_id"] != r["index_id"] for r in self_pairs)
 
 
+def test_digest_index_incremental_exact(spark, docs, tmp_path):
+    """Exact incremental dedup: a digest index written to parquet flags
+    new-batch rows whose content the corpus has seen; growing the index
+    with the batch's own digests (append-only union) flags a replay of
+    the same batch completely."""
+    corpus = docs.filter(F.col("doc_id").isin(1, 4))
+    batch = docs.filter(F.col("doc_id").isin(2, 3, 5))  # 2 dups text of 1
+    path = str(tmp_path / "digests")
+    dedup.digest_index(corpus, ["text"]).write.parquet(path)
+    index = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: r["seen_before"]
+        for r in dedup.dedup_exact_against_index(batch, index, ["text"]).collect()
+    }
+    assert got == {2: True, 3: False, 5: False}
+    # append-only growth: union the batch digests, replay the batch
+    grown = index.unionByName(dedup.digest_index(batch, ["text"]))
+    replay = dedup.dedup_exact_against_index(batch, grown, ["text"])
+    assert all(r["seen_before"] for r in replay.collect())
+
+
 def test_ngram_jaccard_df_cap_kills_hub_shingle(spark):
     """A shingle planted in EVERY document creates k² candidate pairs; the
     df-cap drops it before the self-join, leaving only the genuine near-dup
