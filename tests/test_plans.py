@@ -177,16 +177,16 @@ def test_pii_redact_is_zero_shuffle_codegen_map(spark):
     assert "EvalPython" not in plan
 
 
-def test_repetition_signals_partial_agg_no_python(spark):
-    """Both explode paths must map-side combine before their shuffle, with
-    the whole job JVM-side."""
+def test_repetition_signals_zero_shuffle_no_python(spark):
+    """Per-document signals are row-local sorted-array expressions: the
+    plan must contain NO exchange at all (the old explode→groupBy shape
+    paid two corpus-wide shuffles for map-only work) and stay JVM-side."""
     from supersonic_spark.pipeline.textstats import repetition_signals
     from supersonic_spark.session import load_tables
 
     docs = load_tables(spark, SF_DIR)["documents"]
     plan = _plan(repetition_signals(docs, "doc_id", "text"))
-    # word and 2-gram branches: partial+final pairs around their exchanges
-    assert plan.count("HashAggregate") >= 6
+    assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
 
