@@ -198,7 +198,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     The three folds are each a small expression tree (no wide-accumulator
     JIT risk; stable from run 1 in the A/B).
     """
-    base = df.select(
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"),
     )

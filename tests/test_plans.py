@@ -186,7 +186,10 @@ def test_repetition_signals_zero_shuffle_no_python(spark):
 
     docs = load_tables(spark, SF_DIR)["documents"]
     plan = _plan(repetition_signals(docs, "doc_id", "text"))
-    assert "Exchange" not in plan
+    # the only allowed exchange is ensure_parallelism's ROUND-ROBIN spread
+    # of the single-file test scan — never a keyed (hash/range) shuffle
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
 
