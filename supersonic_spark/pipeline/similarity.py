@@ -1061,3 +1061,112 @@ def ivf_index_probe(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    corpus_id,
+    corpus_vec,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 4096,
+    iters: int = 12,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Write a PERSISTED IVF-PQ index — the shippable billion-scale
+    artifact: rows are (id, m uint8-range residual codes) in parquet
+    partitioned by coarse cell, with centroids + codebooks in an
+    ``_ivfpq_meta.json`` sidecar.  Returns (centroids, codebooks).
+
+    At 100 TB of embeddings this index is ~m bytes + id per vector
+    (32-64× smaller than the floats); probes read only the probed cells'
+    partitions and never touch the original vectors.  Training reads one
+    bounded deterministic sample; the corpus is scanned exactly once by
+    the Arrow-batched encode pass.
+    """
+    import json
+    import os
+
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    index = ivfpq_train(
+        corpus, corpus_id, corpus_vec, n_cells, m, ksub, sample_size, iters
+    )
+    centroids, codebooks = index
+    enc = _ivfpq_encode_udf(centroids, codebooks)
+    c = (
+        ensure_parallelism(corpus)
+        .select(_c(corpus_id).alias("id"), _c(corpus_vec).alias("__v"))
+        .withColumn("__e", enc("__v"))
+        .select(
+            "id",
+            F.col("__e")[0].alias("cell"),
+            F.slice(F.col("__e"), 2, len(codebooks)).alias("codes"),
+        )
+    )
+    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump({"centroids": centroids, "codebooks": codebooks}, f)
+    return index
+
+
+def ivfpq_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id,
+    query_vec,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a persisted :func:`ivfpq_index_build` index: centroids +
+    codebooks come from the sidecar (no corpus access), the scan prunes
+    to the probed cells' partitions, and scoring is the same
+    bias + m-LUT-lookup JVM fold as :func:`ivfpq_topk` — float vectors
+    never move.  Output: (query_id, corpus_id, score, rank) top-k.
+
+    Identical scores to :func:`ivfpq_topk` run with the same trained
+    index — the parquet roundtrip changes layout, not math.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+    ksub_real = len(codebooks[0])
+    idx = spark.read.parquet(path)
+    prep = _ivfpq_query_udf(centroids, codebooks, nprobe)
+    q = (
+        queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
+        .withColumn("__p", prep("__qv"))
+        .select(
+            "__qid",
+            F.col("__p.lut").alias("__lut"),
+            F.posexplode(F.col("__p.cells")).alias("__probe", "cell"),
+            F.col("__p.biases").alias("__biases"),
+        )
+        .select(
+            "__qid", "cell", "__lut",
+            F.element_at(F.col("__biases"), F.col("__probe") + 1).alias("__bias"),
+        )
+    )
+    cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    cand = idx.filter(F.col("cell").isin(cells)).join(F.broadcast(q), "cell")
+    score = F.col("__bias") + F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("__lut"),
+            (j * ksub_real + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col("id").alias("corpus_id"),
+        score.alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -857,6 +857,115 @@ def q_similarity_ivfpq_ann(spark, sf_dir):
     )
 
 
+@q(
+    "similarity_ivfpq_index_probe",
+    """SELECT q.vec_id AS query_id,
+              (SELECT c.vec_id FROM embeddings c WHERE c.vec_id <> q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id LIMIT 1)::BIGINT AS best_other,
+              (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_corpus,
+              TRUE AS ann_signal_ok, TRUE AS persisted_matches_memory_ok
+       FROM embeddings q WHERE q.vec_id < 10 ORDER BY 1""",
+)
+def q_similarity_ivfpq_index_probe(spark, sf_dir):
+    """PERSISTED IVF-PQ index probed from disk: (id, m codes) rows in
+    cell-partitioned parquet + centroid/codebook sidecar.  Same
+    best-other/signal-floor oracle as similarity_ivfpq_ann, PLUS an
+    in-plan boolean that the persisted probe's (query, corpus, score)
+    set EXACTLY equals the in-memory ivfpq_topk run with the same
+    trained index — the parquet roundtrip must change layout, not
+    math."""
+    import os
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_ivfpq_index{tag}")
+    index = similarity.ivfpq_index_build(
+        corpus, "corpus_id", "corpus_vec", path, n_cells=16, m=8, ksub=16
+    )
+    ann = similarity.ivfpq_index_probe(
+        spark, path, queries, "query_id", "query_vec", k=5, nprobe=4
+    )
+    mem = similarity.ivfpq_topk(
+        queries, corpus, "query_id", "query_vec", "corpus_id", "corpus_vec",
+        k=5, n_cells=16, nprobe=4, m=8, ksub=16, index=index,
+    )
+    diff = ann.select("query_id", "corpus_id", "score").withColumnRenamed(
+        "score", "s_p"
+    ).join(
+        mem.select("query_id", "corpus_id", F.col("score").alias("s_m")),
+        ["query_id", "corpus_id"],
+        "full",
+    )
+    n_mismatch = diff.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("s_p").isNull()
+                    | F.col("s_m").isNull()
+                    | (F.abs(F.col("s_p") - F.col("s_m")) > 1e-9)
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("n_mismatch")
+    )
+    exact = similarity.cosine_topk(queries, corpus, k=6)
+    best_other = (
+        exact.filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("similarity").desc(), F.col("corpus_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("corpus_id").cast("long").alias("best_other"))
+    )
+    exact5 = exact.filter(F.col("rank") <= 5).select(
+        "query_id", F.col("corpus_id").alias("__eid")
+    )
+    overlap = (
+        ann.join(
+            exact5,
+            (ann["query_id"] == exact5["query_id"])
+            & (ann["corpus_id"] == exact5["__eid"]),
+        )
+        .groupBy(ann["query_id"].alias("qid"))
+        .agg(F.count(F.lit(1)).alias("__n_overlap"))
+    )
+    self_hit = ann.groupBy("query_id").agg(
+        F.max((F.col("query_id") == F.col("corpus_id")).cast("int")).alias("__self")
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        best_other.join(overlap, best_other["query_id"] == overlap["qid"], "left")
+        .join(self_hit, "query_id", "left")
+        .crossJoin(n_corpus)
+        .crossJoin(n_mismatch)
+        .select(
+            "query_id",
+            "best_other",
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            (
+                (F.coalesce(F.col("__n_overlap"), F.lit(0)) >= 1)
+                | (F.coalesce(F.col("__self"), F.lit(0)) == 1)
+            ).alias("ann_signal_ok"),
+            (F.col("n_mismatch") == 0).alias("persisted_matches_memory_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # =====================================================================
 # text analysis
 # =====================================================================
