@@ -161,12 +161,36 @@ def _operator_overrides() -> dict:
             n_cells=max(16, n // 125), threshold=0.95,
         )
 
+    def ivf_index_probe(spark, sf_dir):
+        # steady-state PROBE cost: the index builds once per sf_dir (the
+        # warmup run pays it) and every timed run reads the persisted
+        # artifact — the build-once/probe-many contract the operator is for
+        import os as _os
+        import tempfile as _tf
+
+        from supersonic_spark.pipeline import similarity
+
+        t = load_tables(spark, sf_dir)
+        emb = t["embeddings"]
+        tag = sf_dir.rstrip("/").replace("/", "_")
+        path = _os.path.join(_tf.gettempdir(), f"ss_bench_ivfidx{tag}")
+        if not _os.path.exists(_os.path.join(path, "_ivf_centroids.json")):
+            cs = emb.select(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+            )
+            similarity.ivf_index_build(cs, "cid", "cv", path, n_cells=16, train=True)
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        return similarity.ivf_index_probe(spark, path, q, "qid", "qv", k=5, nprobe=4)
+
     return {
         "dedup_minhash_lsh": minhash_lsh,
         "dedup_minhash_estimate": minhash_est,
         "dedup_simhash": simhash,
         "dedup_semantic_semdedup": semdedup_op,
         "dedup_incremental_minhash": incremental_minhash,
+        "similarity_ivf_index_probe": ivf_index_probe,
         "similarity_lsh_ann": lsh_ann,
         "similarity_ivf_ann": _ann("ivf_topk", n_cells=16, nprobe=4),
         "similarity_pq_ann": _ann("pq_topk", m=8, ksub=16),
