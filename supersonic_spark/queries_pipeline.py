@@ -625,6 +625,72 @@ def q_similarity_ivf_index_probe(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_ann_index_probe",
+    """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT query_id, corpus_id,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    AS similarity
+           FROM q CROSS JOIN c),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY similarity DESC, corpus_id) AS rnk
+           FROM s)
+SELECT query_id, corpus_id, round(similarity, 6) AS similarity, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 5
+""",
+)
+def q_streaming_ann_index_probe(spark, sf_dir):
+    """STREAMING ANN over the persisted IVF index: query vectors arrive
+    as a multi-batch file stream (maxFilesPerTrigger=1 over 2 source
+    files) and probe the disk index per micro-batch via foreachBatch —
+    the online-retrieval front door over the same artifact batch jobs
+    build.  With nprobe = n_cells every inverted list is scanned, so the
+    DRAINED STREAM must hash-match exact top-5 cosine — a full-value
+    check of the stream → probe → sink cycle."""
+    import os
+    import shutil
+    import tempfile
+
+    from supersonic_spark.streaming.ops import stream_ann_index_probe
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cs = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    idx_path = os.path.join(tempfile.gettempdir(), f"ss_stream_ivf{tag}")
+    similarity.ivf_index_build(cs, "cid", "cv", idx_path, n_cells=8, train=True)
+
+    src = os.path.join(tempfile.gettempdir(), f"ss_stream_queries{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    ).coalesce(2).write.mode("overwrite").parquet(src)
+    sink = os.path.join(tempfile.gettempdir(), f"ss_stream_ann{tag}")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("qid long, qv array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream_ann_index_probe(
+        stream, idx_path, sink, "qid", "qv", k=5, nprobe=8
+    )
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round(F.col("cos"), 6).alias("similarity"),
+        "rank",
+    )
+
+
 _TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

@@ -217,6 +217,70 @@ def stream_dedup_against_index(
     )
 
 
+def stream_ann_index_probe(
+    stream_queries: DataFrame,
+    index_path: str,
+    sink_dir: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+    nprobe: int = 4,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """Streaming ANN: a stream of query vectors probes a PERSISTED
+    :func:`~supersonic_spark.pipeline.similarity.ivf_index_build` index
+    per micro-batch (foreachBatch → idempotent ``batch=<id>`` parquet),
+    landing (query_id, corpus_id, cos, rank) top-k rows.  Blocks through
+    the availableNow drain and returns the sunk results.
+
+    Correct with zero streaming state: the index is static and complete
+    in every trigger, and each query arrives in exactly one batch, so a
+    query's entire top-k materializes within its batch.  This is the
+    online-retrieval front door over the same artifact the batch jobs
+    build — per-trigger cost is O(arrivals) assignment work plus a scan
+    of only the probed cells' partitions.
+    """
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from supersonic_spark.pipeline.similarity import ivf_index_probe
+
+    spark = stream_queries.sparkSession
+    idx_id_type = spark.read.parquet(index_path).schema["id"].dataType
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        out = ivf_index_probe(
+            spark, index_path, df, query_id, query_vec, k=k, nprobe=nprobe
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("corpus_id")
+        )
+        out.withColumn("rank", F.row_number().over(w)).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(sink_dir, f"batch={batch_id}"))
+
+    (
+        stream_queries.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(await_seconds)
+    )
+    pair_schema = T.StructType(
+        [
+            T.StructField("query_id", stream_queries.schema[query_id].dataType),
+            T.StructField("corpus_id", idx_id_type),
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(pair_schema)
+        .parquet(sink_dir)
+    )
+
+
 _RSUM_STATE = T.StructType([T.StructField("acc", T.DoubleType(), False)])
 
 
