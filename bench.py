@@ -277,16 +277,22 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     results: dict[str, float] = {}
     cold: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
+        runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        results[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        results[name] = min(runs)
+        samples[name] = runs
+        # spread = (max-min)/min over the steady runs: >0.3 means the host
+        # was noisy while this query ran and its min is still an upper bound
+        spread[name] = round((max(runs) - min(runs)) / max(min(runs), 1e-9), 3)
 
     # rows processed (input rows scanned) and steady-state rows/s — the
     # reference's benchmark.proto vocabulary (rows_processed, throughput).
@@ -312,7 +318,8 @@ def main() -> None:
     # contract line LEAN so it parses, and park the full per-query detail
     # (cold runs, rows processed, throughput) in BENCH_DETAIL.json.
     detail = dict(lean, cold_queries=cold, rows_processed=rows_processed,
-                  rows_per_sec=rows_per_sec)
+                  rows_per_sec=rows_per_sec, steady_samples=samples,
+                  steady_spread=spread)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -21,6 +21,20 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def _band_rows(num_hashes: int, bands: int) -> int:
+    """Rows-per-band for LSH banding, validated: bands > num_hashes would
+    hash EMPTY signature slices (every document collides in every bucket —
+    the probe join degenerates quadratically), and a non-divisible split
+    would silently ignore the trailing hashes."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must satisfy 1 <= bands <= num_hashes and "
+            f"num_hashes % bands == 0; got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
+    return num_hashes // bands
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, cols: list[str], keep_order: str | None = None) -> DataFrame:
@@ -274,7 +288,7 @@ def minhash_lsh_pairs(
     """
     from supersonic_spark.operators.core import ensure_parallelism
 
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     make = with_word_shingles if shingle == "word" else with_char_shingles
     base = make(ensure_parallelism(df), id_col, text_col, shingle_words)
 
@@ -451,7 +465,7 @@ def minhash_band_index(
     """
     from supersonic_spark.operators.core import ensure_parallelism
 
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     make = with_word_shingles if shingle == "word" else with_char_shingles
     base = make(ensure_parallelism(df), id_col, text_col, shingle_words)
     arr = base.select(

@@ -26,6 +26,35 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API, so the
+    sidecar lands on the SAME filesystem as the parquet half of the index
+    (HDFS/S3/file — whatever the path's scheme resolves to).  A builtin
+    ``open()`` here would silently ship a broken index on any non-local
+    path: parquet written remotely, sidecar written nowhere."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API (twin of
+    :func:`_fs_write_text`)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def dot(a, b) -> Column:
     """Ordered-fold double dot product of two array columns (JVM-side)."""
     return F.aggregate(
@@ -921,8 +950,12 @@ def mmr_topk(
     ).dropDuplicates(["__qid", "__cid"])
     joined = cand.join(c, "__cid").join(F.broadcast(q), "__qid")
 
+    # id column types follow the inputs (like semdedup) — the shortlist may
+    # carry string doc ids or int32 keys, not just longs
+    qid_t = cand.schema["__qid"].dataType.simpleString()
+    cid_t = cand.schema["__cid"].dataType.simpleString()
     out_schema = (
-        "query_id long, corpus_id long, similarity double, "
+        f"query_id {qid_t}, corpus_id {cid_t}, similarity double, "
         "mmr_score double, rank int"
     )
 
@@ -931,8 +964,10 @@ def mmr_topk(
         cids = pdf["__cid"].to_numpy()
         V = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
         qv = np.asarray(pdf["__qv"].iloc[0], dtype=np.float64)
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        sims = Vn @ (qv / np.linalg.norm(qv))
+        # zero-norm guard (as in semdedup): an all-zero vector scores 0
+        # everywhere instead of poisoning the greedy argmax with NaN
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = Vn @ (qv / max(np.linalg.norm(qv), 1e-12))
         order = np.argsort(cids)  # deterministic tie-break domain
         chosen: list[int] = []
         rows = []
@@ -951,8 +986,9 @@ def mmr_topk(
                 if best is None or score[i] > score[best]:
                     best = int(i)
             chosen.append(best)
-            rows.append((qid, int(cids[best]), float(sims[best]),
-                         float(score[best]), rank))
+            cid = cids[best]
+            rows.append((qid, cid.item() if isinstance(cid, np.generic) else cid,
+                         float(sims[best]), float(score[best]), rank))
             penalty = np.maximum(penalty, Vn @ Vn[best])
         return pd.DataFrame(
             rows, columns=["query_id", "corpus_id", "similarity",
@@ -986,7 +1022,6 @@ def ivf_index_build(
     Index rows are (id, vec, cell).
     """
     import json
-    import os
 
     from supersonic_spark.operators.core import ensure_parallelism
 
@@ -1005,8 +1040,10 @@ def ivf_index_build(
         .withColumn("cell", assign("vec")[0])
     )
     c.write.mode("overwrite").partitionBy("cell").parquet(path)
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump(cents, f)
+    _fs_write_text(
+        corpus.sparkSession, path.rstrip("/") + "/_ivf_centroids.json",
+        json.dumps(cents),
+    )
     return cents
 
 
@@ -1030,26 +1067,24 @@ def ivf_index_probe(
     centroids were chosen (every cell is scanned; the index only changes
     data layout).
 
-    The probed cell set is collected to the driver to drive STATIC
-    partition pruning (bounded by |queries| × nprobe — the query side is
-    small by definition; this is the documented small-collect pattern,
-    like the ≤10k-key IN-list join).  The pruned scan reads only the
-    matching ``cell=`` directories — at 100 TB with 4096 cells and
-    nprobe=8, that is ~0.2% of the index bytes per probe batch.
+    Pruning is JOIN-DRIVEN: the broadcast join on the ``cell`` partition
+    column triggers Spark's dynamic partition pruning, which inserts a
+    ``cell IN dynamicpruning#N`` subquery on the index scan (visible in
+    the plan as a PartitionFilters entry) — only the probed cells'
+    ``cell=`` directories are listed and read, and the probed cell set
+    NEVER round-trips the driver, so a 10⁶-row query stream probes with
+    the same plan as a 10-row batch.  At 100 TB with 4096 cells and
+    nprobe=8, a small batch reads ~0.2% of the index bytes.
     """
     import json
-    import os
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        cents = json.load(f)
+    cents = json.loads(_fs_read_text(spark, path.rstrip("/") + "/_ivf_centroids.json"))
     idx = spark.read.parquet(path)
     q_assign = _assign_cells_udf(cents, nprobe)
     qd = queries.select(
         _c(query_id).alias("__qid"), _c(query_vec).alias("__qv")
     ).withColumn("cell", F.explode(q_assign("__qv")))
-    cells = sorted(r["cell"] for r in qd.select("cell").distinct().collect())
-    pruned = idx.filter(F.col("cell").isin(cells))
-    cand = pruned.join(F.broadcast(qd), "cell")
+    cand = idx.join(F.broadcast(qd), "cell")
     scored = cand.select(
         F.col("__qid").alias("query_id"),
         F.col("id").alias("corpus_id"),
@@ -1086,7 +1121,6 @@ def ivfpq_index_build(
     the Arrow-batched encode pass.
     """
     import json
-    import os
 
     from supersonic_spark.operators.core import ensure_parallelism
 
@@ -1106,8 +1140,10 @@ def ivfpq_index_build(
         )
     )
     c.write.mode("overwrite").partitionBy("cell").parquet(path)
-    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
-        json.dump({"centroids": centroids, "codebooks": codebooks}, f)
+    _fs_write_text(
+        corpus.sparkSession, path.rstrip("/") + "/_ivfpq_meta.json",
+        json.dumps({"centroids": centroids, "codebooks": codebooks}),
+    )
     return index
 
 
@@ -1128,12 +1164,15 @@ def ivfpq_index_probe(
 
     Identical scores to :func:`ivfpq_topk` run with the same trained
     index — the parquet roundtrip changes layout, not math.
+
+    Pruning is JOIN-DRIVEN (dynamic partition pruning from the broadcast
+    join on the ``cell`` partition column — see :func:`ivf_index_probe`):
+    the probed cell set never round-trips the driver, so arbitrarily
+    large query streams probe without a per-batch collect.
     """
     import json
-    import os
 
-    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(_fs_read_text(spark, path.rstrip("/") + "/_ivfpq_meta.json"))
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     ksub_real = len(codebooks[0])
     idx = spark.read.parquet(path)
@@ -1152,8 +1191,7 @@ def ivfpq_index_probe(
             F.element_at(F.col("__biases"), F.col("__probe") + 1).alias("__bias"),
         )
     )
-    cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
-    cand = idx.filter(F.col("cell").isin(cells)).join(F.broadcast(q), "cell")
+    cand = idx.join(F.broadcast(q), "cell")
     score = F.col("__bias") + F.aggregate(
         F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
         F.lit(0.0),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
 from supersonic_spark.operators.aggregate import AggSpec, _one_agg
 
@@ -150,6 +151,32 @@ def stream_dedup(
     return df.dropDuplicates(keys)
 
 
+def _drain_and_read(query, await_seconds: int, spark, sink_dir: str,
+                    schema: "T.StructType") -> DataFrame:
+    """Await an availableNow drain and read the sunk batches back.
+
+    ``awaitTermination(timeout)`` returns False on TIMEOUT — reading the
+    sink then would silently return a PARTIALLY drained result, so that is
+    an error here (the in-flight query is stopped first).  A zero-batch
+    stream never creates ``sink_dir``; that reads as an EMPTY DataFrame of
+    the declared schema instead of path-not-found."""
+    if not query.awaitTermination(await_seconds):
+        query.stop()
+        raise TimeoutError(
+            f"streaming drain did not finish within {await_seconds}s; "
+            f"sink at {sink_dir} is incomplete"
+        )
+    try:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema(schema)
+            .parquet(sink_dir)
+        )
+    except AnalysisException:
+        # zero batches fired -> sink dir was never created
+        return spark.createDataFrame([], schema)
+
+
 def stream_dedup_against_index(
     stream_df: DataFrame,
     index: DataFrame,
@@ -195,11 +222,10 @@ def stream_dedup_against_index(
             _os.path.join(sink_dir, f"batch={batch_id}")
         )
 
-    (
+    q = (
         stream_df.writeStream.foreachBatch(write_batch)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(await_seconds)
     )
     # explicit schema (derived from the inputs' id types) so an empty sink
     # (zero pairs anywhere) still reads as a valid empty DataFrame
@@ -210,11 +236,8 @@ def stream_dedup_against_index(
             T.StructField("jaccard", T.DoubleType()),
         ]
     )
-    return (
-        stream_df.sparkSession.read.option("recursiveFileLookup", "true")
-        .schema(pair_schema)
-        .parquet(sink_dir)
-    )
+    return _drain_and_read(q, await_seconds, stream_df.sparkSession,
+                           sink_dir, pair_schema)
 
 
 def stream_ann_index_probe(
@@ -260,11 +283,10 @@ def stream_ann_index_probe(
             "overwrite"
         ).parquet(_os.path.join(sink_dir, f"batch={batch_id}"))
 
-    (
+    q = (
         stream_queries.writeStream.foreachBatch(write_batch)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(await_seconds)
     )
     pair_schema = T.StructType(
         [
@@ -274,11 +296,7 @@ def stream_ann_index_probe(
             T.StructField("rank", T.IntegerType()),
         ]
     )
-    return (
-        spark.read.option("recursiveFileLookup", "true")
-        .schema(pair_schema)
-        .parquet(sink_dir)
-    )
+    return _drain_and_read(q, await_seconds, spark, sink_dir, pair_schema)
 
 
 _RSUM_STATE = T.StructType([T.StructField("acc", T.DoubleType(), False)])

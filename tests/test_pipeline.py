@@ -448,13 +448,15 @@ def test_ivf_index_build_probe(spark, tables, tmp_path):
         (r["qid"], r["cid"]): round(r["similarity"], 9) for r in exact.collect()
     }
     assert got == want
-    # narrow probe: partition filter on cell reaches the index scan
+    # narrow probe: JOIN-DRIVEN pruning — a dynamicpruning partition
+    # filter on cell reaches the index scan (no driver-side cell collect)
     narrow = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=3, nprobe=1)
     buf = io.StringIO()
     with redirect_stdout(buf):
         narrow.explain(True)
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "dynamicpruning" in plan.lower()
 
 
 def test_mmr_rerank_diversifies(spark):
@@ -492,6 +494,45 @@ def test_mmr_rerank_diversifies(spark):
     # plain relevance rerank WOULD have put the near-copy second
     plain = similarity.rerank_topk(short, q, c, "qid", "qv", "cid", "cv", k=2)
     assert [r["corpus_id"] for r in plain.orderBy("rank").collect()] == [10, 11]
+
+
+def test_mmr_string_ids_and_zero_vector(spark):
+    """MMR id columns follow the input types (string ids here, not long),
+    and an all-zero corpus vector scores 0 instead of poisoning the greedy
+    argmax with NaN."""
+    rows = [
+        ("q1", [1.0, 0.0, 0.0, 0.0]),
+        ("a", [0.9, 0.1, 0.0, 0.0]),
+        ("b", [0.0, 0.0, 0.0, 0.0]),   # zero vector: similarity must be 0
+        ("c", [0.5, 0.0, 0.8, 0.0]),
+    ]
+    df = core.scan_view(spark, rows, "vid string, vec array<double>")
+    q = df.filter(F.col("vid") == "q1").select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qv")
+    )
+    c = df.filter(F.col("vid") != "q1").select(
+        F.col("vid").alias("cid"), F.col("vec").alias("cv")
+    )
+    short = c.select(F.lit("q1").alias("qid"), F.col("cid"))
+    out = similarity.mmr_topk(
+        short, q, c, "qid", "qv", "cid", "cv", k=3, lam=0.5
+    ).orderBy("rank").collect()
+    assert out[0]["query_id"] == "q1" and out[0]["corpus_id"] == "a"
+    sims = {r["corpus_id"]: r["similarity"] for r in out}
+    assert sims["b"] == 0.0            # zero-norm guard, not NaN
+    assert all(not math.isnan(r["mmr_score"]) for r in out)
+
+
+def test_minhash_band_validation(spark, docs):
+    """bands must divide num_hashes and be >= 1 — bands > num_hashes would
+    hash empty signature slices (everything collides everywhere)."""
+    for bad in (24, 128, 0):
+        with pytest.raises(ValueError):
+            dedup.minhash_lsh_pairs(
+                docs, "doc_id", "text", num_hashes=64, bands=bad
+            ).collect()
+    with pytest.raises(ValueError):
+        dedup.minhash_band_index(docs, "doc_id", "text", num_hashes=64, bands=24)
 
 
 def test_embedding_cosine_pairs_exact(spark, vecs):

@@ -532,3 +532,35 @@ def test_stream_upsert_latest_state_and_stale_updates(spark, tmp_path):
     # every emission for k=1 carries ver 2 — the stale ver-1 record never won
     assert all(ver == 2 for k, v, ver in emitted if k == 1)
     assert (1, "v2", 2) in emitted and (3, "c", 1) in emitted and (2, "a", 1) in emitted
+
+
+def test_drain_and_read_timeout_and_empty_sink(spark, tmp_path):
+    """_drain_and_read: a timed-out drain raises (a partial sink must not
+    be returned as complete) and a zero-batch stream — sink dir never
+    created — reads as an EMPTY DataFrame of the declared schema."""
+    from pyspark.sql import types as T
+
+    from supersonic_spark.streaming.ops import _drain_and_read
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+
+    class FakeQuery:
+        def __init__(self, finished):
+            self.finished = finished
+            self.stopped = False
+
+        def awaitTermination(self, timeout=None):
+            return self.finished
+
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery(finished=False)
+    with pytest.raises(TimeoutError):
+        _drain_and_read(q, 1, spark, str(tmp_path / "nope"), schema)
+    assert q.stopped  # the in-flight query was stopped, not leaked
+
+    out = _drain_and_read(
+        FakeQuery(finished=True), 1, spark, str(tmp_path / "missing"), schema
+    )
+    assert out.schema == schema and out.count() == 0
