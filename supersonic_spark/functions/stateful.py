@@ -6,11 +6,12 @@ RunningMinWithFlush (:54-61), SmudgeIf (:64-69).
 
 The reference evaluates these sequentially over the cursor's row order.
 Spark has no implicit row order, so every function here takes an explicit
-``order`` (list of Columns) and optional ``partition`` keys — the contract
-SURVEY.md §7.4 item 1 requires.  With ``partition`` given, state resets per
-partition key and the computation scales horizontally; without it the window
-is global (the window stage runs in one task — correct, but reserve the
-global form for small or pre-aggregated data at 100 TB scale).
+``order`` (list of Columns) and REQUIRED ``partition`` keys — the contract
+SURVEY.md §7.4 item 1 requires.  With ``partition`` keys, state resets per
+partition key and the computation scales horizontally.  The reference's
+single-stream row-order semantics (one global window — the window stage
+runs in ONE task) must be OPTED INTO by passing the ``GLOBAL`` sentinel:
+a single-task plan over 100 TB is a stall, so it is never the default.
 
 All implementations are pure window expressions (JVM-side, no UDFs).
 """
@@ -19,6 +20,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, Window, WindowSpec
 from pyspark.sql import functions as F
+
+#: Opt-in sentinel for the reference's single-stream semantics: one global
+#: ordered window, which plans as a SINGLE task.  Correct for small or
+#: pre-aggregated data; a deliberate choice, never a default.
+GLOBAL = object()
 
 
 def _c(x) -> Column:
@@ -33,10 +39,16 @@ def _cols(xs) -> list[Column]:
     return [_c(x) for x in xs]
 
 
-def _window(order, partition=None) -> WindowSpec:
-    if partition:
-        return Window.partitionBy(*_cols(partition)).orderBy(*_cols(order))
-    return Window.partitionBy().orderBy(*_cols(order))
+def _window(order, partition) -> WindowSpec:
+    if partition is GLOBAL:
+        return Window.partitionBy().orderBy(*_cols(order))
+    if not partition:
+        raise ValueError(
+            "stateful expressions require explicit partition keys; pass "
+            "partition=GLOBAL to opt into the reference's single-stream "
+            "semantics (one global window = ONE task — not a scale plan)"
+        )
+    return Window.partitionBy(*_cols(partition)).orderBy(*_cols(order))
 
 
 def changed(col, order, partition=None) -> Column:
@@ -89,7 +101,7 @@ def running_min_with_flush(col, flush, order, partition=None) -> Column:
         F.lit(0),
     )
     w_seg_order = _cols(order)
-    part = _cols(partition) + [seg]
+    part = ([] if partition is GLOBAL else _cols(partition)) + [seg]
     w2 = (
         Window.partitionBy(*part)
         .orderBy(*w_seg_order)

@@ -18,10 +18,48 @@ probe.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def job_group(spark: SparkSession, group_id: str, description: str = ""):
+    """Cancellation scope — the Spark twin of ``Cursor::Interrupt()``
+    (cursor/base/cursor.h:150-186).
+
+    The reference's contract: Interrupt() may be called from ANOTHER
+    thread, is asynchronous/best-effort, and the running query surfaces
+    premature termination as an INTERRUPTED error from its next step.
+    Spark's native equivalent is job-group cancellation: every action
+    started inside this context is tagged with ``group_id``
+    (``interruptOnCancel=True`` so executor task threads are actually
+    interrupted, not just descheduled), and :func:`interrupt` from any
+    thread cancels the whole group — the blocked action raises.  As in
+    the reference, cancellation races completion: a query may still run
+    to EOS before the cancel lands; callers must not rely on it.
+
+    On a shared 1000-executor cluster this is the difference between
+    "kill the runaway query" and "restart the application".
+    """
+    sc = spark.sparkContext
+    sc.setJobGroup(group_id, description, interruptOnCancel=True)
+    try:
+        yield group_id
+    finally:
+        # clear the tag so later actions on this thread aren't cancellable
+        # under a stale group id
+        sc.setJobGroup(None, None)
+
+
+def interrupt(spark: SparkSession, group_id: str) -> None:
+    """Cancel every active job in ``group_id`` (asynchronous/best-effort,
+    callable from any thread) — ``Cursor::Interrupt()``,
+    cursor/base/cursor.h:150-186.  The interrupted action raises a
+    cancellation error in the thread that started it."""
+    spark.sparkContext.cancelJobGroup(group_id)
 
 
 def spy(df: DataFrame, observation: Observation | None = None, *metrics: Column):
@@ -49,9 +87,12 @@ class BenchmarkRun:
 
 def benchmark_operation(name: str, df: DataFrame) -> BenchmarkRun:
     """BenchmarkOperation (cursor/core/benchmarks.h:30-57): run to a no-op
-    sink and report wall/rows/throughput."""
+    sink and report wall/rows/throughput.  Runs inside a
+    :func:`job_group` (``bench:<name>``) so a hung measurement is
+    cancellable from another thread via :func:`interrupt`."""
     wired, obs = spy(df)
-    t0 = time.perf_counter()
-    wired.write.format("noop").mode("overwrite").save()
-    wall = time.perf_counter() - t0
+    with job_group(df.sparkSession, f"bench:{name}", f"benchmark_operation {name}"):
+        t0 = time.perf_counter()
+        wired.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
     return BenchmarkRun(name=name, wall_sec=wall, rows=int(obs.get["rows_processed"]))

@@ -239,7 +239,7 @@ def test_stateful_family(spark):
     df = core.scan_view(spark, data, "pos int, grp int, v double, flush boolean")
     out = df.select(
         "pos",
-        stateful.changed("grp", order=["pos"]).alias("chg"),
+        stateful.changed("grp", order=["pos"], partition=stateful.GLOBAL).alias("chg"),
         stateful.running_sum("v", order=["pos"], partition=["grp"]).alias("rs"),
         stateful.smudge("v", order=["pos"], partition=["grp"]).alias("locf"),
         stateful.running_min_with_flush("v", "flush", order=["pos"], partition=["grp"]).alias(
@@ -258,7 +258,7 @@ def test_smudge_if(spark):
     data = [(1, "a", False), (2, "b", True), (3, "c", True), (4, "d", False)]
     df = core.scan_view(spark, data, "pos int, v string, ov boolean")
     out = df.select(
-        "pos", stateful.smudge_if("v", "ov", order=["pos"]).alias("sv")
+        "pos", stateful.smudge_if("v", "ov", order=["pos"], partition=stateful.GLOBAL).alias("sv")
     ).collect()
     assert [r["sv"] for r in sorted(out, key=lambda r: r["pos"])] == ["a", "a", "a", "d"]
 
@@ -323,3 +323,13 @@ def test_udf_surface_vectorized_and_grouped(spark):
           df.groupBy("k").agg(udf_fn.geomean("v").alias("g")).collect()}
     assert gm["a"] == pytest.approx(4.0)  # sqrt(2*8)
     assert gm["b"] == pytest.approx(5.0)  # NULL ignored
+
+
+def test_stateful_requires_explicit_partition(spark):
+    """The global (single-task) window must be OPTED into via GLOBAL —
+    omitting partition raises instead of silently planning one task."""
+    df = core.scan_view(spark, [(1, 1.0)], "pos int, v double")
+    with pytest.raises(ValueError, match="GLOBAL"):
+        df.select(stateful.running_sum("v", order=["pos"]))
+    with pytest.raises(ValueError, match="GLOBAL"):
+        df.select(stateful.changed("v", order=["pos"], partition=[]))

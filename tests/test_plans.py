@@ -240,3 +240,50 @@ def test_plan_to_dot(spark, tables):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="which must be"):
         plan_to_dot(df, which="bogus")
+
+
+def test_job_group_interrupt_cancels_running_query(spark):
+    """Cursor::Interrupt (cursor/base/cursor.h:150-186): a long-running
+    query started inside a job_group is cancellable from ANOTHER thread;
+    the blocked action raises instead of running to completion."""
+    import threading
+    import time as _time
+
+    from supersonic_spark.plans.instrument import interrupt, job_group
+
+    err: list[Exception] = []
+    started = threading.Event()
+
+    def run():
+        with job_group(spark, "test-interrupt", "cancellable long query"):
+            started.set()
+            try:
+                (
+                    spark.range(0, 1 << 36, 1, 8)
+                    .selectExpr("sum(sha2(cast(id as string), 256))")
+                    .write.format("noop").mode("overwrite").save()
+                )
+            except Exception as e:  # expected: cancellation surfaces here
+                err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t0 = _time.perf_counter()
+    t.start()
+    assert started.wait(30)
+    # cancelJobGroup only reaches SUBMITTED jobs — poll until the group's
+    # job is active (the reference contract has the same race: cursor.h
+    # says interruption races completion and is best-effort)
+    jst = spark.sparkContext._jsc.sc().statusTracker()
+    for _ in range(300):
+        if list(jst.getJobIdsForGroup("test-interrupt")):
+            break
+        _time.sleep(0.1)
+    else:
+        raise AssertionError("job never became active under the group")
+    interrupt(spark, "test-interrupt")
+    t.join(60)
+    assert not t.is_alive(), "query was not interrupted"
+    assert err, "cancelled action should raise, not complete"
+    assert "cancel" in str(err[0]).lower() or "SparkException" in type(err[0]).__name__
+    # the whole round-trip beat running 2^36 sha256 rows to EOS
+    assert _time.perf_counter() - t0 < 60

@@ -51,7 +51,7 @@ def test_running_sum_matches_prefix_sums(spark, rows):
     data = [(i, v) for i, (_, v) in enumerate(rows)]
     df = core.scan_view(spark, data, "id long, v double")
     out = df.select(
-        "id", stateful.running_sum("v", order=["id"]).alias("rs")
+        "id", stateful.running_sum("v", order=["id"], partition=stateful.GLOBAL).alias("rs")
     ).orderBy("id").collect()
     acc, expect = 0.0, []
     any_val = False
