@@ -178,11 +178,49 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+#: auto-salt pre-flight thresholds: buckets at or below ``hot`` docs run
+#: unsalted (k² ≤ ~16M comparisons fits one task comfortably); above, the
+#: salt targets ``target`` docs per block side.
+_AUTO_SALT_HOT = 4096
+_AUTO_SALT_TARGET = 2048
+_AUTO_SALT_MAX_G = 16
+
+
+def auto_skew_salt(
+    banded: DataFrame,
+    keys: list[str],
+    hot_bucket: int | None = None,
+    target_block: int | None = None,
+    max_g: int | None = None,
+) -> int | None:
+    """Skew pre-flight for a bucketed self-join: the heavy-hitter probe of
+    :func:`~supersonic_spark.operators.analytics.key_profile` specialized
+    to "does any bucket exceed ``hot_bucket`` docs".  One partial-aggregated
+    count on the bucket keys and a 1-row max — bounded driver traffic at
+    any corpus size.  Returns the salt g (per-block side ≈ ``target_block``
+    docs, capped at ``max_g``) when the hottest bucket would otherwise give
+    one task k² work, else None."""
+    import math
+
+    hot_bucket = _AUTO_SALT_HOT if hot_bucket is None else hot_bucket
+    target_block = _AUTO_SALT_TARGET if target_block is None else target_block
+    max_g = _AUTO_SALT_MAX_G if max_g is None else max_g
+    hot = (
+        banded.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()["mx"]
+    ) or 0
+    if hot <= hot_bucket:
+        return None
+    return min(max_g, math.ceil(hot / target_block))
+
+
 def _bucket_self_pairs(
     banded: DataFrame,
     keys: list[str],
     carry: list[str],
-    skew_salt: int | None = None,
+    skew_salt: int | str | None = None,
 ) -> DataFrame:
     """Unordered candidate pairs (id_a < id_b) from a bucketed table via
     self-join on ``keys`` — the shared tail of every LSH banding scheme.
@@ -199,8 +237,19 @@ def _bucket_self_pairs(
     to (k/g)², and the hot key fans out across g² tasks.  Each side is
     replicated (g+1)/2× on average — the same replication-for-balance trade
     as salted_join's right-side explode.
+
+    ``skew_salt="auto"``: run the :func:`auto_skew_salt` pre-flight and
+    salt only when a bucket is actually hot.  The banded table is
+    persisted (MEMORY_AND_DISK) so the probe does not recompute the
+    signatures the join needs anyway.
     """
     from functools import reduce as _reduce
+
+    if skew_salt == "auto":
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        skew_salt = auto_skew_salt(banded, keys)
 
     def keycond(l, r):
         return _reduce(
@@ -262,7 +311,7 @@ def minhash_lsh_pairs(
     threshold: float | None = 0.5,
     shingle: str = "word",
     verify: str = "exact",
-    skew_salt: int | None = None,
+    skew_salt: int | str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding, verified by
     Jaccard when ``threshold`` is given.
@@ -365,7 +414,7 @@ def _estimate_pairs_from_sig(
     band_cols: list[Column],
     num_hashes: int,
     threshold: float | None,
-    skew_salt: int | None = None,
+    skew_salt: int | str | None = None,
 ) -> DataFrame:
     """Estimate-mode tail of :func:`minhash_lsh_pairs`: the signature array
     (``__sigarr`` on ``arr``) rides through the band explode so the
@@ -713,7 +762,7 @@ def simhash_dedup(
     text_col: str,
     shingle_words: int = 3,
     max_hamming: int = 3,
-    skew_salt: int | None = None,
+    skew_salt: int | str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates via 4×16-bit band blocking
     (a pair within Hamming distance ≤3 of 64 bits must agree exactly on at
@@ -793,7 +842,7 @@ def embedding_lsh_pairs(
     threshold: float = 0.9,
     planes: int = 12,
     tables: int = 6,
-    skew_salt: int | None = None,
+    skew_salt: int | str | None = None,
 ) -> DataFrame:
     """Approximate embedding near-dup: candidates share a sign-random-
     projection bucket in ≥1 of ``tables`` hash tables; exact cosine then

@@ -922,6 +922,8 @@ def mmr_topk(
     corpus_vec,
     k: int = 5,
     lam: float = 0.7,
+    field_col=None,
+    max_per_field: int | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance rerank of an ANN shortlist: greedily
     select ``k`` results per query maximizing
@@ -930,6 +932,14 @@ def mmr_topk(
     top-1).  Ties break on the smaller corpus id.  The standard retrieval
     diversification — near-duplicate hits in the shortlist cannot occupy
     multiple result slots.
+
+    With ``field_col`` (a corpus column, e.g. source/domain) and
+    ``max_per_field``, the greedy pick additionally enforces a HARD
+    per-field quota: once a field holds ``max_per_field`` selected
+    results, its remaining candidates are skipped (result may then have
+    fewer than ``k`` rows if every surviving candidate is quota-blocked).
+    This is the "max N results per source" constraint of federated /
+    multi-domain retrieval.
 
     Output: (query_id, corpus_id, similarity, mmr_score, rank).
 
@@ -943,8 +953,12 @@ def mmr_topk(
     import numpy as np
     import pandas as pd
 
+    use_field = field_col is not None and max_per_field is not None
+    c_cols = [_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv")]
+    if use_field:
+        c_cols.append(_c(field_col).alias("__fld"))
     q = queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
-    c = corpus.select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
+    c = corpus.select(*c_cols)
     cand = shortlist.select(
         _c(query_id).alias("__qid"), _c(corpus_id).alias("__cid")
     ).dropDuplicates(["__qid", "__cid"])
@@ -962,6 +976,7 @@ def mmr_topk(
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["__qid"].iloc[0]
         cids = pdf["__cid"].to_numpy()
+        fields = pdf["__fld"].to_numpy() if use_field else None
         V = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
         qv = np.asarray(pdf["__qv"].iloc[0], dtype=np.float64)
         # zero-norm guard (as in semdedup): an all-zero vector scores 0
@@ -970,6 +985,7 @@ def mmr_topk(
         sims = Vn @ (qv / max(np.linalg.norm(qv), 1e-12))
         order = np.argsort(cids)  # deterministic tie-break domain
         chosen: list[int] = []
+        field_counts: dict = {}
         rows = []
         # max-cosine-to-selected; -inf marks "empty selected set" (pure
         # relevance) — do NOT clamp at 0: a negative max is a genuine
@@ -983,9 +999,15 @@ def mmr_topk(
             for i in order:
                 if i in chosen:
                     continue
+                if use_field and field_counts.get(fields[i], 0) >= max_per_field:
+                    continue  # this field's quota is exhausted
                 if best is None or score[i] > score[best]:
                     best = int(i)
+            if best is None:
+                break  # every remaining candidate is quota-blocked
             chosen.append(best)
+            if use_field:
+                field_counts[fields[best]] = field_counts.get(fields[best], 0) + 1
             cid = cids[best]
             rows.append((qid, cid.item() if isinstance(cid, np.generic) else cid,
                          float(sims[best]), float(score[best]), rank))

@@ -568,6 +568,92 @@ def q_similarity_mmr_rerank(spark, sf_dir):
     )
 
 
+_MMR_DIVERSE_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS cid, vec_id % 4 AS fld, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+s AS (SELECT qid, cid, fld, cv,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS sim
+      FROM q CROSS JOIN c),
+sl AS (SELECT qid, cid, fld, cv, sim FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, cid) AS rnk FROM s)
+       WHERE rnk <= 10),
+p AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+             list_dot_product(a.cv, b.cv)
+               / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+               AS cc
+      FROM sl a JOIN sl b ON a.qid = b.qid),
+r1 AS (SELECT qid, cid, fld, sim, 0.7 * sim AS score FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY 0.7 * sim DESC, cid) AS rn FROM sl)
+       WHERE rn = 1),
+pool2 AS (SELECT sl.qid, sl.cid, sl.fld, sl.sim,
+                 0.7 * sl.sim - 0.3 * p.cc AS score
+          FROM sl JOIN r1 ON sl.qid = r1.qid AND sl.cid <> r1.cid
+                          AND sl.fld <> r1.fld
+          JOIN p ON p.qid = sl.qid AND p.ca = sl.cid AND p.cb = r1.cid),
+r2 AS (SELECT qid, cid, fld, sim, score FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, cid) AS rn FROM pool2)
+       WHERE rn = 1),
+pool3 AS (SELECT sl.qid, sl.cid, sl.sim,
+                 0.7 * sl.sim - 0.3 * GREATEST(p1.cc, p2.cc) AS score
+          FROM sl JOIN r1 ON sl.qid = r1.qid JOIN r2 ON sl.qid = r2.qid
+          JOIN p p1 ON p1.qid = sl.qid AND p1.ca = sl.cid AND p1.cb = r1.cid
+          JOIN p p2 ON p2.qid = sl.qid AND p2.ca = sl.cid AND p2.cb = r2.cid
+          WHERE sl.cid <> r1.cid AND sl.cid <> r2.cid
+            AND sl.fld <> r1.fld AND sl.fld <> r2.fld),
+r3 AS (SELECT qid, cid, sim, score FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, cid) AS rn FROM pool3)
+       WHERE rn = 1)
+SELECT qid AS query_id, cid AS corpus_id, round(sim, 6) AS similarity,
+       round(score, 6) AS mmr_score, CAST(1 AS INT) AS rank FROM r1
+UNION ALL
+SELECT qid, cid, round(sim, 6), round(score, 6), CAST(2 AS INT) FROM r2
+UNION ALL
+SELECT qid, cid, round(sim, 6), round(score, 6), CAST(3 AS INT) FROM r3
+"""
+
+
+@q("similarity_mmr_rerank_diverse", _MMR_DIVERSE_ORACLE)
+def q_similarity_mmr_rerank_diverse(spark, sf_dir):
+    """MMR rerank with a HARD per-field quota (max 1 result per field,
+    field = vec_id % 4 as a synthetic source/domain id): once a field is
+    represented, its other candidates are skipped even when they out-score
+    everything else.  FULL-VALUE oracle: the constrained greedy at k=3
+    unrolls into chained argmax CTEs whose candidate pools exclude the
+    already-used fields, so DuckDB replays every selected row exactly."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cs = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        (F.col("vec_id") % 4).alias("source"),
+        F.col("embedding").alias("cv"),
+    )
+    short = similarity.cosine_topk(
+        qs, cs, 10, query_id="qid", corpus_id="cid", query_vec="qv", corpus_vec="cv"
+    )
+    out = similarity.mmr_topk(
+        short, qs, cs, "qid", "qv", "cid", "cv", k=3, lam=0.7,
+        field_col="source", max_per_field=1,
+    )
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round(F.col("similarity"), 6).alias("similarity"),
+        F.round(F.col("mmr_score"), 6).alias("mmr_score"),
+        "rank",
+    )
+
+
 @q(
     "similarity_ivf_index_probe",
     # the same exact-top-k SQL as similarity_cosine_topk: with

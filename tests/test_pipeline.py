@@ -523,6 +523,42 @@ def test_mmr_string_ids_and_zero_vector(spark):
     assert all(not math.isnan(r["mmr_score"]) for r in out)
 
 
+def test_mmr_field_quota(spark):
+    """max_per_field=1: once a field holds a selected result, its other
+    candidates are skipped even when they out-score everything else; when
+    every surviving candidate is quota-blocked the result truncates."""
+    rows = [
+        (0, "q", [1.0, 0.0, 0.0, 0.0]),
+        (10, "news", [0.99, 0.14, 0.0, 0.0]),    # best, field news
+        (11, "news", [0.6, 0.0, 0.8, 0.0]),      # orthogonal but SAME field
+        (12, "blog", [0.9, 0.1, 0.2, 0.0]),      # second field
+        (13, "blog", [0.5, 0.0, 0.0, 0.87]),     # second field again
+    ]
+    df = core.scan_view(
+        spark, [(i, f, [float(x) for x in v]) for i, f, v in rows],
+        "vid long, src string, vec array<double>",
+    )
+    q = df.filter(F.col("vid") == 0).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qv")
+    )
+    c = df.filter(F.col("vid") > 0).select(
+        F.col("vid").alias("cid"), F.col("src"), F.col("vec").alias("cv")
+    )
+    short = c.select(F.lit(0).alias("qid"), F.col("cid"))
+    out = similarity.mmr_topk(
+        short, q, c, "qid", "qv", "cid", "cv", k=4, lam=0.7,
+        field_col="src", max_per_field=1,
+    ).orderBy("rank").collect()
+    picked = [r["corpus_id"] for r in out]
+    # one per field: 2 fields -> exactly 2 rows despite k=4
+    assert len(picked) == 2
+    assert picked[0] == 10                       # pure relevance rank 1
+    assert picked[1] in (12, 13)                 # second slot forced to blog
+    # unconstrained returns all four
+    free = similarity.mmr_topk(short, q, c, "qid", "qv", "cid", "cv", k=4)
+    assert free.count() == 4
+
+
 def test_minhash_band_validation(spark, docs):
     """bands must divide num_hashes and be >= 1 — bands > num_hashes would
     hash empty signature slices (everything collides everywhere)."""

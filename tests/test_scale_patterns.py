@@ -855,3 +855,51 @@ def test_stream_stream_full_outer_soundness(spark, tables, tmp_path):
     assert len(null_v) == len(set(null_v))
     assert set(null_p).isdisjoint(matched_p)
     assert set(null_v).isdisjoint(matched_v)
+
+
+def test_auto_skew_salt_preflight(spark, monkeypatch):
+    """skew_salt="auto": the key-profile pre-flight picks a salt when a
+    bucket is hot (planted 10%-hot cluster) and returns the identical pair
+    set — the caller never sizes the salt by hand.  With the production
+    thresholds the same small corpus runs unsalted (no pointless
+    replication on balanced data)."""
+    from supersonic_spark.pipeline import dedup
+
+    hot = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(20)]
+    cold = [
+        (100 + i, f"unique{i} words{i} only{i} here{i} nothing{i} shared{i}")
+        for i in range(180)
+    ]
+    docs = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+
+    # decision function: hot bucket of 20 with target block 5 → g = 4
+    banded = spark.createDataFrame(
+        [(i, "hot") for i in range(20)] + [(100 + i, f"b{i}") for i in range(180)],
+        ["__id", "bucket"],
+    )
+    assert dedup.auto_skew_salt(banded, ["bucket"], hot_bucket=10, target_block=5) == 4
+    assert dedup.auto_skew_salt(banded, ["bucket"]) is None  # default thresholds
+    # cap respected
+    assert (
+        dedup.auto_skew_salt(banded, ["bucket"], hot_bucket=1, target_block=1, max_g=8)
+        == 8
+    )
+
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify="estimate"
+        ).collect()
+    }
+    # force the pre-flight to trigger at test scale, then run end-to-end
+    # with skew_salt="auto" — identical pair set, salt chosen by the probe
+    monkeypatch.setattr(dedup, "_AUTO_SALT_HOT", 10)
+    monkeypatch.setattr(dedup, "_AUTO_SALT_TARGET", 5)
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify="estimate",
+            skew_salt="auto",
+        ).collect()
+    }
+    assert auto == base and len(base) == 190
