@@ -1069,6 +1069,40 @@ def ivf_index_build(
     return cents
 
 
+def ivf_index_append(
+    corpus: DataFrame,
+    corpus_id,
+    corpus_vec,
+    path: str,
+) -> None:
+    """Append new vectors to a persisted :func:`ivf_index_build` index
+    WITHOUT retraining or rewriting: assignments come from the sidecar
+    centroids, and rows land as NEW files inside the existing ``cell=``
+    partition directories (parquet append — the old inverted lists are
+    untouched).  One scan of the new batch; the existing corpus is never
+    read.
+
+    This is the continuous-ingest shape for the ANN index: ingest
+    appends, probes see old+new immediately, and centroid drift is the
+    documented trade (standard IVF practice — rebalance offline by
+    rebuilding when cell-size skew crosses a threshold; pair with
+    :func:`~supersonic_spark.pipeline.dedup.auto_skew_salt`-style cell
+    profiling to detect it)."""
+    import json
+
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    spark = corpus.sparkSession
+    cents = json.loads(_fs_read_text(spark, path.rstrip("/") + "/_ivf_centroids.json"))
+    assign = _assign_cells_udf(cents, 1)
+    c = (
+        ensure_parallelism(corpus)
+        .select(_c(corpus_id).alias("id"), _c(corpus_vec).alias("vec"))
+        .withColumn("cell", assign("vec")[0])
+    )
+    c.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def ivf_index_probe(
     spark,
     path: str,
@@ -1167,6 +1201,41 @@ def ivfpq_index_build(
         json.dumps({"centroids": centroids, "codebooks": codebooks}),
     )
     return index
+
+
+def ivfpq_index_append(
+    corpus: DataFrame,
+    corpus_id,
+    corpus_vec,
+    path: str,
+) -> None:
+    """Append new vectors to a persisted :func:`ivfpq_index_build` index
+    WITHOUT retraining (twin of :func:`ivf_index_append` for the PQ
+    form): cell assignment and residual codes come from the sidecar
+    centroids/codebooks, and the (id, codes) rows land as new files in
+    the existing ``cell=`` partitions.  One Arrow-batched encode pass
+    over the new batch; existing code rows are never read or rewritten.
+    Codebook drift on a shifting distribution is the documented trade —
+    rebuild offline when recall degrades."""
+    import json
+
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    spark = corpus.sparkSession
+    meta = json.loads(_fs_read_text(spark, path.rstrip("/") + "/_ivfpq_meta.json"))
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+    enc = _ivfpq_encode_udf(centroids, codebooks)
+    c = (
+        ensure_parallelism(corpus)
+        .select(_c(corpus_id).alias("id"), _c(corpus_vec).alias("__v"))
+        .withColumn("__e", enc("__v"))
+        .select(
+            "id",
+            F.col("__e")[0].alias("cell"),
+            F.slice(F.col("__e"), 2, len(codebooks)).alias("codes"),
+        )
+    )
+    c.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def ivfpq_index_probe(

@@ -2648,3 +2648,385 @@ def q_dedup_semantic_semdedup(spark, sf_dir):
             (F.col("n_planted_missed") == 0).alias("planted_dropped_ok"),
         )
     )
+
+
+@q(
+    "streaming_ann_ivfpq_probe",
+    """SELECT q.vec_id AS query_id,
+              (SELECT c.vec_id FROM embeddings c WHERE c.vec_id <> q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id LIMIT 1)::BIGINT AS best_other,
+              (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_corpus,
+              TRUE AS ann_signal_ok, TRUE AS stream_matches_batch_ok
+       FROM embeddings q WHERE q.vec_id < 10 ORDER BY 1""",
+)
+def q_streaming_ann_ivfpq_probe(spark, sf_dir):
+    """STREAMING IVF-PQ: query vectors arrive as a multi-batch file
+    stream (maxFilesPerTrigger=1 over 2 files) and probe the PERSISTED
+    cell-partitioned code index per micro-batch — the billion-scale
+    online-retrieval front door (float corpus vectors never touched;
+    per-trigger cost is LUT build + m-lookup fold over probed cells).
+    Oracle: exact best-other pinned via DuckDB cosine, corpus count
+    pinned, ANN shortlist bounded by the overlap-or-self floor, PLUS an
+    in-plan boolean that the DRAINED STREAM's (query, corpus, score,
+    rank) set EXACTLY equals the batch ivfpq_index_probe of the same
+    index — streaming changes arrival, not math."""
+    import os
+    import shutil
+    import tempfile
+
+    from supersonic_spark.streaming.ops import stream_ann_ivfpq_probe
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_stream_ivfpq{tag}")
+    similarity.ivfpq_index_build(
+        corpus, "corpus_id", "corpus_vec", path, n_cells=16, m=8, ksub=16
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"ss_stream_pq_queries{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    queries.selectExpr("query_id as qid", "query_vec as qv").coalesce(
+        2
+    ).write.mode("overwrite").parquet(src)
+    sink = os.path.join(tempfile.gettempdir(), f"ss_stream_pq_ann{tag}")
+    shutil.rmtree(sink, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("qid long, qv array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ann = stream_ann_ivfpq_probe(stream, path, sink, "qid", "qv", k=5, nprobe=4)
+
+    batch = similarity.ivfpq_index_probe(
+        spark, path, queries, "query_id", "query_vec", k=5, nprobe=4
+    )
+    diff = (
+        ann.select("query_id", "corpus_id", "rank", F.col("score").alias("s_s"))
+        .join(
+            batch.select(
+                "query_id", "corpus_id", F.col("rank").alias("r_b"),
+                F.col("score").alias("s_b"),
+            ),
+            ["query_id", "corpus_id"],
+            "full",
+        )
+    )
+    n_mismatch = diff.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("s_s").isNull()
+                    | F.col("s_b").isNull()
+                    | (F.abs(F.col("s_s") - F.col("s_b")) > 1e-9)
+                    | (F.col("rank") != F.col("r_b"))
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("n_mismatch")
+    )
+    exact = similarity.cosine_topk(queries, corpus, k=6)
+    best_other = (
+        exact.filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("similarity").desc(), F.col("corpus_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("corpus_id").cast("long").alias("best_other"))
+    )
+    exact5 = exact.filter(F.col("rank") <= 5).select(
+        "query_id", F.col("corpus_id").alias("__eid")
+    )
+    overlap = (
+        ann.join(
+            exact5,
+            (ann["query_id"] == exact5["query_id"])
+            & (ann["corpus_id"] == exact5["__eid"]),
+        )
+        .groupBy(ann["query_id"].alias("qid"))
+        .agg(F.count(F.lit(1)).alias("__n_overlap"))
+    )
+    self_hit = ann.groupBy("query_id").agg(
+        F.max((F.col("query_id") == F.col("corpus_id")).cast("int")).alias("__self")
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        best_other.join(overlap, best_other["query_id"] == overlap["qid"], "left")
+        .join(self_hit, "query_id", "left")
+        .crossJoin(n_corpus)
+        .crossJoin(n_mismatch)
+        .select(
+            "query_id",
+            "best_other",
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            (
+                (F.coalesce(F.col("__n_overlap"), F.lit(0)) >= 1)
+                | (F.coalesce(F.col("__self"), F.lit(0)) == 1)
+            ).alias("ann_signal_ok"),
+            (F.col("n_mismatch") == 0).alias("stream_matches_batch_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@q(
+    "similarity_ivf_index_append_probe",
+    # exact top-5 over the FULL corpus: the appended half must be fully
+    # probe-visible, so with nprobe = n_cells the post-append index must
+    # return the identical rows a from-scratch exact rank would
+    """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT query_id, corpus_id,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    AS similarity
+           FROM q CROSS JOIN c),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY similarity DESC, corpus_id) AS rnk
+           FROM s)
+SELECT query_id, corpus_id, round(similarity, 6) AS similarity, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 5
+""",
+)
+def q_similarity_ivf_index_append_probe(spark, sf_dir):
+    """INCREMENTAL ANN ingest: build the persisted IVF index from HALF
+    the corpus (even vec_id), ivf_index_append the other half (odd) —
+    assignments from the sidecar centroids, new parquet files inside the
+    existing cell= partitions, existing lists untouched and the old
+    corpus never rescanned — then probe with nprobe = n_cells.  The
+    appended rows must be fully probe-visible: the oracle hash-checks
+    EXACT top-5 cosine over the COMPLETE corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    base = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 0)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    extra = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 1)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_ivf_append{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_index_build(base, "cid", "cv", path, n_cells=8, train=True)
+    similarity.ivf_index_append(extra, "cid", "cv", path)
+    out = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=5, nprobe=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        "corpus_id",
+        F.round(F.col("cos"), 6).alias("similarity"),
+        "rank",
+    )
+
+
+@q(
+    "streaming_ivf_index_append",
+    # exact top-5 over the FULL corpus, as in the batch append query: the
+    # streamed-in half must be fully probe-visible after the drain
+    """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT query_id, corpus_id,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    AS similarity
+           FROM q CROSS JOIN c),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY similarity DESC, corpus_id) AS rnk
+           FROM s)
+SELECT query_id, corpus_id, round(similarity, 6) AS similarity, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 5
+""",
+)
+def q_streaming_ivf_index_append(spark, sf_dir):
+    """CONTINUOUS index maintenance: half the corpus (odd vec_id)
+    arrives as a multi-batch vector STREAM (maxFilesPerTrigger=1 over 2
+    files) and appends to the persisted IVF index per micro-batch —
+    existing inverted lists never read or rewritten, per-trigger cost
+    O(arrivals).  After the drain, a probe with nprobe = n_cells must
+    hash-match EXACT top-5 cosine over the COMPLETE corpus — the
+    stream-ingested vectors are indistinguishable from built-in ones."""
+    import os
+    import shutil
+    import tempfile
+
+    from supersonic_spark.streaming.ops import stream_ivf_index_append
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    base = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 0)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_stream_ivf_append{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_index_build(base, "cid", "cv", path, n_cells=8, train=True)
+
+    src = os.path.join(tempfile.gettempdir(), f"ss_stream_append_src{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 1)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    ).coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("cid long, cv array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_ivf_index_append(stream, path, "cid", "cv")
+
+    out = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=5, nprobe=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        "corpus_id",
+        F.round(F.col("cos"), 6).alias("similarity"),
+        "rank",
+    )
+
+
+@q(
+    "similarity_ivfpq_index_append_probe",
+    """SELECT q.vec_id AS query_id,
+              (SELECT c.vec_id FROM embeddings c WHERE c.vec_id <> q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id LIMIT 1)::BIGINT AS best_other,
+              (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_corpus,
+              TRUE AS ann_signal_ok, TRUE AS append_matches_memory_ok
+       FROM embeddings q WHERE q.vec_id < 10 ORDER BY 1""",
+)
+def q_similarity_ivfpq_index_append_probe(spark, sf_dir):
+    """INCREMENTAL IVF-PQ ingest: build the persisted code index from
+    half the corpus (even vec_id, codebooks trained on that half),
+    ivfpq_index_append the odd half — encoded with the SIDECAR
+    centroids/codebooks, new files in existing cell= partitions, nothing
+    rewritten — then probe.  In-plan boolean: the post-append probe's
+    (query, corpus, score) set EXACTLY equals in-memory ivfpq_topk over
+    the FULL corpus with the same trained index; plus the
+    best-other/signal-floor oracle as the other IVF-PQ queries."""
+    import os
+    import shutil
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    base = corpus.filter(F.col("corpus_id") % 2 == 0)
+    extra = corpus.filter(F.col("corpus_id") % 2 == 1)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_ivfpq_append{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    index = similarity.ivfpq_index_build(
+        base, "corpus_id", "corpus_vec", path, n_cells=16, m=8, ksub=16
+    )
+    similarity.ivfpq_index_append(extra, "corpus_id", "corpus_vec", path)
+    ann = similarity.ivfpq_index_probe(
+        spark, path, queries, "query_id", "query_vec", k=5, nprobe=4
+    )
+    mem = similarity.ivfpq_topk(
+        queries, corpus, "query_id", "query_vec", "corpus_id", "corpus_vec",
+        k=5, n_cells=16, nprobe=4, m=8, ksub=16, index=index,
+    )
+    diff = ann.select("query_id", "corpus_id", "score").withColumnRenamed(
+        "score", "s_p"
+    ).join(
+        mem.select("query_id", "corpus_id", F.col("score").alias("s_m")),
+        ["query_id", "corpus_id"],
+        "full",
+    )
+    n_mismatch = diff.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("s_p").isNull()
+                    | F.col("s_m").isNull()
+                    | (F.abs(F.col("s_p") - F.col("s_m")) > 1e-9)
+                ).cast("int")
+            ),
+            F.lit(0),
+        ).alias("n_mismatch")
+    )
+    exact = similarity.cosine_topk(queries, corpus, k=6)
+    best_other = (
+        exact.filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("similarity").desc(), F.col("corpus_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("corpus_id").cast("long").alias("best_other"))
+    )
+    exact5 = exact.filter(F.col("rank") <= 5).select(
+        "query_id", F.col("corpus_id").alias("__eid")
+    )
+    overlap = (
+        ann.join(
+            exact5,
+            (ann["query_id"] == exact5["query_id"])
+            & (ann["corpus_id"] == exact5["__eid"]),
+        )
+        .groupBy(ann["query_id"].alias("qid"))
+        .agg(F.count(F.lit(1)).alias("__n_overlap"))
+    )
+    self_hit = ann.groupBy("query_id").agg(
+        F.max((F.col("query_id") == F.col("corpus_id")).cast("int")).alias("__self")
+    )
+    n_corpus = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        best_other.join(overlap, best_other["query_id"] == overlap["qid"], "left")
+        .join(self_hit, "query_id", "left")
+        .crossJoin(n_corpus)
+        .crossJoin(n_mismatch)
+        .select(
+            "query_id",
+            "best_other",
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            (
+                (F.coalesce(F.col("__n_overlap"), F.lit(0)) >= 1)
+                | (F.coalesce(F.col("__self"), F.lit(0)) == 1)
+            ).alias("ann_signal_ok"),
+            (F.col("n_mismatch") == 0).alias("append_matches_memory_ok"),
+        )
+        .orderBy("query_id")
+    )

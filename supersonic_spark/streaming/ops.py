@@ -299,6 +299,123 @@ def stream_ann_index_probe(
     return _drain_and_read(q, await_seconds, spark, sink_dir, pair_schema)
 
 
+def stream_ann_ivfpq_probe(
+    stream_queries: DataFrame,
+    index_path: str,
+    sink_dir: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+    nprobe: int = 4,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """Streaming ANN over the PERSISTED IVF-PQ index
+    (:func:`~supersonic_spark.pipeline.similarity.ivfpq_index_build`):
+    each micro-batch of query vectors probes the cell-partitioned code
+    rows via foreachBatch → idempotent ``batch=<id>`` parquet, landing
+    (query_id, corpus_id, score, rank) top-k rows.  Same zero-state
+    correctness argument as :func:`stream_ann_index_probe` — the index is
+    static and complete in every trigger and a query's top-k materializes
+    entirely within its batch.
+
+    This is the billion-scale online-retrieval shape: the streamed side
+    never touches float corpus vectors — per trigger it pays query
+    LUT-building plus an m-lookup fold over only the probed cells'
+    m-byte code rows.
+    """
+    import os as _os
+
+    from supersonic_spark.pipeline.similarity import ivfpq_index_probe
+
+    spark = stream_queries.sparkSession
+    idx_id_type = spark.read.parquet(index_path).schema["id"].dataType
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        ivfpq_index_probe(
+            spark, index_path, df, query_id, query_vec, k=k, nprobe=nprobe
+        ).write.mode("overwrite").parquet(
+            _os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    q = (
+        stream_queries.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    pair_schema = T.StructType(
+        [
+            T.StructField("query_id", stream_queries.schema[query_id].dataType),
+            T.StructField("corpus_id", idx_id_type),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return _drain_and_read(q, await_seconds, spark, sink_dir, pair_schema)
+
+
+def stream_ivf_index_append(
+    stream_vectors: DataFrame,
+    index_path: str,
+    vec_id: str,
+    vec_col: str,
+    await_seconds: int = 300,
+) -> None:
+    """CONTINUOUS ANN index maintenance: a stream of new vectors appends
+    to a persisted :func:`~supersonic_spark.pipeline.similarity.
+    ivf_index_build` index per micro-batch (foreachBatch →
+    :func:`~supersonic_spark.pipeline.similarity.ivf_index_append`).
+    Each trigger assigns only the arriving vectors against the sidecar
+    centroids and lands them as new files inside the existing ``cell=``
+    partitions — the existing inverted lists are never read or
+    rewritten, so per-trigger cost is O(arrivals) regardless of index
+    size.  Probes running against the same path see appended vectors as
+    soon as their batch commits.
+
+    Exactly-once: parquet append alone is at-least-once under batch
+    REPLAY (a retried foreachBatch would re-append its rows), so
+    committed batch ids are recorded in an ``_ivf_appended_batches.json``
+    sidecar and replayed ids are skipped.  The record is written after
+    the append commits — a crash between the two re-appends that one
+    batch on restart (the residual window every non-transactional sink
+    has; an ACID table format closes it).
+
+    Blocks through the availableNow drain; raises on timeout (a partial
+    append is visible but incomplete — same contract as the other
+    streaming drains here).
+    """
+    import json
+
+    from supersonic_spark.pipeline.similarity import (
+        _fs_read_text,
+        _fs_write_text,
+        ivf_index_append,
+    )
+
+    manifest = index_path.rstrip("/") + "/_ivf_appended_batches.json"
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        try:
+            done = set(json.loads(_fs_read_text(df.sparkSession, manifest)))
+        except Exception:
+            done = set()
+        if batch_id in done:
+            return  # replayed batch: already committed
+        ivf_index_append(df, vec_id, vec_col, index_path)
+        _fs_write_text(df.sparkSession, manifest, json.dumps(sorted(done | {batch_id})))
+
+    q = (
+        stream_vectors.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming index append did not finish within {await_seconds}s; "
+            f"index at {index_path} holds a partial batch set"
+        )
+
+
 _RSUM_STATE = T.StructType([T.StructField("acc", T.DoubleType(), False)])
 
 
