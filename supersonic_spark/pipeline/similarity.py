@@ -1103,6 +1103,66 @@ def ivf_index_append(
     c.write.mode("append").partitionBy("cell").parquet(path)
 
 
+def ivf_cell_profile(spark, path: str) -> DataFrame:
+    """Index-health diagnostic for a persisted IVF index: per-cell row
+    counts plus corpus-wide totals (cells, rows, max/mean cell share) on
+    every row — the :func:`~supersonic_spark.operators.analytics.
+    key_profile` discipline applied to the inverted lists.  Run it after
+    a stretch of :func:`ivf_index_append` ingest: a max share ≫ 1/cells
+    means centroid drift has unbalanced the lists and probes of the hot
+    cell pay linear-in-cell cost — time to :func:`ivf_index_rebalance`.
+
+    One partial-aggregated count per cell (tiny: ≤ n_cells rows) and a
+    1-row total broadcast — bounded at any index size."""
+    counts = spark.read.parquet(path).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("__mx"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "cell",
+        "n",
+        F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        "n_cells",
+        F.col("__total").alias("total_rows"),
+        F.round(F.col("__mx") / F.col("__total"), 6).alias("max_share"),
+    )
+
+
+def ivf_index_rebalance(
+    spark,
+    path: str,
+    out_path: str,
+    n_cells: int | None = None,
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Rebuild a drifted IVF index FROM ITS OWN STORED VECTORS — the
+    offline rebalance that pairs with continuous :func:`ivf_index_append`
+    ingest.  The IVF form keeps the float vectors in the inverted lists,
+    so retraining + reassignment is one scan of the index parquet; the
+    ORIGINAL corpus is never touched (it may no longer exist as a single
+    table after months of streaming ingest).  Writes a fresh index at
+    ``out_path`` (build-then-swap: probes keep hitting ``path`` until the
+    caller atomically repoints them) and returns the new centroids.
+
+    Cost shape: training reads a bounded deterministic sample; the
+    reassignment pass is the same one-scan Arrow-batched assign as
+    :func:`ivf_index_build`.  PQ indexes cannot rebalance this way (codes
+    are lossy) — rebuild those from the corpus."""
+    import json
+
+    old = json.loads(_fs_read_text(spark, path.rstrip("/") + "/_ivf_centroids.json"))
+    idx = spark.read.parquet(path)
+    return ivf_index_build(
+        idx, "id", "vec", out_path,
+        n_cells=n_cells if n_cells is not None else len(old),
+        train=True, sample_size=sample_size, iters=iters,
+    )
+
+
 def ivf_index_probe(
     spark,
     path: str,

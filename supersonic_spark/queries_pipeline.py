@@ -3030,3 +3030,119 @@ def q_similarity_ivfpq_index_append_probe(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@q(
+    "similarity_ivf_index_rebalance_probe",
+    # after drifting ingest + rebalance-from-index, probing every cell of
+    # the REBUILT index must still be exact top-5 over the full corpus
+    """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT query_id, corpus_id,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    AS similarity
+           FROM q CROSS JOIN c),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY similarity DESC, corpus_id) AS rnk
+           FROM s)
+SELECT query_id, corpus_id, round(similarity, 6) AS similarity, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 5
+""",
+)
+def q_similarity_ivf_index_rebalance_probe(spark, sf_dir):
+    """OFFLINE REBALANCE after drifting ingest: build the IVF index from
+    half the corpus, append the other half (assignments against the
+    stale centroids — the drift scenario), then ivf_index_rebalance —
+    retrain + reassign from the index's OWN stored vectors, original
+    corpus untouched, fresh index written build-then-swap to a new path.
+    Probing the rebuilt index with nprobe = n_cells must hash-match
+    EXACT top-5 cosine over the complete corpus: rebalance changes
+    layout quality, never membership or math."""
+    import os
+    import shutil
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    base = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 0)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    extra = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") % 2 == 1)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_ivf_drift{tag}")
+    out_path = os.path.join(tempfile.gettempdir(), f"ss_ivf_rebal{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(out_path, ignore_errors=True)
+    similarity.ivf_index_build(base, "cid", "cv", path, n_cells=8, train=True)
+    similarity.ivf_index_append(extra, "cid", "cv", path)
+    similarity.ivf_index_rebalance(spark, path, out_path)
+    out = similarity.ivf_index_probe(spark, out_path, qs, "qid", "qv", k=5, nprobe=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        "corpus_id",
+        F.round(F.col("cos"), 6).alias("similarity"),
+        "rank",
+    )
+
+
+@q(
+    "similarity_ivf_cell_profile",
+    """SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id >= 10)::BIGINT
+                AS total_rows,
+              TRUE AS conservation_ok, TRUE AS shares_ok""",
+)
+def q_similarity_ivf_cell_profile(spark, sf_dir):
+    """Index-health profile of a persisted IVF index (cell sizes/shares —
+    the append-drift monitor that triggers ivf_index_rebalance).  Oracle
+    invariants recomputed by DuckDB: the per-cell counts must CONSERVE
+    the corpus (sum == corpus row count — nothing dropped or duplicated
+    by build/partitioning), and the share algebra must hold (shares sum
+    to 1, max_share is the max share, every share ≤ max)."""
+    import os
+    import shutil
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    cs = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_ivf_profile{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_index_build(cs, "cid", "cv", path, n_cells=8, train=True)
+    prof = similarity.ivf_cell_profile(spark, path)
+    n_corpus = cs.agg(F.count(F.lit(1)).alias("__n"))
+    agg = prof.agg(
+        F.sum("n").alias("__sum_n"),
+        F.sum("share").alias("__sum_share"),
+        F.max("share").alias("__max_share_obs"),
+        F.first("max_share").alias("__max_share_col"),
+        F.first("total_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("__n_cells_rows"),
+        F.first("n_cells").alias("__n_cells_col"),
+    )
+    return agg.crossJoin(n_corpus).select(
+        F.col("total_rows").cast("long").alias("total_rows"),
+        (
+            (F.col("__sum_n") == F.col("__n"))
+            & (F.col("total_rows") == F.col("__n"))
+        ).alias("conservation_ok"),
+        (
+            (F.abs(F.col("__sum_share") - 1.0) < 1e-4)
+            & (F.abs(F.col("__max_share_obs") - F.col("__max_share_col")) < 1e-9)
+            & (F.col("__n_cells_rows") == F.col("__n_cells_col"))
+        ).alias("shares_ok"),
+    )
