@@ -1088,6 +1088,15 @@ def ivf_index_append(
     rebuilding when cell-size skew crosses a threshold; pair with
     :func:`~supersonic_spark.pipeline.dedup.auto_skew_salt`-style cell
     profiling to detect it)."""
+    _ivf_assign_batch(corpus, corpus_id, corpus_vec, path).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+
+
+def _ivf_assign_batch(corpus: DataFrame, corpus_id, corpus_vec, path: str) -> DataFrame:
+    """Assign a new batch of vectors to their IVF cells using the
+    persisted index's sidecar centroids (one scan of the batch; the
+    existing inverted lists are never read)."""
     import json
 
     from supersonic_spark.operators.core import ensure_parallelism
@@ -1095,12 +1104,87 @@ def ivf_index_append(
     spark = corpus.sparkSession
     cents = json.loads(_fs_read_text(spark, path.rstrip("/") + "/_ivf_centroids.json"))
     assign = _assign_cells_udf(cents, 1)
-    c = (
+    return (
         ensure_parallelism(corpus)
         .select(_c(corpus_id).alias("id"), _c(corpus_vec).alias("vec"))
         .withColumn("cell", assign("vec")[0])
     )
-    c.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def ivf_index_append_atomic(
+    corpus: DataFrame,
+    corpus_id,
+    corpus_vec,
+    path: str,
+    tag: str,
+) -> None:
+    """Exactly-once :func:`ivf_index_append` for REPLAYABLE callers
+    (streaming ``foreachBatch``, retried ingest jobs).  Plain
+    ``mode("append")`` is at-least-once under replay — a retried batch
+    re-appends its rows.  This variant makes a replay of the same
+    ``tag`` converge to exactly one copy, closing the crash window a
+    manifest alone leaves open (crash between parquet commit and
+    manifest write used to re-append that one batch on restart):
+
+    1. **Sweep** — delete any ``{tag}-*`` files a crashed prior attempt
+       already moved into the live ``cell=`` partitions.
+    2. **Stage** — write the assigned batch under a hidden
+       ``_staging-{tag}`` directory (underscore prefix ⇒ invisible to
+       every Spark/parquet reader, so probes never see a half-written
+       stage).
+    3. **Publish** — rename each staged file into its live ``cell=``
+       partition with a ``{tag}-`` name prefix (per-file HDFS/S3A
+       rename; the prefix is what makes step 1's sweep possible).
+
+    A crash at any point leaves either hidden staging files or
+    ``{tag}-`` files that the replay sweeps — never a durable duplicate.
+    Probes may transiently see a prefix of a batch mid-publish (same
+    visibility contract as any non-transactional multi-file commit; an
+    ACID table format is the upgrade path for readers that need
+    snapshot isolation).  ``tag`` must be glob-safe (``[A-Za-z0-9_]``).
+    """
+    _staged_partition_append(
+        _ivf_assign_batch(corpus, corpus_id, corpus_vec, path), path, tag
+    )
+
+
+def ivfpq_index_append_atomic(
+    corpus: DataFrame,
+    corpus_id,
+    corpus_vec,
+    path: str,
+    tag: str,
+) -> None:
+    """Exactly-once :func:`ivfpq_index_append` (PQ twin of
+    :func:`ivf_index_append_atomic` — same sweep/stage/publish-by-rename
+    protocol, same replay-convergence guarantee)."""
+    _staged_partition_append(
+        _ivfpq_encode_batch(corpus, corpus_id, corpus_vec, path), path, tag
+    )
+
+
+def _staged_partition_append(assigned: DataFrame, path: str, tag: str) -> None:
+    """Sweep / stage / publish-by-rename mechanics shared by the atomic
+    index appends.  ``assigned`` must carry a ``cell`` column (the
+    partition key of the live index)."""
+    spark = assigned.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = path.rstrip("/")
+    staging = f"{root}/_staging-{tag}"
+    fs.delete(hpath(staging), True)
+    for st in fs.globStatus(hpath(f"{root}/cell=*/{tag}-*")) or []:
+        fs.delete(st.getPath(), False)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    for st in fs.globStatus(hpath(f"{staging}/cell=*/part-*")) or []:
+        src = st.getPath()
+        cell = src.getParent().getName()  # "cell=<n>"
+        fs.mkdirs(hpath(f"{root}/{cell}"))
+        dst = hpath(f"{root}/{cell}/{tag}-{src.getName()}")
+        if not fs.rename(src, dst):
+            raise IOError(f"index append publish failed: rename {src} -> {dst}")
+    fs.delete(hpath(staging), True)
 
 
 def ivf_cell_profile(spark, path: str) -> DataFrame:
@@ -1277,6 +1361,15 @@ def ivfpq_index_append(
     over the new batch; existing code rows are never read or rewritten.
     Codebook drift on a shifting distribution is the documented trade —
     rebuild offline when recall degrades."""
+    _ivfpq_encode_batch(corpus, corpus_id, corpus_vec, path).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(path)
+
+
+def _ivfpq_encode_batch(corpus: DataFrame, corpus_id, corpus_vec, path: str) -> DataFrame:
+    """Encode a new batch of vectors to (id, cell, codes) rows using the
+    persisted index's sidecar centroids/codebooks (one Arrow-batched
+    pass over the batch; existing code rows are never read)."""
     import json
 
     from supersonic_spark.operators.core import ensure_parallelism
@@ -1285,7 +1378,7 @@ def ivfpq_index_append(
     meta = json.loads(_fs_read_text(spark, path.rstrip("/") + "/_ivfpq_meta.json"))
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     enc = _ivfpq_encode_udf(centroids, codebooks)
-    c = (
+    return (
         ensure_parallelism(corpus)
         .select(_c(corpus_id).alias("id"), _c(corpus_vec).alias("__v"))
         .withColumn("__e", enc("__v"))
@@ -1295,7 +1388,6 @@ def ivfpq_index_append(
             F.slice(F.col("__e"), 2, len(codebooks)).alias("codes"),
         )
     )
-    c.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def ivfpq_index_probe(

@@ -2957,6 +2957,14 @@ def q_similarity_ivfpq_index_append_probe(spark, sf_dir):
         base, "corpus_id", "corpus_vec", path, n_cells=16, m=8, ksub=16
     )
     similarity.ivfpq_index_append(extra, "corpus_id", "corpus_vec", path)
+    return _ivfpq_append_verdict(spark, path, queries, corpus, index)
+
+
+def _ivfpq_append_verdict(spark, path, queries, corpus, index):
+    """Shared verdict for the IVF-PQ append queries (batch + streaming):
+    probe the appended index, assert score-set equality with in-memory
+    ivfpq_topk over the FULL corpus under the same trained model, and
+    attach the best-other/signal-floor oracle columns."""
     ann = similarity.ivfpq_index_probe(
         spark, path, queries, "query_id", "query_vec", k=5, nprobe=4
     )
@@ -3030,6 +3038,67 @@ def q_similarity_ivfpq_index_append_probe(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@q(
+    "streaming_ivfpq_index_append",
+    # same oracle shape as similarity_ivfpq_index_append_probe: the
+    # stream-appended code index must be indistinguishable from the
+    # in-memory model over the full corpus
+    """SELECT q.vec_id AS query_id,
+              (SELECT c.vec_id FROM embeddings c WHERE c.vec_id <> q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id LIMIT 1)::BIGINT AS best_other,
+              (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_corpus,
+              TRUE AS ann_signal_ok, TRUE AS append_matches_memory_ok
+       FROM embeddings q WHERE q.vec_id < 10 ORDER BY 1""",
+)
+def q_streaming_ivfpq_index_append(spark, sf_dir):
+    """CONTINUOUS PQ-index maintenance: the odd half of the corpus
+    arrives as a multi-batch vector STREAM (maxFilesPerTrigger=1 over 2
+    files) and appends (id, cell, codes) rows to the persisted IVF-PQ
+    index per micro-batch through the exactly-once
+    sweep/stage/publish-by-rename path — existing code rows never read
+    or rewritten, per-trigger cost O(arrivals).  After the drain the
+    probe's score set must EXACTLY equal in-memory ivfpq_topk over the
+    full corpus under the same trained model (stream-ingested codes are
+    indistinguishable from built-in ones), plus the best-other/
+    signal-floor oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from supersonic_spark.streaming.ops import stream_ivfpq_index_append
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    base = corpus.filter(F.col("corpus_id") % 2 == 0)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_stream_ivfpq_append{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    index = similarity.ivfpq_index_build(
+        base, "corpus_id", "corpus_vec", path, n_cells=16, m=8, ksub=16
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"ss_stream_ivfpq_append_src{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    corpus.filter(F.col("corpus_id") % 2 == 1).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("corpus_id long, corpus_vec array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_ivfpq_index_append(stream, path, "corpus_id", "corpus_vec")
+    return _ivfpq_append_verdict(spark, path, queries, corpus, index)
 
 
 @q(

@@ -372,12 +372,14 @@ def stream_ivf_index_append(
     soon as their batch commits.
 
     Exactly-once: parquet append alone is at-least-once under batch
-    REPLAY (a retried foreachBatch would re-append its rows), so
-    committed batch ids are recorded in an ``_ivf_appended_batches.json``
-    sidecar and replayed ids are skipped.  The record is written after
-    the append commits — a crash between the two re-appends that one
-    batch on restart (the residual window every non-transactional sink
-    has; an ACID table format closes it).
+    REPLAY (a retried foreachBatch would re-append its rows).  Two
+    layers close it: committed batch ids recorded in an
+    ``_ivf_appended_batches.json`` sidecar skip clean replays cheaply,
+    and the append itself goes through :func:`~supersonic_spark.
+    pipeline.similarity.ivf_index_append_atomic` (stage under a hidden
+    dir, sweep ``batch{id}-*`` leftovers, publish by rename) so even a
+    crash BETWEEN the parquet commit and the manifest write converges
+    to one copy when the batch replays — no residual duplicate window.
 
     Blocks through the availableNow drain; raises on timeout (a partial
     append is visible but incomplete — same contract as the other
@@ -388,7 +390,7 @@ def stream_ivf_index_append(
     from supersonic_spark.pipeline.similarity import (
         _fs_read_text,
         _fs_write_text,
-        ivf_index_append,
+        ivf_index_append_atomic,
     )
 
     manifest = index_path.rstrip("/") + "/_ivf_appended_batches.json"
@@ -400,7 +402,7 @@ def stream_ivf_index_append(
             done = set()
         if batch_id in done:
             return  # replayed batch: already committed
-        ivf_index_append(df, vec_id, vec_col, index_path)
+        ivf_index_append_atomic(df, vec_id, vec_col, index_path, tag=f"batch{batch_id}")
         _fs_write_text(df.sparkSession, manifest, json.dumps(sorted(done | {batch_id})))
 
     q = (
@@ -412,6 +414,55 @@ def stream_ivf_index_append(
         q.stop()
         raise TimeoutError(
             f"streaming index append did not finish within {await_seconds}s; "
+            f"index at {index_path} holds a partial batch set"
+        )
+
+
+def stream_ivfpq_index_append(
+    stream_vectors: DataFrame,
+    index_path: str,
+    vec_id: str,
+    vec_col: str,
+    await_seconds: int = 300,
+) -> None:
+    """PQ twin of :func:`stream_ivf_index_append`: a vector stream
+    appends (id, cell, codes) rows to a persisted :func:`~supersonic_
+    spark.pipeline.similarity.ivfpq_index_build` index per micro-batch.
+    Encoding uses the sidecar centroids/codebooks only — per-trigger
+    cost is O(arrivals) at any index size.  Same exactly-once layering:
+    a ``_ivfpq_appended_batches.json`` manifest skips clean replays, and
+    :func:`~supersonic_spark.pipeline.similarity.
+    ivfpq_index_append_atomic`'s sweep/stage/publish-by-rename converges
+    a crash-interrupted batch to one copy on replay."""
+    import json
+
+    from supersonic_spark.pipeline.similarity import (
+        _fs_read_text,
+        _fs_write_text,
+        ivfpq_index_append_atomic,
+    )
+
+    manifest = index_path.rstrip("/") + "/_ivfpq_appended_batches.json"
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        try:
+            done = set(json.loads(_fs_read_text(df.sparkSession, manifest)))
+        except Exception:
+            done = set()
+        if batch_id in done:
+            return  # replayed batch: already committed
+        ivfpq_index_append_atomic(df, vec_id, vec_col, index_path, tag=f"batch{batch_id}")
+        _fs_write_text(df.sparkSession, manifest, json.dumps(sorted(done | {batch_id})))
+
+    q = (
+        stream_vectors.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming PQ index append did not finish within {await_seconds}s; "
             f"index at {index_path} holds a partial batch set"
         )
 

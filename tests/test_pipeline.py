@@ -421,6 +421,45 @@ def test_frame_sample_plan(spark):
     assert [r["frame_index"] for r in out] == [0, 2, 4]  # 5 stub frames, step 2
 
 
+def test_ivf_index_append_atomic_replay(spark, tables, tmp_path):
+    """Exactly-once append under batch replay: re-running the SAME tag
+    (the crash-between-parquet-commit-and-manifest-write case) must not
+    duplicate rows; a new tag appends normally; and a half-staged batch
+    (crash before publish) is invisible to readers."""
+    emb = tables["embeddings"]
+    base = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b1 = emb.filter(F.col("vec_id") % 3 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b2 = emb.filter(F.col("vec_id") % 3 == 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    path = str(tmp_path / "ivf_atomic")
+    similarity.ivf_index_build(base, "cid", "cv", path, n_cells=4, train=True)
+    n0 = base.count()
+
+    similarity.ivf_index_append_atomic(b1, "cid", "cv", path, tag="batch0")
+    n1 = spark.read.parquet(path).count()
+    assert n1 == n0 + b1.count()
+    # replay of the same tag (lost manifest write): sweep + republish, no dup
+    similarity.ivf_index_append_atomic(b1, "cid", "cv", path, tag="batch0")
+    assert spark.read.parquet(path).count() == n1
+    ids = [r["id"] for r in spark.read.parquet(path).collect()]
+    assert len(ids) == len(set(ids))
+    # a different tag is a genuine new batch
+    similarity.ivf_index_append_atomic(b2, "cid", "cv", path, tag="batch1")
+    assert spark.read.parquet(path).count() == n1 + b2.count()
+    # crash-before-publish: a hidden staging dir never leaks into reads
+    from supersonic_spark.pipeline.similarity import _ivf_assign_batch
+
+    _ivf_assign_batch(b1, "cid", "cv", path).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path + "/_staging-batchX")
+    assert spark.read.parquet(path).count() == n1 + b2.count()
+
+
 def test_ivf_index_build_probe(spark, tables, tmp_path):
     """Persisted IVF index: probing every cell (nprobe = n_cells) returns
     the exact cosine top-k, and a narrow probe's scan is partition-pruned

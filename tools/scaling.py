@@ -158,10 +158,26 @@ def main() -> None:
     with open(raw_path, "w") as f:
         json.dump(results, f, indent=1)
 
-    hi_path, hi_sf = sfs[-1]
-    lo_path, lo_sf = sfs[-2]
+    # Report over EVERY SF ever recorded in SCALING_RAW (sorted by sf),
+    # not just the dirs measured THIS invocation — so a targeted run
+    # (e.g. SPARK_GRAFT_SCALE_SFS=sf10:sf30 to add one new point)
+    # re-renders the full curve instead of truncating the table.
+    seen: dict[str, float] = {}
+    for cells in results.values():
+        for p in cells:
+            base = os.path.basename(p.rstrip("/"))
+            try:
+                seen[p] = float(base.replace("sf", ""))
+            except ValueError:
+                pass
+    for p, sf in sfs:
+        seen[p] = sf
+    all_sfs = sorted(seen.items(), key=lambda kv: kv[1])
+
+    hi_path, hi_sf = all_sfs[-1]
+    lo_path, lo_sf = all_sfs[-2]
     ratio = hi_sf / lo_sf
-    hdr = " | ".join(f"{_sf_label(sf, p)} (s)" for p, sf in sfs)
+    hdr = " | ".join(f"{_sf_label(sf, p)} (s)" for p, sf in all_sfs)
     lines = [
         "# SCALING — wall time vs scale factor (min of %d steady runs)" % n_runs,
         "",
@@ -178,13 +194,13 @@ def main() -> None:
         % os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
         "",
         f"| query | {hdr} | exponent |",
-        "|" + "---|" * (len(sfs) + 2),
+        "|" + "---|" * (len(all_sfs) + 2),
     ]
 
     report = [n for n in dict.fromkeys(list(QUERIES) + sorted(results))
-              if all(p in results.get(n, {}) for p, _ in sfs)]
+              if all(p in results.get(n, {}) for p, _ in all_sfs)]
     for name in report:
-        ts = [results[name][p] for p, _ in sfs]
+        ts = [results[name][p] for p, _ in all_sfs]
         t_hi, t_lo = results[name][hi_path], results[name][lo_path]
         exp = math.log(t_hi / t_lo) / math.log(ratio) if t_lo > 0 else float("nan")
         cells = " | ".join(f"{t:.3f}" for t in ts)
