@@ -319,6 +319,87 @@ def key_profile(df: DataFrame, keys: list[str], k: int = 20) -> DataFrame:
     )
 
 
+def cms_build(
+    df: DataFrame,
+    key,
+    depth: int = 5,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch build: a (depth × width)-bounded frequency
+    summary of ``key``, as a (depth, bucket, cnt) DataFrame with at most
+    ``depth * width`` rows.  This is the scale path past
+    :func:`key_profile`'s exact ``groupBy(key)`` — when the key
+    cardinality is billions (URLs, n-grams, user ids at 100 TB), the
+    exact count table is itself a giant shuffle, while the sketch's
+    aggregation cardinality is FIXED at depth×width, so the map-side
+    partial aggregate caps per-task state and the shuffle moves at most
+    depth×width rows per task regardless of data volume.
+
+    Estimates (:func:`cms_estimate`) are deterministic overestimates:
+    ``est(k) >= true(k)`` always, ``est(k) <= true(k) + εN`` with
+    probability 1-δ for ``width = ⌈e/ε⌉``, ``depth = ⌈ln(1/δ)⌉``
+    (Cormode & Muthukrishnan 2005).  Sketches over disjoint data merge
+    EXACTLY by bucket-wise sum (:func:`cms_merge`) — the rollup-friendly
+    property that lets per-partition / per-day sketches combine into a
+    corpus sketch without rescanning.
+
+    Hashing is ``xxhash64(key, depth_index)`` — deterministic across
+    runs and engines, so build/estimate/merge agree by construction.
+    NULL keys hash as one key class (xxhash64 skips null inputs).
+    """
+    buckets = F.array(
+        *[F.pmod(F.xxhash64(_c(key), F.lit(i)), F.lit(width)) for i in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key,
+    depth: int = 5,
+    width: int = 1024,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-query a :func:`cms_build` sketch for each row of ``keys``:
+    ``est = min over depths of cnt[depth][hash_d(key) % width]``.
+    ``depth``/``width`` must match the build (they are the sketch's
+    identity, like a codebook's).  Keys whose bucket was never touched
+    estimate 0.
+
+    Scale shape: the sketch is ≤ depth×width rows — always broadcast —
+    so estimation is a map-side broadcast join + one partial-aggregated
+    min per key: no shuffle of the key stream beyond its own grouping.
+    """
+    buckets = F.array(
+        *[F.pmod(F.xxhash64(_c(key), F.lit(i)), F.lit(width)) for i in range(depth)]
+    )
+    probes = keys.select(
+        _c(key).alias("__k"), F.posexplode(buckets).alias("depth", "bucket")
+    )
+    joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return (
+        joined.groupBy("__k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+        .withColumnRenamed("__k", key if isinstance(key, str) else "key")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME depth/width by
+    bucket-wise sum.  Exact: ``merge(build(A), build(B)) ==
+    build(A ∪ B)`` row-for-row — the property that makes per-shard /
+    per-day sketches roll up into a corpus sketch for free."""
+    import functools
+
+    u = functools.reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def quantile_bucketize(
     df: DataFrame,
     value,

@@ -1215,6 +1215,157 @@ def ivf_cell_profile(spark, path: str) -> DataFrame:
     )
 
 
+def ann_index_compact(
+    spark,
+    path: str,
+    target_files_per_cell: int = 1,
+    min_files: int = 2,
+) -> dict:
+    """Small-files maintenance for a persisted ANN index (IVF or IVF-PQ
+    — the mechanics are schema-agnostic): every streaming micro-batch
+    append lands one file per touched ``cell=`` partition, so months of
+    continuous ingest turn each inverted list into thousands of tiny
+    files and probe scans pay per-file open cost instead of per-byte
+    scan cost.  Compaction rewrites each cell's files down to
+    ``target_files_per_cell`` without touching any other cell and
+    without a full-index rebuild (:func:`ivf_index_rebalance` is the
+    heavier op — it also retrains; this one changes LAYOUT only, never
+    membership, so a probe before and after hash-matches exactly).
+
+    Crash safety is a per-cell write-ahead intent
+    (``_compact_intent.json``): stage the merged file(s) under a hidden
+    dir → write the intent listing old + new file names → publish new
+    by rename → delete old → drop the intent.  :func:`_index_compact_
+    recover` (called automatically at entry) rolls an interrupted cell
+    FORWARD if every staged file survived, else rolls it BACK — either
+    way the cell converges with no loss and no durable duplicate.
+    Readers mid-publish can transiently see old+new together (same
+    visibility contract as the atomic appends; an ACID table format is
+    the snapshot-isolation upgrade).
+
+    Files from a crash-interrupted, uncommitted streaming append
+    (``batch{id}-*`` whose id is NOT in the append manifest) are
+    EXCLUDED from compaction: the stream's replay will sweep and
+    re-publish them, and folding them into a compacted file would hide
+    them from that sweep and duplicate the batch.
+
+    Returns ``{"cells_compacted": n, "files_before": a, "files_after": b}``.
+    """
+    import json
+    import re
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = path.rstrip("/")
+    _index_compact_recover(spark, path)
+
+    committed: set[str] = set()
+    for manifest in ("_ivf_appended_batches.json", "_ivfpq_appended_batches.json"):
+        try:
+            ids = json.loads(_fs_read_text(spark, f"{root}/{manifest}"))
+            committed |= {f"batch{i}-" for i in ids}
+        except Exception:
+            pass
+    batch_pref = re.compile(r"^(batch\d+-)")
+
+    staging = f"{root}/_staging-compact"
+    intent_path = f"{root}/_compact_intent.json"
+    stats = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    for cell_st in fs.globStatus(hpath(f"{root}/cell=*")) or []:
+        if not cell_st.isDirectory():
+            continue
+        cell = cell_st.getPath().getName()
+        names = []
+        for st in fs.listStatus(cell_st.getPath()):
+            nm = st.getPath().getName()
+            if nm.startswith(("_", ".")):
+                continue
+            m = batch_pref.match(nm)
+            if m and m.group(1) not in committed:
+                continue  # uncommitted append leftover: the replay owns it
+            names.append(nm)
+        stats["files_before"] += len(names)
+        if len(names) < max(min_files, target_files_per_cell + 1):
+            stats["files_after"] += len(names)
+            continue
+        cell_staging = f"{staging}/{cell}"
+        fs.delete(hpath(cell_staging), True)
+        spark.read.parquet(*[f"{root}/{cell}/{n}" for n in names]).coalesce(
+            target_files_per_cell
+        ).write.mode("overwrite").parquet(cell_staging)
+        staged = [
+            st.getPath().getName()
+            for st in fs.globStatus(hpath(f"{cell_staging}/part-*")) or []
+        ]
+        new = [f"compact-{n}" for n in staged]
+        _fs_write_text(
+            spark,
+            intent_path,
+            json.dumps({"cell": cell, "old": names, "staged": staged, "new": new}),
+        )
+        for s_name, n_name in zip(staged, new):
+            if not fs.rename(
+                hpath(f"{cell_staging}/{s_name}"), hpath(f"{root}/{cell}/{n_name}")
+            ):
+                raise IOError(f"compact publish failed for {cell}/{n_name}")
+        for n in names:
+            fs.delete(hpath(f"{root}/{cell}/{n}"), False)
+        fs.delete(hpath(intent_path), False)
+        fs.delete(hpath(cell_staging), True)
+        stats["cells_compacted"] += 1
+        stats["files_after"] += len(new)
+    fs.delete(hpath(staging), True)
+    return stats
+
+
+def _index_compact_recover(spark, path: str) -> None:
+    """Converge an interrupted :func:`ann_index_compact` cell.  The
+    intent file is the decision point: unreadable/absent ⇒ nothing was
+    published, delete any staging leftovers (rollback).  Readable ⇒ roll
+    FORWARD if every missing new file can still be renamed from staging,
+    then delete the old files; if staging is gone and some new file is
+    missing, roll BACK (delete the published new files — the old set is
+    intact, because old deletion only starts after every rename)."""
+    import json
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    root = path.rstrip("/")
+    staging = f"{root}/_staging-compact"
+    intent_path = f"{root}/_compact_intent.json"
+    try:
+        intent = json.loads(_fs_read_text(spark, intent_path))
+    except Exception:
+        fs.delete(hpath(staging), True)
+        fs.delete(hpath(intent_path), False)
+        return
+    cell = intent["cell"]
+    cell_staging = f"{staging}/{cell}"
+    missing = [
+        (s, n)
+        for s, n in zip(intent["staged"], intent["new"])
+        if not fs.exists(hpath(f"{root}/{cell}/{n}"))
+    ]
+    can_forward = all(
+        fs.exists(hpath(f"{cell_staging}/{s}")) for s, _ in missing
+    )
+    if can_forward:
+        for s, n in missing:
+            if not fs.rename(
+                hpath(f"{cell_staging}/{s}"), hpath(f"{root}/{cell}/{n}")
+            ):
+                raise IOError(f"compact recovery rename failed for {cell}/{n}")
+        for n in intent["old"]:
+            fs.delete(hpath(f"{root}/{cell}/{n}"), False)
+    else:
+        for n in intent["new"]:
+            fs.delete(hpath(f"{root}/{cell}/{n}"), False)
+    fs.delete(hpath(intent_path), False)
+    fs.delete(hpath(staging), True)
+
+
 def ivf_index_rebalance(
     spark,
     path: str,

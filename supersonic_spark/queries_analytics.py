@@ -347,3 +347,163 @@ def q_upsert_latest_events(spark, sf_dir):
     updates = core.filter_op(ev, F.col("event_id") % 2 == 1)
     out = setops.upsert_latest(existing, updates, ["user_id"], "ts", tiebreak="event_id")
     return sort_ops.sort(out, [SortKey("user_id")])
+
+
+_CMS_ORACLE = """
+WITH c AS (SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem GROUP BY 1),
+     t AS (SELECT * FROM c ORDER BY exact_cnt DESC, l_suppkey LIMIT 10)
+SELECT l_suppkey, exact_cnt,
+       TRUE AS est_ge_exact_ok, TRUE AS merge_matches_full_ok,
+       TRUE AS conservation_ok
+FROM t ORDER BY exact_cnt DESC, l_suppkey
+"""
+
+
+@q("cms_heavy_hitters", _CMS_ORACLE)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimation: the bounded-memory scale
+    path past exact key_profile when key cardinality is billions.  Exact
+    top-10 suppkey counts are the oracle-matched half; the in-plan
+    booleans pin the sketch's deterministic guarantees, each recomputed
+    corpus-wide inside the plan: est >= exact for every probed key
+    (overestimate-only), merge(build(even), build(odd)) == build(full)
+    row-for-row (exact mergeability — the per-shard rollup property),
+    and per-depth counter sums == |lineitem| (conservation)."""
+    depth, width = 4, 256
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    sk = analytics.cms_build(li, "l_suppkey", depth, width)
+    ska = analytics.cms_build(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_suppkey", depth, width
+    )
+    skb = analytics.cms_build(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_suppkey", depth, width
+    )
+    merged = analytics.cms_merge(ska, skb)
+    mm = merged.withColumnRenamed("cnt", "cnt_m").join(
+        sk, ["depth", "bucket"], "full"
+    )
+    merge_ok = mm.agg(
+        (
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("cnt_m").isNull()
+                        | F.col("cnt").isNull()
+                        | (F.col("cnt_m") != F.col("cnt"))
+                    ).cast("int")
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("merge_matches_full_ok")
+    )
+    n_total = li.agg(F.count(F.lit(1)).alias("__n"))
+    cons_ok = (
+        sk.groupBy("depth")
+        .agg(F.sum("cnt").alias("__s"))
+        .crossJoin(F.broadcast(n_total))
+        .agg(
+            (
+                F.coalesce(F.sum((F.col("__s") != F.col("__n")).cast("int")), F.lit(0))
+                == 0
+            ).alias("conservation_ok")
+        )
+    )
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    topk = exact.orderBy(F.col("exact_cnt").desc(), "l_suppkey").limit(10)
+    est = analytics.cms_estimate(
+        sk, topk.select("l_suppkey"), "l_suppkey", depth, width
+    )
+    return (
+        topk.join(est, "l_suppkey")
+        .crossJoin(F.broadcast(merge_ok))
+        .crossJoin(F.broadcast(cons_ok))
+        .select(
+            "l_suppkey",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact_ok"),
+            "merge_matches_full_ok",
+            "conservation_ok",
+        )
+        .orderBy(F.col("exact_cnt").desc(), "l_suppkey")
+    )
+
+
+_STREAM_CMS_ORACLE = """
+WITH c AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+     t AS (SELECT * FROM c ORDER BY exact_cnt DESC, user_id LIMIT 10)
+SELECT user_id, exact_cnt,
+       TRUE AS est_ge_exact_ok, TRUE AS stream_matches_batch_ok
+FROM t ORDER BY exact_cnt DESC, user_id
+"""
+
+
+@q("streaming_cms_heavy_hitters", _STREAM_CMS_ORACLE)
+def q_streaming_cms_heavy_hitters(spark, sf_dir):
+    """CONTINUOUS frequency monitoring: the events table arrives as a
+    multi-batch STREAM (maxFilesPerTrigger=1 over 2 files) and maintains
+    a count-min sketch via per-micro-batch exact merge, committed
+    version-by-version under a manifest (exactly-once, crash leaves the
+    previous version live).  The in-plan booleans pin the algebra: the
+    drained streaming sketch must equal cms_build over the full batch
+    table ROW-FOR-ROW (CMS merge is exact), and estimates for the exact
+    top-10 users never underestimate."""
+    import os
+    import shutil
+    import tempfile
+
+    from supersonic_spark.streaming.ops import stream_cms_build
+
+    depth, width = 4, 256
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    keys = ev.select("user_id")
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    src = os.path.join(tempfile.gettempdir(), f"ss_stream_cms_src{tag}")
+    sketch_path = os.path.join(tempfile.gettempdir(), f"ss_stream_cms{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(sketch_path, ignore_errors=True)
+    keys.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streamed = stream_cms_build(stream, sketch_path, "user_id", depth, width)
+
+    batch_sk = analytics.cms_build(keys, "user_id", depth, width)
+    cmp_ = streamed.withColumnRenamed("cnt", "cnt_s").join(
+        batch_sk, ["depth", "bucket"], "full"
+    )
+    stream_ok = cmp_.agg(
+        (
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("cnt_s").isNull()
+                        | F.col("cnt").isNull()
+                        | (F.col("cnt_s") != F.col("cnt"))
+                    ).cast("int")
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("stream_matches_batch_ok")
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    topk = exact.orderBy(F.col("exact_cnt").desc(), "user_id").limit(10)
+    est = analytics.cms_estimate(
+        batch_sk, topk.select("user_id"), "user_id", depth, width
+    )
+    return (
+        topk.join(est, "user_id")
+        .crossJoin(F.broadcast(stream_ok))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact_ok"),
+            "stream_matches_batch_ok",
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )

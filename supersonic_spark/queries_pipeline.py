@@ -3215,3 +3215,83 @@ def q_similarity_ivf_cell_profile(spark, sf_dir):
             & (F.col("__n_cells_rows") == F.col("__n_cells_col"))
         ).alias("shares_ok"),
     )
+
+
+@q(
+    "similarity_ivf_index_compact_probe",
+    # compaction changes LAYOUT only: probing every cell of the
+    # compacted index is still exact top-5 over the full corpus, and the
+    # lifecycle booleans (files shrank, rows conserved) must hold
+    """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id >= 10),
+     s AS (SELECT query_id, corpus_id,
+                  list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                    AS similarity
+           FROM q CROSS JOIN c),
+     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY similarity DESC, corpus_id) AS rnk
+           FROM s)
+SELECT query_id, corpus_id, round(similarity, 6) AS similarity, CAST(rnk AS INT) AS rank,
+       TRUE AS files_reduced_ok, TRUE AS rows_preserved_ok
+FROM r WHERE rnk <= 5
+""",
+)
+def q_similarity_ivf_index_compact_probe(spark, sf_dir):
+    """INDEX LIFECYCLE: small-files compaction after continuous ingest.
+    Build the IVF index from part of the corpus, land the rest through
+    three exactly-once appends (one file per touched cell per append —
+    the streaming accumulation pattern), then ann_index_compact each
+    cell down to one file.  Probing the compacted index with nprobe =
+    n_cells must hash-match EXACT top-5 cosine over the complete corpus
+    (compaction changes layout, never membership or math), and the
+    in-plan lifecycle booleans pin files_after < files_before plus row
+    conservation across the rewrite."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ss_ivf_compact{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivf_index_build(
+        corpus.filter(F.col("cid") % 4 == 0), "cid", "cv", path, n_cells=8, train=True
+    )
+    for r in (1, 2, 3):
+        similarity.ivf_index_append_atomic(
+            corpus.filter(F.col("cid") % 4 == r), "cid", "cv", path, tag=f"batch{r}"
+        )
+    similarity._fs_write_text(
+        spark, os.path.join(path, "_ivf_appended_batches.json"), json.dumps([1, 2, 3])
+    )
+    rows_before = spark.read.parquet(path).count()
+    stats = similarity.ann_index_compact(spark, path, target_files_per_cell=1)
+    rows_after = spark.read.parquet(path).count()
+
+    out = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=5, nprobe=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id")
+    )
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        "corpus_id",
+        F.round(F.col("cos"), 6).alias("similarity"),
+        "rank",
+        F.lit(
+            stats["cells_compacted"] >= 1
+            and stats["files_after"] < stats["files_before"]
+        ).alias("files_reduced_ok"),
+        F.lit(rows_after == rows_before).alias("rows_preserved_ok"),
+    )

