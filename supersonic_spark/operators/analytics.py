@@ -400,6 +400,93 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return u.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def mg_heavy_hitters(df: DataFrame, key, k: int = 100) -> DataFrame:
+    """Misra-Gries / SpaceSaving heavy hitters: the top keys by frequency
+    WITHOUT an exact ``groupBy(key)`` — the dual of :func:`cms_build`.
+    CMS answers "how often does THIS key occur" (overestimate, needs the
+    probe keys up front); Misra-Gries answers "WHICH keys are hot"
+    (underestimate, discovers them) with at most ``k`` counters per
+    partition.  At 100 TB this is the pre-flight skew detector for join
+    and aggregation keys when the key cardinality is itself too large for
+    :func:`key_profile`'s exact count table: per-task state is bounded at
+    ``k`` counters regardless of distinct-key count, and the shuffle
+    moves at most ``(k+1) × partitions`` summary rows, never the corpus.
+
+    Algorithm (batched Misra-Gries, per partition): merge each Arrow
+    batch's exact ``value_counts`` into a running counter table; when it
+    exceeds ``k`` entries, subtract the (k+1)-th largest count from every
+    counter and drop the non-positive ones — the vectorized equivalent of
+    ``cut`` classic decrement rounds.  Per-partition summaries merge by
+    key-wise sum (counter addition; error bounds add), so the guarantees
+    survive distribution (Agarwal et al., "Mergeable Summaries", PODS'12):
+
+    - ``est(x) <= true(x)`` for every reported key (underestimate-only),
+    - ``true(x) - est(x) <= err_bound`` (the summed decrement total ``D``,
+      returned on every row),
+    - every key with ``true(x) > err_bound`` IS in the summary,
+    - with ``k >=`` per-partition distinct keys no decrement ever fires,
+      ``err_bound == 0`` and the summary is exact.
+
+    NULL keys are EXCLUDED (a NULL never matches in a join, so it cannot
+    be a join-skew hitter; coalesce first to count them as a class).
+
+    Returns at most ``k`` rows ``(key, est, err_bound)``, highest ``est``
+    first.  One corpus scan, one (k+1)·P-row shuffle; the global window
+    that stamps ``err_bound`` runs one task over that summary table —
+    bounded by k × partitions, never by data volume.
+    """
+    from supersonic_spark.operators.sort import SortKey, extended_sort
+
+    key_name = key if isinstance(key, str) else "key"
+    key_t = df.select(_c(key).alias("__k")).schema["__k"].dataType.simpleString()
+    part_schema = f"__k {key_t}, cnt bigint, is_dec boolean"
+
+    def gen(batches):
+        import pandas as pd
+
+        counters = None
+        dec = 0
+        for pdf in batches:
+            vc = pdf["__k"].value_counts(dropna=True)
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                counters = counters.sort_values(ascending=False, kind="stable")
+                cut = int(counters.iloc[k])
+                dec += cut
+                counters = counters.iloc[:k] - cut
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield pd.DataFrame(
+                {
+                    "__k": counters.index,
+                    "cnt": counters.values.astype("int64"),
+                    "is_dec": False,
+                }
+            )
+        if dec:
+            yield pd.DataFrame(
+                {
+                    "__k": pd.Series([None], dtype="object"),
+                    "cnt": pd.Series([dec], dtype="int64"),
+                    "is_dec": True,
+                }
+            )
+
+    partial = df.select(_c(key).alias("__k")).mapInPandas(gen, part_schema)
+    agg = partial.groupBy("__k", "is_dec").agg(F.sum("cnt").alias("est"))
+    # one global window over the (<= (k+1)·P)-row summary stamps the
+    # summed decrement total on every row without a second corpus scan
+    err = F.coalesce(
+        F.sum(F.when(F.col("is_dec"), F.col("est"))).over(Window.partitionBy()),
+        F.lit(0),
+    )
+    summary = agg.withColumn("err_bound", err).filter(~F.col("is_dec"))
+    topk = extended_sort(
+        summary, [SortKey("est", ascending=False), SortKey("__k")], limit=k
+    )
+    return topk.select(F.col("__k").alias(key_name), "est", "err_bound")
+
+
 def quantile_bucketize(
     df: DataFrame,
     value,

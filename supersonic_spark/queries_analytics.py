@@ -507,3 +507,86 @@ def q_streaming_cms_heavy_hitters(spark, sf_dir):
         )
         .orderBy(F.col("exact_cnt").desc(), "user_id")
     )
+
+
+_MG_ORACLE = """
+WITH c AS (SELECT l_suppkey, count(*) AS est FROM lineitem GROUP BY 1),
+     t AS (SELECT * FROM c ORDER BY est DESC, l_suppkey LIMIT 10)
+SELECT l_suppkey, est,
+       TRUE AS exact_mode_ok, TRUE AS underestimate_ok, TRUE AS err_bound_ok,
+       TRUE AS bounded_size_ok, TRUE AS completeness_ok
+FROM t ORDER BY est DESC, l_suppkey
+"""
+
+
+@q("mg_heavy_hitters", _MG_ORACLE)
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters — the discovery dual of cms_heavy_
+    hitters (CMS estimates known keys from above; MG finds the hot keys
+    from below with k counters per task).  Two modes in one query: with
+    k >= per-partition distinct keys no decrement fires and the summary
+    IS the exact count table — that half is value-matched against
+    DuckDB's exact top-10 (and pinned exact by err_bound == 0).  A
+    second k=16 sketch forces decrements, and the in-plan booleans
+    recompute its deterministic guarantees corpus-wide: every reported
+    est <= exact (underestimate-only), exact - est <= err_bound
+    (summed decrement total), at most k rows, and every key with
+    exact > err_bound is reported (completeness)."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+
+    exact_mode = analytics.mg_heavy_hitters(li, "l_suppkey", k=4096)
+    top10 = sort_ops.extended_sort(
+        exact_mode,
+        [SortKey("est", ascending=False), SortKey("l_suppkey")],
+        limit=10,
+    )
+    exact_ok = exact_mode.agg(
+        (
+            F.coalesce(F.sum((F.col("err_bound") != 0).cast("int")), F.lit(0)) == 0
+        ).alias("exact_mode_ok")
+    )
+
+    sk = analytics.mg_heavy_hitters(li, "l_suppkey", k=16)
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("__exact"))
+    j = sk.join(exact, "l_suppkey", "left")
+    sk_ok = j.agg(
+        (
+            F.coalesce(F.sum((F.col("est") > F.col("__exact")).cast("int")), F.lit(0))
+            == 0
+        ).alias("underestimate_ok"),
+        (
+            F.coalesce(
+                F.sum(
+                    (F.col("__exact") - F.col("est") > F.col("err_bound")).cast("int")
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("err_bound_ok"),
+        (F.count(F.lit(1)) <= 16).alias("bounded_size_ok"),
+    )
+    d = sk.agg(F.max("err_bound").alias("__d"))
+    missing_heavy = (
+        exact.crossJoin(F.broadcast(d))
+        .filter(F.col("__exact") > F.col("__d"))
+        .join(sk.select("l_suppkey"), "l_suppkey", "left_anti")
+    )
+    comp_ok = missing_heavy.agg(
+        (F.count(F.lit(1)) == 0).alias("completeness_ok")
+    )
+    return (
+        top10.crossJoin(F.broadcast(exact_ok))
+        .crossJoin(F.broadcast(sk_ok))
+        .crossJoin(F.broadcast(comp_ok))
+        .select(
+            "l_suppkey",
+            "est",
+            "exact_mode_ok",
+            "underestimate_ok",
+            "err_bound_ok",
+            "bounded_size_ok",
+            "completeness_ok",
+        )
+        .orderBy(F.col("est").desc(), "l_suppkey")
+    )

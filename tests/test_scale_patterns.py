@@ -981,3 +981,43 @@ def test_stream_cms_matches_batch_and_replays(spark, tmp_path):
     # skipped by the manifest — the sketch is unchanged, not doubled
     again = {(r["depth"], r["bucket"]): r["cnt"] for r in drain().collect()}
     assert again == want
+
+
+def test_mg_heavy_hitters_guarantees(spark):
+    """Misra-Gries sketch: bounded size, underestimate-only, error within
+    the summed decrement bound D <= N/(k+1), guaranteed discovery of keys
+    with freq > D, and exactness (err_bound == 0) when k exceeds the
+    per-partition distinct-key count."""
+    from collections import Counter
+
+    from supersonic_spark.operators.analytics import mg_heavy_hitters
+
+    keys = ["a"] * 400 + ["b"] * 100 + [f"c{i}" for i in range(200)]
+    exact = Counter(keys)
+    df = spark.createDataFrame([(x,) for x in keys], "key string")
+
+    sk = mg_heavy_hitters(df, "key", k=8).collect()
+    assert 0 < len(sk) <= 8
+    d = sk[0]["err_bound"]
+    assert d <= len(keys) / (8 + 1)
+    for r in sk:
+        assert r["est"] <= exact[r["key"]]
+        assert exact[r["key"]] - r["est"] <= d
+        assert r["err_bound"] == d
+    got = {r["key"] for r in sk}
+    # every key whose true frequency exceeds D must be discovered;
+    # f(a)=400 and f(b)=100 both exceed the D <= 700/9 ceiling
+    assert {x for x, c in exact.items() if c > d} <= got
+    assert {"a", "b"} <= got
+
+    # exact mode: k above the distinct-key count => no decrements ever
+    full = mg_heavy_hitters(df, "key", k=1000).collect()
+    assert all(r["err_bound"] == 0 for r in full)
+    assert {r["key"]: r["est"] for r in full} == dict(exact)
+
+    # NULL keys are excluded, not counted as a class
+    with_null = spark.createDataFrame(
+        [("x",), (None,), (None,), ("x",)], "key string"
+    )
+    nn = mg_heavy_hitters(with_null, "key", k=4).collect()
+    assert {r["key"]: r["est"] for r in nn} == {"x": 2}
