@@ -239,16 +239,18 @@ def _bucket_self_pairs(
     as salted_join's right-side explode.
 
     ``skew_salt="auto"``: run the :func:`auto_skew_salt` pre-flight and
-    salt only when a bucket is actually hot.  The banded table is
-    persisted (MEMORY_AND_DISK) so the probe does not recompute the
-    signatures the join needs anyway.
+    salt only when a bucket is actually hot.  The probe is one extra
+    partial-aggregated scan of the banded plan (tiny shuffle: one count
+    per bucket key), deliberately NOT a persist: caching the exploded
+    rows×bands table for the probe would either be released before the
+    pairs join materializes (pure overhead) or leak into executor
+    memory/disk for the session lifetime — and at 100 TB a
+    MEMORY_AND_DISK materialization of corpus×bands rows costs more
+    than the recomputing scan it saves.
     """
     from functools import reduce as _reduce
 
     if skew_salt == "auto":
-        from pyspark import StorageLevel
-
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         skew_salt = auto_skew_salt(banded, keys)
 
     def keycond(l, r):

@@ -42,6 +42,30 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         out.close()
 
 
+def _fs_write_text_atomic(spark, path: str, text: str) -> None:
+    """Publish a small text file by write-to-temp-then-rename (the same
+    discipline as :func:`_staged_partition_append`).  ``_fs_write_text``
+    truncates the destination in place, so a crash mid-write leaves a
+    corrupt file; manifests that gate exactly-once commits must never be
+    observable half-written.  Rename is atomic on HDFS and local FS; the
+    delete+rename pair leaves at worst a missing-file window, which
+    readers treat as "no manifest yet" — never a truncated one."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = hpath(path + ".__staging__")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"atomic publish failed: rename {tmp} -> {p}")
+
+
 def _fs_read_text(spark, path: str) -> str:
     """Read a small text file through the Hadoop FileSystem API (twin of
     :func:`_fs_write_text`)."""
@@ -976,7 +1000,18 @@ def mmr_topk(
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["__qid"].iloc[0]
         cids = pdf["__cid"].to_numpy()
-        fields = pdf["__fld"].to_numpy() if use_field else None
+        # Normalize the field array so nulls share ONE quota bucket: pandas
+        # turns nulls in a numeric field_col into NaN, and each access then
+        # yields a fresh np.float64(nan) with NaN != NaN — so dict lookups
+        # never match and null-field candidates would bypass max_per_field
+        # entirely.  Map null/NaN to a sentinel before the loop.
+        fields = (
+            pdf["__fld"].astype(object)
+            .where(pdf["__fld"].notna(), "__null__")
+            .to_numpy()
+            if use_field
+            else None
+        )
         V = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
         qv = np.asarray(pdf["__qv"].iloc[0], dtype=np.float64)
         # zero-norm guard (as in semdedup): an all-zero vector scores 0
@@ -1215,6 +1250,44 @@ def ivf_cell_profile(spark, path: str) -> DataFrame:
     )
 
 
+def _committed_cell_files(spark, root: str) -> dict[str, list[str]]:
+    """Per-``cell=`` data file names, EXCLUDING uncommitted streaming-append
+    leftovers: a ``batch{id}-*`` file whose id is absent from the append
+    manifests belongs to a crash-interrupted micro-batch that the stream's
+    replay will sweep and re-publish — any maintenance op that folds it
+    into new files would hide it from that sweep and duplicate the batch.
+    Shared by :func:`ann_index_compact` and :func:`ivf_index_rebalance`."""
+    import json
+    import re
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    committed: set[str] = set()
+    for manifest in ("_ivf_appended_batches.json", "_ivfpq_appended_batches.json"):
+        try:
+            ids = json.loads(_fs_read_text(spark, f"{root}/{manifest}"))
+            committed |= {f"batch{i}-" for i in ids}
+        except Exception:
+            pass
+    batch_pref = re.compile(r"^(batch\d+-)")
+    out: dict[str, list[str]] = {}
+    for cell_st in fs.globStatus(hpath(f"{root}/cell=*")) or []:
+        if not cell_st.isDirectory():
+            continue
+        names = []
+        for st in fs.listStatus(cell_st.getPath()):
+            nm = st.getPath().getName()
+            if nm.startswith(("_", ".")):
+                continue
+            m = batch_pref.match(nm)
+            if m and m.group(1) not in committed:
+                continue  # uncommitted append leftover: the replay owns it
+            names.append(nm)
+        out[cell_st.getPath().getName()] = names
+    return out
+
+
 def ann_index_compact(
     spark,
     path: str,
@@ -1252,7 +1325,6 @@ def ann_index_compact(
     Returns ``{"cells_compacted": n, "files_before": a, "files_after": b}``.
     """
     import json
-    import re
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -1260,31 +1332,10 @@ def ann_index_compact(
     root = path.rstrip("/")
     _index_compact_recover(spark, path)
 
-    committed: set[str] = set()
-    for manifest in ("_ivf_appended_batches.json", "_ivfpq_appended_batches.json"):
-        try:
-            ids = json.loads(_fs_read_text(spark, f"{root}/{manifest}"))
-            committed |= {f"batch{i}-" for i in ids}
-        except Exception:
-            pass
-    batch_pref = re.compile(r"^(batch\d+-)")
-
     staging = f"{root}/_staging-compact"
     intent_path = f"{root}/_compact_intent.json"
     stats = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
-    for cell_st in fs.globStatus(hpath(f"{root}/cell=*")) or []:
-        if not cell_st.isDirectory():
-            continue
-        cell = cell_st.getPath().getName()
-        names = []
-        for st in fs.listStatus(cell_st.getPath()):
-            nm = st.getPath().getName()
-            if nm.startswith(("_", ".")):
-                continue
-            m = batch_pref.match(nm)
-            if m and m.group(1) not in committed:
-                continue  # uncommitted append leftover: the replay owns it
-            names.append(nm)
+    for cell, names in _committed_cell_files(spark, root).items():
         stats["files_before"] += len(names)
         if len(names) < max(min_files, target_files_per_cell + 1):
             stats["files_after"] += len(names)
@@ -1299,7 +1350,7 @@ def ann_index_compact(
             for st in fs.globStatus(hpath(f"{cell_staging}/part-*")) or []
         ]
         new = [f"compact-{n}" for n in staged]
-        _fs_write_text(
+        _fs_write_text_atomic(
             spark,
             intent_path,
             json.dumps({"cell": cell, "old": names, "staged": staged, "new": new}),
@@ -1386,16 +1437,45 @@ def ivf_index_rebalance(
     Cost shape: training reads a bounded deterministic sample; the
     reassignment pass is the same one-scan Arrow-batched assign as
     :func:`ivf_index_build`.  PQ indexes cannot rebalance this way (codes
-    are lossy) — rebuild those from the corpus."""
+    are lossy) — rebuild those from the corpus.
+
+    Only COMMITTED files are read (same filter as :func:`ann_index_compact`):
+    an uncommitted ``batch{id}-*`` leftover from a crash-interrupted
+    streaming append belongs to the stream's replay — folding it into the
+    new index would duplicate the batch when the repointed stream replays
+    it.  The ``_ivf_appended_batches.json`` manifest is copied to
+    ``out_path`` so a stream repointed at the new index keeps its
+    replay-skip set."""
     import json
 
-    old = json.loads(_fs_read_text(spark, path.rstrip("/") + "/_ivf_centroids.json"))
-    idx = spark.read.parquet(path)
-    return ivf_index_build(
+    root = path.rstrip("/")
+    old = json.loads(_fs_read_text(spark, root + "/_ivf_centroids.json"))
+    paths = [
+        f"{root}/{cell}/{n}"
+        for cell, names in _committed_cell_files(spark, root).items()
+        for n in names
+    ]
+    if paths:
+        # basePath keeps the cell= partition column derivable from the
+        # explicit file list (not that rebalance needs it — reassignment
+        # recomputes cells — but the schema stays identical to a dir read)
+        idx = spark.read.option("basePath", root).parquet(*paths)
+    else:
+        idx = spark.read.parquet(path).limit(0)
+    cents = ivf_index_build(
         idx, "id", "vec", out_path,
         n_cells=n_cells if n_cells is not None else len(old),
         train=True, sample_size=sample_size, iters=iters,
     )
+    try:
+        manifest = _fs_read_text(spark, root + "/_ivf_appended_batches.json")
+    except Exception:
+        manifest = None
+    if manifest is not None:
+        _fs_write_text_atomic(
+            spark, out_path.rstrip("/") + "/_ivf_appended_batches.json", manifest
+        )
+    return cents
 
 
 def ivf_index_probe(

@@ -45,13 +45,21 @@ def job_group(spark: SparkSession, group_id: str, description: str = ""):
     "kill the runaway query" and "restart the application".
     """
     sc = spark.sparkContext
+    # Scopes nest: restore the caller's group on exit (not clear it), so a
+    # benchmark_operation inside an outer job_group doesn't strip the outer
+    # scope's cancellability from subsequent actions on this thread.
+    prev_id = sc.getLocalProperty("spark.jobGroup.id")
+    prev_desc = sc.getLocalProperty("spark.job.description")
+    prev_cancel = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(group_id, description, interruptOnCancel=True)
     try:
         yield group_id
     finally:
-        # clear the tag so later actions on this thread aren't cancellable
-        # under a stale group id
-        sc.setJobGroup(None, None)
+        if prev_id is None:
+            sc.setJobGroup(None, None)
+        else:
+            sc.setJobGroup(prev_id, prev_desc or "",
+                           interruptOnCancel=(prev_cancel == "true"))
 
 
 def interrupt(spark: SparkSession, group_id: str) -> None:

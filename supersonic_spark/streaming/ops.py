@@ -389,7 +389,7 @@ def stream_ivf_index_append(
 
     from supersonic_spark.pipeline.similarity import (
         _fs_read_text,
-        _fs_write_text,
+        _fs_write_text_atomic,
         ivf_index_append_atomic,
     )
 
@@ -403,7 +403,7 @@ def stream_ivf_index_append(
         if batch_id in done:
             return  # replayed batch: already committed
         ivf_index_append_atomic(df, vec_id, vec_col, index_path, tag=f"batch{batch_id}")
-        _fs_write_text(df.sparkSession, manifest, json.dumps(sorted(done | {batch_id})))
+        _fs_write_text_atomic(df.sparkSession, manifest, json.dumps(sorted(done | {batch_id})))
 
     q = (
         stream_vectors.writeStream.foreachBatch(write_batch)
@@ -438,7 +438,7 @@ def stream_ivfpq_index_append(
 
     from supersonic_spark.pipeline.similarity import (
         _fs_read_text,
-        _fs_write_text,
+        _fs_write_text_atomic,
         ivfpq_index_append_atomic,
     )
 
@@ -452,7 +452,7 @@ def stream_ivfpq_index_append(
         if batch_id in done:
             return  # replayed batch: already committed
         ivfpq_index_append_atomic(df, vec_id, vec_col, index_path, tag=f"batch{batch_id}")
-        _fs_write_text(df.sparkSession, manifest, json.dumps(sorted(done | {batch_id})))
+        _fs_write_text_atomic(df.sparkSession, manifest, json.dumps(sorted(done | {batch_id})))
 
     q = (
         stream_vectors.writeStream.foreachBatch(write_batch)
@@ -474,6 +474,7 @@ def stream_cms_build(
     depth: int = 5,
     width: int = 1024,
     await_seconds: int = 300,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Continuous frequency monitoring: maintain a count-min sketch over
     a key STREAM.  Per micro-batch: build the batch's own sketch (the
@@ -497,18 +498,47 @@ def stream_cms_build(
     import json
 
     from supersonic_spark.operators.analytics import cms_build, cms_merge
-    from supersonic_spark.pipeline.similarity import _fs_read_text, _fs_write_text
+    from supersonic_spark.pipeline.similarity import (
+        _fs_read_text,
+        _fs_write_text_atomic,
+    )
 
     spark = stream_df.sparkSession
     root = sketch_path.rstrip("/")
     manifest = f"{root}/_cms_manifest.json"
+
+    def _latest_version_dir(sess) -> int | None:
+        """Newest surviving ``_v{batch_id}`` dir — the recovery anchor when
+        the manifest is missing or unreadable.  The version dir is written
+        BEFORE the manifest commit, so the newest one is always a superset
+        of the last committed state; resuming from it can never discard
+        merged history (the failure ADVICE r5 flagged)."""
+        jvm = sess._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        fs = hpath(root).getFileSystem(sess._jsc.hadoopConfiguration())
+        vers = []
+        for st in fs.globStatus(hpath(f"{root}/_v*")) or []:
+            name = st.getPath().getName()
+            try:
+                vers.append(int(name[2:]))
+            except ValueError:
+                continue
+        return max(vers) if vers else None
 
     def _committed(sess):
         try:
             m = json.loads(_fs_read_text(sess, manifest))
             return set(m["batches"]), m["version"]
         except Exception:
-            return set(), None
+            # Manifest missing or corrupt.  Distinguish "fresh sketch"
+            # (no version dirs) from "manifest lost": in the latter case
+            # resume from the newest version dir instead of an empty
+            # sketch — starting empty would silently discard all merged
+            # history and the next GC would delete the old _v* dirs.
+            ver = _latest_version_dir(sess)
+            if ver is None:
+                return set(), None
+            return {ver}, ver
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         sess = df.sparkSession
@@ -519,7 +549,9 @@ def stream_cms_build(
         if ver is not None:
             sk = cms_merge(sess.read.parquet(f"{root}/_v{ver}"), sk)
         sk.coalesce(1).write.mode("overwrite").parquet(f"{root}/_v{batch_id}")
-        _fs_write_text(
+        # Atomic publish (write-temp-then-rename): a crash mid-commit must
+        # leave the previous manifest intact, never a truncated one.
+        _fs_write_text_atomic(
             sess,
             manifest,
             json.dumps({"batches": sorted(done | {batch_id}), "version": batch_id}),
@@ -534,11 +566,16 @@ def stream_cms_build(
             if st.getPath().getName() not in keep:
                 fs.delete(st.getPath(), True)
 
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream_df.writeStream.foreachBatch(write_batch).trigger(
+        availableNow=True
     )
+    if checkpoint is not None:
+        # production shape: a stable checkpoint makes restarts resume at the
+        # next unprocessed file with CONTINUING batch ids (real exactly-once);
+        # without it, every drain replays the source and relies solely on the
+        # batch-id manifest to converge
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
     if not q.awaitTermination(await_seconds):
         q.stop()
         raise TimeoutError(

@@ -510,6 +510,54 @@ def test_ann_index_compact(spark, tables, tmp_path):
     assert len(ids) == len(set(ids)) == n_rows
 
 
+def test_ivf_rebalance_excludes_uncommitted_and_copies_manifest(
+    spark, tables, tmp_path
+):
+    """Rebalance reads COMMITTED files only (the ann_index_compact filter):
+    an uncommitted batch{id}-* crash leftover is left to the stream's
+    replay, never folded into the new index (that would duplicate the
+    batch after the replay re-appends it).  The append manifest sidecar is
+    copied to out_path so a repointed stream keeps its replay-skip set."""
+    import json
+
+    emb = tables["embeddings"]
+    base = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b1 = emb.filter(F.col("vec_id") % 3 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b2 = emb.filter(F.col("vec_id") % 3 == 2).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    path = str(tmp_path / "ivf_rebal")
+    similarity.ivf_index_build(base, "cid", "cv", path, n_cells=4, train=True)
+    # committed append (tag in manifest) + uncommitted crash leftover
+    similarity.ivf_index_append_atomic(b1, "cid", "cv", path, tag="batch0")
+    similarity._fs_write_text(
+        spark, path + "/_ivf_appended_batches.json", json.dumps([0])
+    )
+    similarity.ivf_index_append_atomic(b2, "cid", "cv", path, tag="batch7")
+    n_committed = base.count() + b1.count()
+
+    out = str(tmp_path / "ivf_rebal_out")
+    similarity.ivf_index_rebalance(spark, path, out, n_cells=4)
+    new_ids = [r["id"] for r in spark.read.parquet(out).select("id").collect()]
+    assert len(new_ids) == len(set(new_ids)) == n_committed
+    committed_ids = {r["cid"] for r in base.collect()} | {
+        r["cid"] for r in b1.collect()
+    }
+    assert set(new_ids) == committed_ids  # batch7 rows excluded
+    # manifest travels with the index: the repointed stream skips batch 0
+    assert json.loads(
+        similarity._fs_read_text(spark, out + "/_ivf_appended_batches.json")
+    ) == [0]
+    # replaying the uncommitted batch into the NEW index converges to one copy
+    similarity.ivf_index_append_atomic(b2, "cid", "cv", out, tag="batch7")
+    ids2 = [r["id"] for r in spark.read.parquet(out).select("id").collect()]
+    assert len(ids2) == len(set(ids2)) == n_committed + b2.count()
+
+
 def test_ann_index_compact_recovery(spark, tables, tmp_path):
     """Crash-recovery intent protocol: with staged files + intent on
     disk but nothing published (crash right after the intent write),
@@ -706,6 +754,41 @@ def test_mmr_field_quota(spark):
     # unconstrained returns all four
     free = similarity.mmr_topk(short, q, c, "qid", "qv", "cid", "cv", k=4)
     assert free.count() == 4
+
+
+def test_mmr_null_field_quota(spark):
+    """NULL field values share ONE quota bucket.  With a NUMERIC field_col,
+    pandas turns nulls into NaN and NaN != NaN, so without normalization
+    every null-field candidate would bypass max_per_field (each dict probe
+    misses).  Three null-field candidates + max_per_field=1 must yield
+    exactly one null-field pick."""
+    rows = [
+        (0, 1, [1.0, 0.0, 0.0, 0.0]),
+        (10, None, [0.99, 0.1, 0.0, 0.0]),   # null field, best
+        (11, None, [0.95, 0.0, 0.3, 0.0]),   # null field
+        (12, None, [0.9, 0.0, 0.0, 0.4]),    # null field
+        (13, 7, [0.5, 0.0, 0.8, 0.0]),       # real int field
+    ]
+    df = core.scan_view(
+        spark, [(i, f, [float(x) for x in v]) for i, f, v in rows],
+        "vid long, grp int, vec array<double>",
+    )
+    q = df.filter(F.col("vid") == 0).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qv")
+    )
+    c = df.filter(F.col("vid") > 0).select(
+        F.col("vid").alias("cid"), F.col("grp"), F.col("vec").alias("cv")
+    )
+    short = c.select(F.lit(0).alias("qid"), F.col("cid"))
+    out = similarity.mmr_topk(
+        short, q, c, "qid", "qv", "cid", "cv", k=4, lam=0.9,
+        field_col="grp", max_per_field=1,
+    ).collect()
+    picked = [r["corpus_id"] for r in out]
+    # 2 fields total (NULL-class, 7): quota of 1 each -> exactly 2 rows
+    assert len(picked) == 2
+    assert sum(1 for p in picked if p in (10, 11, 12)) == 1
+    assert 13 in picked
 
 
 def test_minhash_band_validation(spark, docs):

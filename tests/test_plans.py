@@ -242,6 +242,24 @@ def test_plan_to_dot(spark, tables):
         plan_to_dot(df, which="bogus")
 
 
+def test_job_group_nesting_restores_outer_group(spark):
+    """Nested cancellation scopes: an inner job_group (e.g. the implicit
+    ``bench:<name>`` group inside benchmark_operation) must RESTORE the
+    outer group on exit, not clear it — otherwise actions after the inner
+    scope silently lose the outer scope's cancellability."""
+    from supersonic_spark.plans.instrument import benchmark_operation, job_group
+
+    sc = spark.sparkContext
+    with job_group(spark, "outer-group", "outer scope"):
+        benchmark_operation("nested", spark.range(10))
+        assert sc.getLocalProperty("spark.jobGroup.id") == "outer-group"
+        assert sc.getLocalProperty("spark.job.interruptOnCancel") == "true"
+        with job_group(spark, "inner-group", "inner scope"):
+            assert sc.getLocalProperty("spark.jobGroup.id") == "inner-group"
+        assert sc.getLocalProperty("spark.jobGroup.id") == "outer-group"
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
+
+
 def test_job_group_interrupt_cancels_running_query(spark):
     """Cursor::Interrupt (cursor/base/cursor.h:150-186): a long-running
     query started inside a job_group is cancellable from ANOTHER thread;

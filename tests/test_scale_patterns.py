@@ -983,6 +983,75 @@ def test_stream_cms_matches_batch_and_replays(spark, tmp_path):
     assert again == want
 
 
+def test_stream_cms_manifest_corruption_recovers_history(spark, tmp_path):
+    """A truncated/corrupt ``_cms_manifest.json`` (the crash window a
+    non-atomic overwrite leaves) must NOT reset the sketch: recovery falls
+    back to the newest surviving ``_v*`` version dir, so the next batch
+    merges onto history instead of committing a batch-only sketch that
+    silently discards everything merged so far."""
+    from supersonic_spark.operators.analytics import cms_build
+    from supersonic_spark.pipeline.similarity import _fs_write_text
+    from supersonic_spark.streaming.ops import stream_cms_build
+
+    depth, width = 3, 32
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sketch_path = str(tmp_path / "sketch")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        # shared checkpoint = real restart semantics: batch ids continue,
+        # already-processed files do NOT replay
+        return stream_cms_build(
+            stream, sketch_path, "key", depth, width, checkpoint=ckpt
+        )
+
+    hist = [("x",)] * 40 + [("y",)] * 25
+    spark.createDataFrame(hist, "key string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    # crash mid-manifest-write: corrupt JSON on disk
+    _fs_write_text(
+        spark, sketch_path + "/_cms_manifest.json", '{"batches": [0], "ver'
+    )
+    new = [("z",)] * 10
+    spark.createDataFrame(new, "key string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got_df = drain()
+    got = {(r["depth"], r["bucket"]): r["cnt"] for r in got_df.collect()}
+    full = spark.createDataFrame(hist + new, "key string")
+    want = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in cms_build(full, "key", depth, width).collect()
+    }
+    assert got == want  # history survived the corrupt manifest
+
+
+def test_fs_write_text_atomic_overwrites(spark, tmp_path):
+    """Atomic publish: overwriting an existing file lands the full new
+    content (rename, not in-place truncate+write) and leaves no staging
+    turd behind."""
+    import os
+
+    from supersonic_spark.pipeline.similarity import (
+        _fs_read_text,
+        _fs_write_text_atomic,
+    )
+
+    p = str(tmp_path / "m.json")
+    _fs_write_text_atomic(spark, p, "AAAA")
+    assert _fs_read_text(spark, p) == "AAAA"
+    _fs_write_text_atomic(spark, p, "BB")
+    assert _fs_read_text(spark, p) == "BB"
+    assert not os.path.exists(p + ".__staging__")
+
+
 def test_mg_heavy_hitters_guarantees(spark):
     """Misra-Gries sketch: bounded size, underestimate-only, error within
     the summed decrement bound D <= N/(k+1), guaranteed discovery of keys
