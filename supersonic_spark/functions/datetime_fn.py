@@ -9,9 +9,14 @@ MakeDate/MakeDatetime (:56-62), ParseDateTime/DateFormat strftime-style
 (:81,:168-175), UTC extractors Year..Microsecond (:87-134) with *Local
 variants (session-timezone), AddMinute(s)/AddDay(s)/AddMonth(s) (:137-156).
 
-All extractors below are the UTC variants when the session timezone is UTC
-(supersonic_spark.session sets this); *_local variants use whatever the
-session timezone is — same split as the reference.
+All plain extractors below are the UTC variants when the session timezone
+is UTC (supersonic_spark.session pins this).  The paired ``*_local``
+variants (date_expressions.h:87-134 *Local, :168-175 DateFormatLocal)
+extract in an explicit IANA timezone — or, with ``tz=None``, in whatever
+the session timezone is (the reference's process-local semantics).  They
+are implemented by converting the instant to a TIMESTAMP_NTZ wall clock in
+the target zone (``convert_timezone``), so they stay correct — including
+across DST transitions — regardless of the session timezone setting.
 """
 
 from __future__ import annotations
@@ -130,6 +135,66 @@ def microsecond(ts) -> Column:
     """µs within the second (date_expressions.h:131-134).  unix_micros is
     exact µs since epoch; mod 1e6 with floor-mod for pre-epoch values."""
     return F.pmod(F.unix_micros(_c(ts)), F.lit(1_000_000)).cast("int")
+
+
+# --- *Local extractors (date_expressions.h:87-134,168-175) ---
+
+def local_wallclock(ts, tz: str | None = None) -> Column:
+    """The instant ``ts`` as a naive TIMESTAMP_NTZ wall clock in ``tz``
+    (IANA name) — or in the session timezone when ``tz`` is None, matching
+    the reference's process-local *Local semantics.  The NTZ cast renders
+    the instant in the session zone; ``convert_timezone`` then re-renders
+    that wall clock in the target zone.  Extractors over NTZ are
+    timezone-agnostic, so the composition is session-setting-independent."""
+    ntz = _c(ts).cast("timestamp").cast("timestamp_ntz")
+    if tz is None:
+        return ntz
+    return F.convert_timezone(F.current_timezone(), F.lit(tz), ntz)
+
+
+def year_local(ts, tz: str | None = None) -> Column:
+    return F.year(local_wallclock(ts, tz))
+
+
+def quarter_local(ts, tz: str | None = None) -> Column:
+    return F.quarter(local_wallclock(ts, tz))
+
+
+def month_local(ts, tz: str | None = None) -> Column:
+    return F.month(local_wallclock(ts, tz))
+
+
+def day_local(ts, tz: str | None = None) -> Column:
+    return F.dayofmonth(local_wallclock(ts, tz))
+
+
+def weekday_local(ts, tz: str | None = None) -> Column:
+    """0=Monday..6=Sunday, as :func:`weekday`."""
+    return (F.dayofweek(local_wallclock(ts, tz)) + 5) % 7
+
+
+def yearday_local(ts, tz: str | None = None) -> Column:
+    return F.dayofyear(local_wallclock(ts, tz))
+
+
+def hour_local(ts, tz: str | None = None) -> Column:
+    return F.hour(local_wallclock(ts, tz))
+
+
+def minute_local(ts, tz: str | None = None) -> Column:
+    return F.minute(local_wallclock(ts, tz))
+
+
+def second_local(ts, tz: str | None = None) -> Column:
+    return F.second(local_wallclock(ts, tz))
+
+
+def date_format_local(ts, fmt: str, tz: str | None = None, strftime: bool = False) -> Column:
+    """DateFormatLocal (date_expressions.h:168-175): format the instant's
+    wall clock in ``tz`` (session timezone when None)."""
+    return F.date_format(
+        local_wallclock(ts, tz), strftime_to_spark(fmt) if strftime else fmt
+    )
 
 
 # --- arithmetic (date_expressions.h:137-156) — µs-exact ---

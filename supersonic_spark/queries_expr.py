@@ -230,6 +230,50 @@ def q_expr_datetime(spark, sf_dir):
 
 
 @q(
+    "expr_datetime_local",
+    """SELECT event_id,
+              year(tsw)::INT AS y_local, quarter(tsw)::INT AS qtr_local,
+              month(tsw)::INT AS mon_local, dayofmonth(tsw)::INT AS dom_local,
+              (isodow(tsw) - 1)::INT AS wd_local,
+              dayofyear(tsw)::INT AS doy_local,
+              hour(tsw)::INT AS h_local, minute(tsw)::INT AS mi_local,
+              second(tsw)::INT AS s_local,
+              strftime(tsw, '%Y-%m-%d %H:%M') AS fmt_local,
+              hour(CAST(ts AS TIMESTAMP))::INT AS h_session
+       FROM (SELECT event_id, ts,
+                    (CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+                      AT TIME ZONE 'Europe/Warsaw' AS tsw
+             FROM events) t""",
+)
+def q_expr_datetime_local(spark, sf_dir):
+    """*Local datetime variants (date_expressions.h:87-134 YearLocal…
+    SecondLocal, :168-175 DateFormatLocal): extract the instant's wall
+    clock in an explicit IANA zone — Europe/Warsaw here, which is
+    DST-active (+1/+2) so hour/day/weekday genuinely shift vs the UTC
+    extractors.  ``h_session`` pins the tz=None path (session timezone,
+    UTC under the engine pin) against DuckDB's plain extractor."""
+    t = _t(spark, sf_dir)
+    tz = "Europe/Warsaw"
+    return core.compute(
+        t["events"],
+        {
+            "event_id": F.col("event_id"),
+            "y_local": dt.year_local("ts", tz),
+            "qtr_local": dt.quarter_local("ts", tz),
+            "mon_local": dt.month_local("ts", tz),
+            "dom_local": dt.day_local("ts", tz),
+            "wd_local": dt.weekday_local("ts", tz),
+            "doy_local": dt.yearday_local("ts", tz),
+            "h_local": dt.hour_local("ts", tz),
+            "mi_local": dt.minute_local("ts", tz),
+            "s_local": dt.second_local("ts", tz),
+            "fmt_local": dt.date_format_local("ts", "yyyy-MM-dd HH:mm", tz=tz),
+            "h_session": dt.hour_local("ts"),
+        },
+    )
+
+
+@q(
     "expr_parse_cast",
     """SELECT event_id,
               TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS INTEGER) AS k_value,

@@ -15,6 +15,7 @@ threshold for dimension tables.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -110,6 +111,21 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
         except Exception:
             pass
     return spark
+
+
+@contextmanager
+def session_timezone(spark: SparkSession, tz: str):
+    """Run a block under a non-UTC session timezone (the reference's
+    process-local timezone that the ``*Local`` datetime variants read,
+    date_expressions.h:87-134).  Restores the previous setting on exit —
+    the engine's parity guarantees elsewhere assume the UTC pin, so a
+    leaked timezone change would silently shift every plain extractor."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 #: (session id, sf_dir, names) -> loaded DataFrames.  Reading 10 parquet

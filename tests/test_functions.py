@@ -194,6 +194,46 @@ def test_strftime_translation():
     assert dt.strftime_to_spark("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
 
 
+def test_datetime_local_variants(spark):
+    """*Local extractors (date_expressions.h:87-134,168-175): explicit-zone
+    extraction is DST-aware and independent of the session timezone; the
+    tz=None form reads the session timezone (the reference's process-local
+    semantics).  2024-03-31 01:30 UTC is 30 min past the Warsaw spring
+    jump (+1→+2), so Warsaw wall clock is 03:30."""
+    from supersonic_spark.session import session_timezone
+
+    ts = dtm.datetime(2024, 3, 31, 1, 30, 0)   # UTC instant
+    schema = "t timestamp"
+    data = [(ts,)]
+    assert col_vals(spark, dt.hour_local("t", "Europe/Warsaw"), schema, data) == [3]
+    assert col_vals(spark, dt.day_local("t", "Europe/Warsaw"), schema, data) == [31]
+    # New York is still on the 30th (21:30 EDT)
+    assert col_vals(spark, dt.day_local("t", "America/New_York"), schema, data) == [30]
+    assert col_vals(spark, dt.hour_local("t", "America/New_York"), schema, data) == [21]
+    assert col_vals(
+        spark, dt.date_format_local("t", "%Y-%m-%d %H:%M", tz="Europe/Warsaw",
+                                    strftime=True), schema, data
+    ) == ["2024-03-31 03:30"]
+    # tz=None == session timezone; UTC pin first, then a non-UTC session.
+    # Build the DataFrame UNDER UTC (createDataFrame interprets naive
+    # datetimes in the session zone) and only EVALUATE inside the block —
+    # the instant must stay fixed while the session zone changes.
+    assert col_vals(spark, dt.hour_local("t"), schema, data) == [1]
+    df = core.scan_view(spark, data, schema)
+
+    def ev(expr):
+        return df.select(expr.alias("out")).collect()[0]["out"]
+
+    with session_timezone(spark, "Europe/Warsaw"):
+        assert ev(dt.hour_local("t")) == 3
+        # explicit-tz extraction must NOT double-shift under a non-UTC
+        # session: the answer is a property of (instant, zone) only
+        assert ev(dt.hour_local("t", "Europe/Warsaw")) == 3
+        assert ev(dt.hour_local("t", "America/New_York")) == 21
+        assert ev(dt.hour_local("t", "UTC")) == 1
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"  # restored
+
+
 # --- regexp (regexp_expressions.h) ---
 
 def test_regexp_family(spark):
