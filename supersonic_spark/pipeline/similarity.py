@@ -1314,7 +1314,14 @@ def ann_index_compact(
     way the cell converges with no loss and no durable duplicate.
     Readers mid-publish can transiently see old+new together (same
     visibility contract as the atomic appends; an ACID table format is
-    the snapshot-isolation upgrade).
+    the snapshot-isolation upgrade).  Because compaction DELETES the old
+    files after publishing their replacement, a reader that LISTED before
+    the compaction (Spark caches the file listing in the DataFrame) can
+    fail at read time with missing files — the reader contract is to
+    re-list on failure; :func:`ivf_index_probe` / :func:`ivfpq_index_probe`
+    satisfy it by construction (each call lists fresh).  Appends never
+    delete, so pre-append listings keep reading the old index; both
+    contracts are pinned by test_index_probe_visibility_during_publish.
 
     Files from a crash-interrupted, uncommitted streaming append
     (``batch{id}-*`` whose id is NOT in the append manifest) are

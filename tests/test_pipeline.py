@@ -510,6 +510,86 @@ def test_ann_index_compact(spark, tables, tmp_path):
     assert len(ids) == len(set(ids)) == n_rows
 
 
+def test_index_probe_visibility_during_publish(spark, tables, tmp_path):
+    """Concurrent reader/writer contract, pinned at every interleave point
+    of the publish protocol:
+
+    - APPEND is additive (stage hidden → per-file rename): a reader that
+      listed BEFORE the publish keeps reading the old index (old-visibility,
+      never an error); a reader listing MID-publish sees old + a prefix of
+      complete batch files (rename is atomic per file — never a torn file);
+      after, old+new.
+    - COMPACT deletes old files after publishing their replacement, so a
+      listing taken before compaction can fail at read time — the contract
+      is that probes RE-LIST (each ivf_index_probe call reads fresh); a
+      fresh read after compaction is membership-identical."""
+    import pytest as _pytest
+
+    from supersonic_spark.pipeline.similarity import _ivf_assign_batch
+
+    emb = tables["embeddings"]
+    base = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    b1 = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    path = str(tmp_path / "ivf_vis")
+    similarity.ivf_index_build(base, "cid", "cv", path, n_cells=4, train=True)
+    n0, n1 = base.count(), b1.count()
+    base_ids = {r["cid"] for r in base.collect()}
+    b1_ids = {r["cid"] for r in b1.collect()}
+
+    # reader listing BEFORE the append: pinned to the old index
+    pre = spark.read.parquet(path)
+
+    # stage (hidden dir): invisible to any reader
+    staging = path + "/_staging-batchZ"
+    _ivf_assign_batch(b1, "cid", "cv", path).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(staging)
+    assert spark.read.parquet(path).count() == n0
+
+    # publish ONE staged file (the mid-publish crash/race point)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    staged = list(fs.globStatus(hpath(f"{staging}/cell=*/part-*")) or [])
+    assert len(staged) >= 2  # need a genuine partial state
+    first, rest = staged[0], staged[1:]
+
+    def publish(st):
+        src = st.getPath()
+        cell = src.getParent().getName()
+        fs.mkdirs(hpath(f"{path}/{cell}"))
+        assert fs.rename(src, hpath(f"{path}/{cell}/batchZ-{src.getName()}"))
+
+    publish(first)
+    mid = spark.read.parquet(path).collect()  # fresh listing mid-publish
+    mid_ids = [r["id"] for r in mid]
+    assert n0 <= len(mid) < n0 + n1          # old + a strict prefix of new
+    assert len(mid_ids) == len(set(mid_ids))  # no duplicates
+    assert set(mid_ids) <= base_ids | b1_ids  # only real rows — no torn file
+    assert base_ids <= set(mid_ids)           # old rows all present
+
+    for st in rest:
+        publish(st)
+    fs.delete(hpath(staging), True)
+    assert spark.read.parquet(path).count() == n0 + n1
+    # the pre-append listing STILL reads the old index — old-or-new, no error
+    assert pre.count() == n0
+
+    # --- compaction: stale listings are invalidated, fresh reads identical
+    want = sorted((r["id"], r["cell"]) for r in spark.read.parquet(path).collect())
+    stale = spark.read.parquet(path)  # listing taken before compact
+    stats = similarity.ann_index_compact(spark, path, target_files_per_cell=1)
+    assert stats["cells_compacted"] >= 1
+    got = sorted((r["id"], r["cell"]) for r in spark.read.parquet(path).collect())
+    assert got == want                        # membership unchanged
+    with _pytest.raises(Exception):           # deleted files → reader must re-list
+        stale.count()
+
+
 def test_ivf_rebalance_excludes_uncommitted_and_copies_manifest(
     spark, tables, tmp_path
 ):
