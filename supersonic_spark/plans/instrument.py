@@ -70,6 +70,25 @@ def interrupt(spark: SparkSession, group_id: str) -> None:
     spark.sparkContext.cancelJobGroup(group_id)
 
 
+def interrupt_stream(spark: SparkSession, query_name: str) -> bool:
+    """Cursor::Interrupt for STREAMING queries (cursor/base/cursor.h:150-186
+    applied to a continuous cursor): stop the active streaming query named
+    ``query_name`` from any thread.  Spark's ``StreamingQuery.stop()`` is
+    the streaming face of job-group cancellation — the in-flight micro-batch
+    is interrupted and no further triggers fire.  Same contract as the
+    reference: asynchronous/best-effort, races completion.  Sink consistency
+    is the SINK's job — the engine's streaming writers commit whole batches
+    behind batch-id manifests, so an interrupted drain leaves the last
+    committed state and a re-drain resumes (pinned by
+    test_stream_interrupt_sink_consistency).  Returns True if a query with
+    that name was found and stopped."""
+    for q_ in spark.streams.active:
+        if q_.name == query_name:
+            q_.stop()
+            return True
+    return False
+
+
 def spy(df: DataFrame, observation: Observation | None = None, *metrics: Column):
     """Spy (spy.h:41-77): attach an observation point.  Returns
     (wired DataFrame, Observation); after an action, ``observation.get``

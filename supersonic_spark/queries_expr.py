@@ -436,6 +436,103 @@ def q_stateful_smudge_if(spark, sf_dir):
 
 
 @q(
+    "stateful_composed_stream",
+    """WITH base AS (
+         SELECT event_id, user_id, ts,
+                CASE WHEN event_type = 'click' THEN value END AS cv,
+                (event_type = 'purchase') AS fl
+         FROM events),
+       filled AS (
+         SELECT event_id, user_id, ts, fl,
+                last_value(cv IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM base),
+       seg AS (
+         SELECT *,
+                COALESCE(SUM(CASE WHEN fl THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS segid
+         FROM filled)
+       SELECT event_id, user_id, filled,
+              MIN(filled) OVER (PARTITION BY user_id, segid ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS run_min,
+              TRUE AS stream_matches_batch_ok
+       FROM seg""",
+)
+def q_stateful_composed_stream(spark, sf_dir):
+    """COMPOSED stateful pipeline, batch ≡ stream ≡ oracle: LOCF of click
+    values feeding a running min that flushes after purchases
+    (stateful_expressions.h:47-52 composed into :54-61; the sequential
+    semantics of stateful_bound_expressions.cc:802-904).  The events table
+    is drained as a STREAM through the fused keyed-state operator
+    (stream_locf_running_min — LOCF carry and open-segment min both cross
+    micro-batch boundaries), then compared row-for-row against the batch
+    window composition; the oracle hash-checks the streamed VALUES and the
+    equality bit.  This is where state-boundary bugs hide — per-operator
+    twins can pass while the composition resets the wrong half of the
+    state on flush."""
+    from supersonic_spark.streaming.ops import events_stream, stream_locf_running_min
+
+    t = _t(spark, sf_dir)
+    stream = events_stream(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value")).alias("cv"),
+        (F.col("event_type") == "purchase").alias("fl"),
+    )
+    out = stream_locf_running_min(
+        stream, key_col="user_id", value_col="cv", flush_col="fl",
+        ts_col="ts", id_col="event_id",
+    )
+    sink = "ss_stateful_composed"
+    for q_ in spark.streams.active:
+        if q_.name == sink:
+            q_.stop()
+    (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    streamed = spark.table(sink).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("event_id"),
+        "filled",
+        "run_min",
+    )
+    # batch twin: the pure window composition over the same inputs
+    ev = t["events"]
+    cv = F.when(F.col("event_type") == "click", F.col("value"))
+    fl = F.col("event_type") == "purchase"
+    filled_b = stateful.smudge(cv, order=["ts", "event_id"], partition=["user_id"])
+    batch = ev.select(
+        "event_id",
+        filled_b.alias("filled_b"),
+        stateful.running_min_with_flush(
+            filled_b, fl, order=["ts", "event_id"], partition=["user_id"]
+        ).alias("run_min_b"),
+    )
+    return (
+        streamed.join(batch, "event_id")
+        .select(
+            "event_id",
+            "user_id",
+            "filled",
+            "run_min",
+            (
+                F.col("filled").eqNullSafe(F.col("filled_b"))
+                & F.col("run_min").eqNullSafe(F.col("run_min_b"))
+            ).alias("stream_matches_batch_ok"),
+        )
+    )
+
+
+@q(
     "expr_bitwise",
     """SELECT l_orderkey, l_linenumber,
               (l_orderkey & 255)::BIGINT AS and_mask,

@@ -475,6 +475,7 @@ def stream_cms_build(
     width: int = 1024,
     await_seconds: int = 300,
     checkpoint: str | None = None,
+    query_name: str | None = None,
 ) -> DataFrame:
     """Continuous frequency monitoring: maintain a count-min sketch over
     a key STREAM.  Per micro-batch: build the batch's own sketch (the
@@ -569,6 +570,10 @@ def stream_cms_build(
     writer = stream_df.writeStream.foreachBatch(write_batch).trigger(
         availableNow=True
     )
+    if query_name is not None:
+        # a named query is addressable by plans.instrument.interrupt_stream
+        # (the streaming face of Cursor::Interrupt) while it drains
+        writer = writer.queryName(query_name)
     if checkpoint is not None:
         # production shape: a stable checkpoint makes restarts resume at the
         # next unprocessed file with CONTINUING batch ids (real exactly-once);
@@ -582,6 +587,9 @@ def stream_cms_build(
             f"streaming CMS build did not finish within {await_seconds}s; "
             f"sketch at {sketch_path} holds a partial batch set"
         )
+    # an interrupted drain (interrupt_stream / q.stop()) lands here too:
+    # the returned sketch is the last COMMITTED version — whole batches
+    # only, resumable by re-draining with the same checkpoint
     done, ver = _committed(spark)
     if ver is None:  # zero-batch stream: empty typed sketch
         return spark.createDataFrame(
@@ -844,6 +852,77 @@ def stream_running_min_with_flush(
         update,
         outputStructType=out_schema,
         stateStructType=_RMIN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_LOCF_RMIN_STATE = T.StructType(
+    [
+        T.StructField("carry", T.DoubleType(), True),
+        T.StructField("cur_min", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_locf_running_min(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    flush_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """COMPOSED stateful pipeline per key — Smudge/LOCF feeding
+    RunningMinWithFlush (stateful_expressions.h:47-52 into :54-61), the
+    sequential-composition semantics of stateful_bound_expressions.cc:802-904
+    made continuous: each row first fills its value forward (NULL takes the
+    last non-NULL), then the FILLED series runs through a running minimum
+    that restarts on the row after ``flush_col`` is true.
+
+    This is the composition where state-boundary bugs hide: the LOCF carry
+    and the open segment's minimum must BOTH survive micro-batch boundaries,
+    and the flush must reset only the min, never the carry.  State is two
+    doubles per key regardless of stream length.  Row order within and
+    across batches is (``ts_col``, ``id_col``) — a total order, so the
+    drained result is row-for-row equal to the batch window composition
+    ``running_min_with_flush(smudge(v))`` (pinned by the
+    ``stateful_composed_stream`` catalog oracle).
+
+    Output: (key string, <id_col> long, filled double, run_min double).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField(id_col, T.LongType(), True),
+            T.StructField("filled", T.DoubleType(), True),
+            T.StructField("run_min", T.DoubleType(), True),
+        ]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        carry, cur_min = (state.get if state.exists else (None, None))
+        rows = {"key": [], id_col: [], "filled": [], "run_min": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for rid, v, fl in zip(pdf[id_col], pdf[value_col], pdf[flush_col]):
+                if not pd.isna(v):
+                    carry = float(v)
+                if carry is not None and (cur_min is None or carry < cur_min):
+                    cur_min = carry
+                rows["key"].append(str(key[0]))
+                rows[id_col].append(int(rid))
+                rows["filled"].append(carry)
+                rows["run_min"].append(cur_min)
+                if not pd.isna(fl) and bool(fl):
+                    cur_min = None  # flush restarts the min, NOT the carry
+        state.update((carry, cur_min))
+        yield pd.DataFrame(rows)
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_LOCF_RMIN_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1033,6 +1033,83 @@ def test_stream_cms_manifest_corruption_recovers_history(spark, tmp_path):
     assert got == want  # history survived the corrupt manifest
 
 
+def test_stream_interrupt_sink_consistency(spark, tmp_path):
+    """Cursor::Interrupt over a STREAM (cursor/base/cursor.h:150-186):
+    cancelling a drain mid-flight must leave the sink in a whole-batch
+    state — the CMS batch-id manifest admits committed batches only, so
+    the interrupted sketch's total count is an exact multiple of the
+    per-file row count (never a torn batch), and re-draining with the
+    same checkpoint converges to the full-stream sketch."""
+    import json
+    import threading
+    import time as _time
+
+    from supersonic_spark.operators.analytics import cms_build
+    from supersonic_spark.pipeline.similarity import _fs_read_text
+    from supersonic_spark.plans.instrument import interrupt_stream
+    from supersonic_spark.streaming.ops import stream_cms_build
+
+    depth, width, rows_per_file, n_files = 3, 32, 10, 12
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sketch_path = str(tmp_path / "sketch")
+    all_rows = []
+    for i in range(n_files):
+        rows = [(f"k{i}",)] * rows_per_file
+        all_rows += rows
+        spark.createDataFrame(rows, "key string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("key string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return stream_cms_build(
+            stream, sketch_path, "key", depth, width,
+            checkpoint=ckpt, query_name="cms-interrupt-test",
+        )
+
+    result: list = []
+    t = threading.Thread(target=lambda: result.append(drain()), daemon=True)
+    t.start()
+    # wait for ≥2 committed batches, then interrupt from THIS thread
+    manifest = sketch_path + "/_cms_manifest.json"
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        try:
+            if len(json.loads(_fs_read_text(spark, manifest))["batches"]) >= 2:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.05)
+    else:
+        raise AssertionError("no batches committed before deadline")
+    assert interrupt_stream(spark, "cms-interrupt-test")
+    t.join(120)
+    assert not t.is_alive() and result, "interrupted drain should return"
+
+    # whole batches only: total count is an exact multiple of the file size
+    partial = result[0].filter(F.col("depth") == 0).agg(
+        F.sum("cnt").alias("n")
+    ).collect()[0]["n"] or 0
+    assert partial % rows_per_file == 0
+    assert 0 < partial <= rows_per_file * n_files
+
+    # re-drain with the same checkpoint: resumes and converges to the full sketch
+    final = drain()
+    got = {(r["depth"], r["bucket"]): r["cnt"] for r in final.collect()}
+    want = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            spark.createDataFrame(all_rows, "key string"), "key", depth, width
+        ).collect()
+    }
+    assert got == want
+
+
 def test_fs_write_text_atomic_overwrites(spark, tmp_path):
     """Atomic publish: overwriting an existing file lands the full new
     content (rename, not in-place truncate+write) and leaves no staging

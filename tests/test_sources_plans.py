@@ -310,6 +310,62 @@ def test_stream_smudge_if_and_running_min_flush(spark, tmp_path):
     assert got_min == expect_min
 
 
+def test_stream_locf_running_min_cross_batch(spark, tmp_path):
+    """Composed LOCF→running-min-with-flush with micro-batch boundaries
+    cutting BOTH a fill gap and an open min segment: the LOCF carry and the
+    segment minimum must each cross the boundary, and a flush must reset
+    only the min (the carry survives).  Drained stream == batch window
+    composition row for row."""
+    import datetime as dtm
+
+    from supersonic_spark.functions import stateful
+    from supersonic_spark.streaming.ops import stream_locf_running_min
+
+    t0 = dtm.datetime(2024, 1, 1)
+    # file 1 (batch 0): carry=4.0 set, min open at 4.0, then flush
+    f1 = [
+        (1, "u1", t0, 4.0, False),
+        (2, "u1", t0 + dtm.timedelta(seconds=1), None, False),   # fills 4.0
+        (3, "u1", t0 + dtm.timedelta(seconds=2), 6.0, True),     # min(4,6)=4; flush
+    ]
+    # file 2 (batch 1): min restarted but carry=6.0 must survive the batch cut
+    f2 = [
+        (4, "u1", t0 + dtm.timedelta(seconds=3), None, False),   # fills 6.0; new min 6.0
+        (5, "u1", t0 + dtm.timedelta(seconds=4), 2.0, False),    # min 2.0
+        (6, "u2", t0, None, False),                              # no carry yet → NULL
+    ]
+    schema = "event_id long, k string, ts timestamp, v double, flush boolean"
+    d1 = core.scan_view(spark, f1, schema)
+    d2 = core.scan_view(spark, f2, schema)
+    src = str(tmp_path / "locf_src")
+    d1.coalesce(1).write.mode("append").parquet(src)
+    d2.coalesce(1).write.mode("append").parquet(src)
+
+    full = d1.union(d2)
+    filled_b = stateful.smudge("v", order=["ts", "event_id"], partition=["k"])
+    batch = full.select(
+        "event_id",
+        filled_b.alias("filled"),
+        stateful.running_min_with_flush(
+            filled_b, "flush", order=["ts", "event_id"], partition=["k"]
+        ).alias("run_min"),
+    )
+    want = {r["event_id"]: (r["filled"], r["run_min"]) for r in batch.collect()}
+    assert want[4] == (6.0, 6.0) and want[5] == (2.0, 2.0)  # the cross-batch facts
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")   # forces the batch cut between files
+        .parquet(src)
+    )
+    out = stream_locf_running_min(stream, "k", "v", "flush", "ts", "event_id")
+    (out.writeStream.format("memory").queryName("locf_out")
+        .outputMode("append").trigger(availableNow=True).start().awaitTermination(120))
+    got = {r["event_id"]: (r["filled"], r["run_min"])
+           for r in spark.sql("select * from locf_out").collect()}
+    assert got == want
+
+
 def test_enum_encoded_roundtrip(spark, tmp_path):
     """ENUM end-to-end: dictionary-encode on write (ids + JSON sidecar),
     decode on read; trained dictionaries are deterministic (sorted-name
