@@ -248,6 +248,51 @@ def _optimize_layout(spark, sf_dir: str, big_files: int = 8) -> tuple[str, float
     return dst, round(_t.perf_counter() - t0, 3)
 
 
+def _write_cold_report(here: str, steady: dict, cold: dict) -> None:
+    """COLD.md: the worst cold/steady ratios, refreshed every bench run.
+
+    The headline number is min-of-3 STEADY state — the honest figure for a
+    long-lived session, but it hides what the FIRST run of a query pays
+    (JVM/JIT warmup, Python-worker spin-up for Arrow UDF stages, codegen
+    compilation, index/sidecar first reads).  Surfacing the ratio here
+    keeps the bench gate un-gameable by steady-only reporting: a change
+    that moved cost from steady state into setup would show up as a
+    ratio regression in this table."""
+    rows = sorted(
+        ((cold[k] / steady[k], k) for k in steady if k in cold and steady[k] > 0),
+        reverse=True,
+    )
+    total_cold = sum(cold.get(k, steady[k]) for k in steady)
+    total_steady = sum(steady.values())
+    lines = [
+        "# COLD — first-run vs steady-state cost (from BENCH_DETAIL.json)",
+        "",
+        "Steady wall (the headline metric) is min-of-3 after a warmup run;",
+        "this table reports what the FIRST execution of each query paid on",
+        "a fresh session — JIT/codegen warmup, Python-worker (Arrow UDF)",
+        "spin-up, first sidecar/index reads.  Regenerated by every bench.py",
+        "run; a change that hides steady cost in setup shows up here.",
+        "",
+        f"Totals: cold {total_cold:.2f}s vs steady {total_steady:.2f}s "
+        f"({total_cold / total_steady:.2f}x) over {len(rows)} queries.",
+        "",
+        "| query | cold (s) | steady (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for ratio, k in rows[:15]:
+        lines.append(f"| {k} | {cold[k]:.3f} | {steady[k]:.3f} | {ratio:.1f}x |")
+    lines += [
+        "",
+        "Worst offenders are the Arrow-UDF pipelines (first pandas-worker",
+        "fork + numpy import) and multi-join TPC-H shapes (codegen compile);",
+        "both are per-session, not per-query, costs — they amortize across",
+        "a workload and do not grow with data size.",
+        "",
+    ]
+    with open(os.path.join(here, "COLD.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     orig_sf_dir = sf_dir
@@ -323,6 +368,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    _write_cold_report(here, results, cold)
     line = json.dumps(lean)
     if len(line) > 1900:  # hard cap: stay inside the driver's tail window
         lean["queries"] = {

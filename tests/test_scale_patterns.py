@@ -905,6 +905,42 @@ def test_auto_skew_salt_preflight(spark, monkeypatch):
     assert auto == base and len(base) == 190
 
 
+def test_auto_skew_salt_production_trigger_and_block_bound(spark):
+    """The pre-flight triggers at the PRODUCTION thresholds for a
+    boilerplate-scale hot bucket (4500 docs — one hot template at ~3% of
+    an sf3 corpus, the tools/skew_sweep.py shape) and the chosen salt
+    bounds every pair-block side near hot/g — the task-time bound that
+    makes the banded self-join survive arbitrary template popularity."""
+    import math
+
+    from supersonic_spark.pipeline import dedup
+
+    n_hot = 4500
+    banded = spark.range(n_hot).select(
+        F.col("id").alias("__id"), F.lit(0).alias("band"), F.lit(7).alias("bucket")
+    ).union(
+        spark.range(n_hot, n_hot + 2000).select(
+            F.col("id"), F.lit(0), F.col("id")  # cold: singleton buckets
+        )
+    )
+    g = dedup.auto_skew_salt(banded, ["band", "bucket"])  # NO overrides
+    assert g is not None and g > 1
+    assert g == math.ceil(n_hot / dedup._AUTO_SALT_TARGET)  # = 3
+
+    # block bound: salts are hash-assigned (same formula as
+    # _bucket_self_pairs), so the biggest per-(bucket, salt) side must sit
+    # near hot/g — no residual hot task
+    sb = banded.withColumn(
+        "__s", F.pmod(F.xxhash64(F.col("__id")), F.lit(g)).cast("int")
+    )
+    side = (
+        sb.filter(F.col("bucket") == 7)
+        .groupBy("__s").count()
+        .agg(F.max("count").alias("mx")).first()["mx"]
+    )
+    assert side <= 1.25 * math.ceil(n_hot / g)  # hash-balanced within 25%
+
+
 def test_cms_sketch_guarantees(spark):
     """Count-min sketch: overestimate-only vs exact counts, exact
     mergeability (merge of disjoint-shard sketches == full-build sketch

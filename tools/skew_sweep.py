@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Adversarial-skew evidence for the LSH dedup path: a Zipf-shaped
+near-dup corpus — ONE hot template owning a few percent of all documents
+— is the shape that breaks banded LSH at scale (the hot-bucket k² blowup
+described in pipeline/dedup.py: a bucket of k docs is one join key, so
+one task does k² signature comparisons while every other task is idle).
+
+SCALING.md's synthetic replicas grow pair structure linearly BY
+CONSTRUCTION (per-replica word suffixes), so they can never trip the
+skew guard; this sweep builds the corpus that does:
+
+- ``SF`` × the driver's sf0.1 documents table in row count (default 3 →
+  150k docs), text structure matching (word-shingleable sentences);
+- ``HOT_FRACTION`` of all docs (default 3% → 4500) share ONE template
+  with a small per-doc mutation — enough to exceed the production
+  pre-flight threshold (_AUTO_SALT_HOT = 4096) so ``skew_salt="auto"``
+  genuinely triggers, exactly as a crawl corpus full of boilerplate
+  pages would;
+- every other doc is shingle-unique (no accidental pairs).
+
+It then runs minhash_lsh_pairs twice — forced-unsalted vs
+``skew_salt="auto"`` — asserts identical pair counts, and writes SKEW.md
+with the chosen salt, per-block bound, and the wall-clock A/B.  The
+unsalted run IS the failure mode being measured: its hot bucket is one
+task per band.
+
+Usage: python tools/skew_sweep.py [SF] [HOT_FRACTION]
+  (defaults 3 and 0.03; corpus cached under /tmp/supersonic_scale)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(spark, path: str, n_docs: int, hot_fraction: float) -> None:
+    from pyspark.sql import functions as F
+
+    n_hot = int(n_docs * hot_fraction)
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # hot docs: ONE exact boilerplate template (the error-page/cookie-banner
+    # case every crawl corpus has) — identical shingle sets, identical
+    # MinHash signatures, so ALL hot docs land in the same bucket of every
+    # band: the maximal hot-bucket k² shape
+    template = F.lit(
+        "breaking news update from the wire service desk today read more inside"
+    )
+    cold = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"u{i}w"), F.col("doc_id").cast("string"))
+            for i in range(10)
+        ],
+    )
+    docs = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") < n_hot, template).otherwise(cold).alias("text"),
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from supersonic_spark.pipeline import dedup
+    from supersonic_spark.session import get_spark
+
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 3.0
+    hot_fraction = float(sys.argv[2]) if len(sys.argv) > 2 else 0.03
+    n_docs = int(50_000 * sf)  # sf0.1 documents = 5k rows → sf1 = 50k
+    n_hot = int(n_docs * hot_fraction)
+
+    spark = get_spark("skew_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    path = f"/tmp/supersonic_scale/zipf_sf{sf:g}_h{hot_fraction:g}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        print(f"building Zipf corpus: {n_docs} docs, {n_hot} hot → {path}")
+        build_corpus(spark, path, n_docs, hot_fraction)
+    docs = spark.read.parquet(path)
+
+    # what does the pre-flight decide? (production thresholds, no override;
+    # banding reconstructed exactly as minhash_lsh_pairs builds it:
+    # xxhash64 over 4-row signature slices, 16 bands of 64 hashes)
+    sig = dedup.minhash_signature(
+        dedup.word_shingles(F.col("text"), 3), num_hashes=64
+    )
+    rows = 64 // 16
+    banded = docs.select(
+        F.col("doc_id").alias("__id"), sig.alias("__sigarr")
+    ).select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("__sigarr"), b * rows + 1, rows)
+                    ).alias("bucket"),
+                )
+                for b in range(16)
+            ])
+        ).alias("__b"),
+    ).select("__id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
+    g = dedup.auto_skew_salt(banded, ["band", "bucket"])
+    print(f"auto_skew_salt decision: g = {g}")
+    assert g is not None and g > 1, (
+        f"adversarial corpus must trigger the salt (hot={n_hot} > "
+        f"{dedup._AUTO_SALT_HOT}); got {g}"
+    )
+    block_bound = math.ceil(n_hot / g)
+
+    results = {}
+    for label, salt in [("unsalted", None), ("auto", "auto")]:
+        t0 = time.perf_counter()
+        n_pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify="estimate",
+            skew_salt=salt,
+        ).count()
+        results[label] = (time.perf_counter() - t0, n_pairs)
+        print(f"{label:9s}: {results[label][0]:7.2f}s  {n_pairs} pairs")
+    assert results["unsalted"][1] == results["auto"][1], "pair sets must match"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SKEW.md"), "w") as f:
+        f.write(
+            "# SKEW — adversarial Zipf near-dup corpus (hot-template boilerplate)\n\n"
+            "SCALING.md's replicas grow pair structure linearly by construction;\n"
+            "this sweep (tools/skew_sweep.py) is the corpus shape that does NOT —\n"
+            f"{n_docs:,} docs ({sf:g}× the sf0.1 documents table) with one hot\n"
+            f"template owning {n_hot:,} docs ({hot_fraction:.0%}): every band maps\n"
+            "the template to one bucket, so unsalted banding gives one task\n"
+            "k² ≈ {:.1f}M signature comparisons per band.\n\n".format(
+                (n_hot ** 2) / 2 / 1e6
+            )
+            + "| variant | wall (s) | pairs | note |\n|---|---|---|---|\n"
+            + "| skew_salt=None | {:.2f} | {:,} | hot bucket = 1 task/band |\n".format(
+                *results["unsalted"]
+            )
+            + "| skew_salt=\"auto\" | {:.2f} | {:,} | pre-flight chose g={}, "
+            "block side ≤ {:,} docs |\n".format(
+                results["auto"][0], results["auto"][1], g, block_bound
+            )
+            + "\nIdentical pair sets (asserted).  The pre-flight triggered at the\n"
+            f"PRODUCTION thresholds (hot {n_hot:,} > {dedup._AUTO_SALT_HOT}); with it,\n"
+            f"per-block work is bounded at ({block_bound:,})² regardless of how hot\n"
+            "the template gets — the task-time bound that survives 100×.\n\n"
+            "Reading the A/B: on local[32] the sweep is TOTAL-work-bound —\n"
+            "every core stays busy either way, so the salt's extra block\n"
+            "decomposition shows up as overhead rather than a win.  The\n"
+            "number that matters for a 1000-executor cluster is the BLOCK\n"
+            f"BOUND: unsalted, the hot bucket is one {n_hot:,}²-comparison\n"
+            "straggler task per band (wall-clock = that task, cluster idle);\n"
+            f"salted, no task exceeds ({block_bound:,})², so wall-clock stays\n"
+            "∝ total-work/cores no matter how hot the template gets.\n"
+        )
+    print("wrote SKEW.md")
+
+
+if __name__ == "__main__":
+    main()
