@@ -134,12 +134,20 @@ def test_tpch_semi_anti_shapes_are_hash_joins(spark, qs):
 def test_tpch_q21_no_self_join_explosion(spark, qs):
     """Q21's EXISTS/NOT-EXISTS pair is computed as one per-order profile
     aggregation, not two correlated lineitem self-joins: lineitem is
-    scanned at most twice (profile + l1) and nothing goes nested-loop."""
+    scanned exactly ONCE (the profile carries the only-late-supplier's
+    'R'-row count, so no join back to lineitem) and nothing goes
+    nested-loop."""
     plan = _plan(qs["tpch_q21_shape"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    scans = [l for l in plan.splitlines() if "Scan parquet" in l and "lineitem" in l]
-    assert len(scans) <= 2
+    # formatted mode puts the table path on the scan's Location detail
+    # line (the tree line "Scan parquet (N)" never names the table — the
+    # pre-r6 form of this assert matched nothing and passed vacuously)
+    scans = [
+        l for l in plan.splitlines()
+        if "Location" in l and "lineitem" in l
+    ]
+    assert len(scans) == 1
 
 
 def test_tpch_scalar_subqueries_broadcast_one_row(spark, qs):
