@@ -241,6 +241,136 @@ def cap_per_key(
     return kept.drop("__rank")
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    weight,
+    salt: str = "ss-wres",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Deterministic weighted fixed-SIZE sample without replacement
+    (Efraimidis–Spirakis A-Res): every row draws u ∈ (0,1) from a PORTABLE
+    hash of (salt, id) — the first 8 hex digits of md5, identical in every
+    engine — and ranks by key = -ln(u)/weight; the k smallest keys are the
+    sample.  Inclusion probability is proportional to ``weight`` (a Column
+    or column name, e.g. a quality score), membership is a pure function
+    of row identity — stable across runs, partitionings, and cluster
+    sizes, and the selected SET replays in an external oracle (same md5,
+    same formula).  Rows with NULL or non-positive weight are excluded
+    (they can never win a proportional draw).
+
+    Scale shape: rank-k selection is a TakeOrderedAndProject —
+    per-partition top-k then a k-row merge; no global sort, no RNG state,
+    nothing driver-side.  This is the fixed-budget cousin of
+    :func:`weighted_sample_by_hash` (which keeps a *fraction* per row):
+    use it when the output must be exactly k documents, weighted by
+    quality, reproducibly.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = _c(weight).cast("double")
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), _c(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = -F.log(u) / w
+    out = (
+        df.filter(w > 0.0)
+        .withColumn("__wres_key", key)
+        .orderBy(F.col("__wres_key"), _c(id_col))
+        .limit(k)
+    )
+    if keep_key:
+        return out.withColumnRenamed("__wres_key", "wres_key")
+    return out.drop("__wres_key")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order,
+    out_col: str = "cum_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fill a token budget in priority order: keep the maximal prefix of
+    ``order`` (e.g. quality descending, id tiebreak) whose running total
+    of ``token_col`` stays ≤ ``budget`` — how a pretraining mix is cut
+    ("take the best documents until 10B tokens").  Emits ``out_col`` with
+    each kept row's cumulative token count (integer-exact, so the
+    selection replays bit-for-bit in an external oracle).
+
+    Scale shape — a distributed prefix sum, NOT a global window (a
+    partitionBy-less window funnels the corpus through ONE task): rows
+    range-partition and sort on the order keys; a per-partition token
+    subtotal (one row per partition) collects to the driver and resolves
+    each partition's global offset; partitions whose offset already
+    exceeds the budget are dropped WHOLESALE before the stamp; an
+    Arrow-batched ``mapInPandas`` adds offset + local running sum and
+    filters.  Same two-pass discipline as ``operators.rowid.with_row_id``
+    (and the same persist-for-consistency cost: the arranged input is
+    persisted so both passes see one partitioning).
+
+    ``order`` must be a total order (include a unique tiebreak) for
+    reproducible selection.  ``token_col`` must be integral and non-NULL.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cols = [F.col(o) if isinstance(o, str) else o for o in (
+        order if isinstance(order, (list, tuple)) else [order]
+    )]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    pid = "__ss_tb_pid"
+    arranged = (
+        df.repartitionByRange(parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(pid, F.spark_partition_id())
+    ).persist()
+    sums = {
+        r[pid]: int(r["s"])
+        for r in arranged.groupBy(pid)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    keep_pids = [p for p in sorted(sums) if offsets[p] < budget]
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    )
+    in_cols = df.columns
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf[pid].iloc[0])]
+            cum = pdf[token_col].astype("int64").cumsum() + run
+            run = int(cum.iloc[-1])
+            keep = cum <= budget
+            if not keep.any():
+                return  # ordered: once over budget, every later row is too
+            out = pdf.loc[keep, in_cols].copy()
+            out[out_col] = cum[keep]
+            yield out
+
+    pruned = arranged.filter(F.col(pid).isin(keep_pids)) if keep_pids else arranged.limit(0)
+    return pruned.mapInPandas(stamp, out_schema)
+
+
 def fixed_size_sample(df: DataFrame, k: int, key_col: str, portable: bool = True) -> DataFrame:
     """Deterministic fixed-SIZE uniform sample (the distributed reservoir):
     rank every row by a hash of its key and keep the k smallest — exactly k

@@ -491,14 +491,16 @@ def q_stateful_composed_stream(spark, sf_dir):
     for q_ in spark.streams.active:
         if q_.name == sink:
             q_.stop()
-    (
+    drain = (
         out.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(300)
     )
+    if not drain.awaitTermination(300):
+        drain.stop()
+        raise TimeoutError("stateful_composed_stream drain did not finish in 300s")
     streamed = spark.table(sink).select(
         F.col("key").cast("long").alias("user_id"),
         F.col("event_id"),

@@ -2454,6 +2454,84 @@ def q_sample_cap_per_key(spark, sf_dir):
     )
 
 
+_WRES_ORACLE = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         -ln((('0x' || substr(md5('ss-wres' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+  ORDER BY key, doc_id LIMIT 40)
+ORDER BY doc_id
+"""
+
+
+@q("sample_weighted_reservoir", _WRES_ORACLE)
+def q_sample_weighted_reservoir(spark, sf_dir):
+    """Weighted fixed-size sample (Efraimidis–Spirakis A-Res, weight =
+    n_chars): u drawn from a PORTABLE hash (first 8 hex digits of md5 —
+    identical in every engine), key = -ln(u)/weight, keep the 40 smallest.
+    The selected SET itself replays in the oracle — no error-bound
+    booleans.  Plan: TakeOrderedAndProject (per-partition top-k + k-row
+    merge), zero shuffle of the corpus, nothing driver-side."""
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+    from supersonic_spark.pipeline import sampling
+
+    t = _t(spark, sf_dir)
+    out = sampling.weighted_reservoir_sample(
+        t["documents"], 40, "doc_id", "n_chars"
+    )
+    return sort_ops.sort(
+        out.select("doc_id", "source", "n_chars"), [SortKey("doc_id")]
+    )
+
+
+_TOKBUDGET_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+         n_chars
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY CAST(n_chars AS DOUBLE) / n_tokens DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens FROM o
+WHERE cum_tokens <= 20000 ORDER BY doc_id
+"""
+
+
+@q("sample_token_budget", _TOKBUDGET_ORACLE)
+def q_sample_token_budget(spark, sf_dir):
+    """Cut a training mix to a token budget: order documents by a quality
+    proxy (mean word length, descending — a pure-IEEE division, so the
+    order is engine-portable) and keep the maximal prefix whose running
+    token total stays ≤ 20000.  The cumulative sum is integer-exact, so
+    the selection and the emitted cum_tokens replay bit-for-bit in the
+    oracle.  Scale shape: distributed prefix sum (range partition +
+    per-partition subtotals + offset stamp), never a single-task global
+    window; partitions past the budget are dropped wholesale."""
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+    from supersonic_spark.pipeline import sampling
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        "n_chars",
+    ).withColumn("__q", F.col("n_chars").cast("double") / F.col("n_tokens"))
+    out = sampling.token_budget_sample(
+        docs, "n_tokens", 20000, [F.col("__q").desc(), F.col("doc_id")]
+    )
+    return sort_ops.sort(
+        out.select("doc_id", "n_tokens", "cum_tokens"), [SortKey("doc_id")]
+    )
+
+
 _LINE_DEDUP_ORACLE = """
 WITH m AS (
   SELECT doc_id,

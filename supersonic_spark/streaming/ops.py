@@ -664,6 +664,23 @@ def sessionize(
     )
 
 
+def _group_batch(pdfs: Iterator[pd.DataFrame], sort_cols) -> pd.DataFrame:
+    """Materialize a group's micro-batch and sort it GLOBALLY.
+
+    applyInPandasWithState delivers a group's rows as MULTIPLE Arrow
+    chunks (``spark.sql.execution.arrow.maxRecordsPerBatch`` rows each,
+    default 10k) in shuffle arrival order — sorting each chunk
+    independently silently breaks sequential semantics the moment a
+    group exceeds one chunk.  Order-sensitive stateful operators must
+    sort the WHOLE batch before replaying it.  Memory is bounded by one
+    group's rows in ONE micro-batch (not the stream) — the same bound a
+    correct sort needs anyway.
+    """
+    chunks = list(pdfs)
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return pdf.sort_values(sort_cols)
+
+
 _CHANGED_STATE = T.StructType(
     [T.StructField("last", T.StringType(), True), T.StructField("seen", T.BooleanType(), False)]
 )
@@ -693,16 +710,15 @@ def stream_changed(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         last, seen = (state.get if state.exists else (None, False))
         rows = {"key": [], ts_col: [], "value": [], out_col: []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, v in zip(pdf[ts_col], pdf[value_col].astype("string")):
-                v = None if pd.isna(v) else str(v)
-                changed = (not seen) or (v != last)
-                rows["key"].append(str(key[0]))
-                rows[ts_col].append(ts)
-                rows["value"].append(v)
-                rows[out_col].append(bool(changed))
-                last, seen = v, True
+        pdf = _group_batch(pdfs, ts_col)
+        for ts, v in zip(pdf[ts_col], pdf[value_col].astype("string")):
+            v = None if pd.isna(v) else str(v)
+            changed = (not seen) or (v != last)
+            rows["key"].append(str(key[0]))
+            rows[ts_col].append(ts)
+            rows["value"].append(v)
+            rows[out_col].append(bool(changed))
+            last, seen = v, True
         state.update((last, seen))
         yield pd.DataFrame(rows)
 
@@ -739,14 +755,13 @@ def stream_smudge(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         carry = state.get[0] if state.exists else None
         rows = {"key": [], ts_col: [], out_col: []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                if not pd.isna(v):
-                    carry = float(v)
-                rows["key"].append(str(key[0]))
-                rows[ts_col].append(ts)
-                rows[out_col].append(carry)
+        pdf = _group_batch(pdfs, ts_col)
+        for ts, v in zip(pdf[ts_col], pdf[value_col]):
+            if not pd.isna(v):
+                carry = float(v)
+            rows["key"].append(str(key[0]))
+            rows[ts_col].append(ts)
+            rows[out_col].append(carry)
         state.update((carry,))
         yield pd.DataFrame(rows)
 
@@ -787,15 +802,14 @@ def stream_smudge_if(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         carry = state.get[0] if state.exists else None
         rows = {"key": [], ts_col: [], out_col: []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, v, c in zip(pdf[ts_col], pdf[value_col], pdf[cond_col]):
-                anchored = (pd.isna(c) or not bool(c))
-                if anchored and not pd.isna(v):
-                    carry = float(v)
-                rows["key"].append(str(key[0]))
-                rows[ts_col].append(ts)
-                rows[out_col].append(carry)
+        pdf = _group_batch(pdfs, ts_col)
+        for ts, v, c in zip(pdf[ts_col], pdf[value_col], pdf[cond_col]):
+            anchored = (pd.isna(c) or not bool(c))
+            if anchored and not pd.isna(v):
+                carry = float(v)
+            rows["key"].append(str(key[0]))
+            rows[ts_col].append(ts)
+            rows[out_col].append(carry)
         state.update((carry,))
         yield pd.DataFrame(rows)
 
@@ -835,16 +849,15 @@ def stream_running_min_with_flush(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         cur = state.get[0] if state.exists else None
         rows = {"key": [], ts_col: [], out_col: []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, v, fl in zip(pdf[ts_col], pdf[value_col], pdf[flush_col]):
-                if not pd.isna(v) and (cur is None or float(v) < cur):
-                    cur = float(v)
-                rows["key"].append(str(key[0]))
-                rows[ts_col].append(ts)
-                rows[out_col].append(cur)
-                if not pd.isna(fl) and bool(fl):
-                    cur = None                     # restart on the next row
+        pdf = _group_batch(pdfs, ts_col)
+        for ts, v, fl in zip(pdf[ts_col], pdf[value_col], pdf[flush_col]):
+            if not pd.isna(v) and (cur is None or float(v) < cur):
+                cur = float(v)
+            rows["key"].append(str(key[0]))
+            rows[ts_col].append(ts)
+            rows[out_col].append(cur)
+            if not pd.isna(fl) and bool(fl):
+                cur = None                     # restart on the next row
         state.update((cur,))
         yield pd.DataFrame(rows)
 
@@ -903,19 +916,18 @@ def stream_locf_running_min(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         carry, cur_min = (state.get if state.exists else (None, None))
         rows = {"key": [], id_col: [], "filled": [], "run_min": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col])
-            for rid, v, fl in zip(pdf[id_col], pdf[value_col], pdf[flush_col]):
-                if not pd.isna(v):
-                    carry = float(v)
-                if carry is not None and (cur_min is None or carry < cur_min):
-                    cur_min = carry
-                rows["key"].append(str(key[0]))
-                rows[id_col].append(int(rid))
-                rows["filled"].append(carry)
-                rows["run_min"].append(cur_min)
-                if not pd.isna(fl) and bool(fl):
-                    cur_min = None  # flush restarts the min, NOT the carry
+        pdf = _group_batch(pdfs, [ts_col, id_col])
+        for rid, v, fl in zip(pdf[id_col], pdf[value_col], pdf[flush_col]):
+            if not pd.isna(v):
+                carry = float(v)
+            if carry is not None and (cur_min is None or carry < cur_min):
+                cur_min = carry
+            rows["key"].append(str(key[0]))
+            rows[id_col].append(int(rid))
+            rows["filled"].append(carry)
+            rows["run_min"].append(cur_min)
+            if not pd.isna(fl) and bool(fl):
+                cur_min = None  # flush restarts the min, NOT the carry
         state.update((carry, cur_min))
         yield pd.DataFrame(rows)
 

@@ -1490,6 +1490,74 @@ def test_fixed_size_sample_deterministic_partition_invariant(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_weighted_reservoir_sample_exact_and_invariant(spark):
+    """The A-Res selection replays exactly against a pure-Python md5
+    computation of the same keys, is partitioning-invariant, and excludes
+    non-positive/NULL weights."""
+    import hashlib
+    import math
+
+    from supersonic_spark.pipeline import sampling
+
+    rows = [(i, float((i * 7) % 23 + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def key(i, w):
+        h = hashlib.md5(f"ss-wres{i}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 4294967296.0
+        return -math.log(u) / w
+
+    expect = {i for i, _ in sorted(rows, key=lambda r: (key(*r), r[0]))[:25]}
+    got = {r["id"] for r in sampling.weighted_reservoir_sample(df, 25, "id", "w").collect()}
+    assert got == expect
+    got2 = {r["id"] for r in sampling.weighted_reservoir_sample(
+        df.repartition(13), 25, "id", "w").collect()}
+    assert got2 == expect
+    # k > n → everything with positive weight; zero/NULL weights excluded
+    small = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, None), (4, 1.0)], "id long, w double"
+    )
+    assert {r["id"] for r in sampling.weighted_reservoir_sample(
+        small, 10, "id", "w").collect()} == {1, 4}
+    # top-k plan, not a global sort
+    plan = (sampling.weighted_reservoir_sample(df, 25, "id", "w")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_sample_exact_prefix(spark):
+    """Budget prefix is exact (integer cumsum), boundary-inclusive, ordered
+    by the caller's priority, and partitioning-invariant."""
+    from supersonic_spark.pipeline import sampling
+
+    rows = [(i, (i * 13) % 40 + 1, float((i * 7) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, tok long, q double")
+    order = [F.col("q").desc(), F.col("id")]
+
+    ordered = sorted(rows, key=lambda r: (-r[2], r[0]))
+    cum, expect = 0, {}
+    for i, tok, _ in ordered:
+        if cum + tok > 500:
+            break
+        cum += tok
+        expect[i] = cum
+
+    out = {r["id"]: r["cum_tokens"] for r in sampling.token_budget_sample(
+        df, "tok", 500, order).collect()}
+    assert out == expect
+    out2 = {r["id"]: r["cum_tokens"] for r in sampling.token_budget_sample(
+        df.repartition(17), "tok", 500, order, num_partitions=5).collect()}
+    assert out2 == expect
+    # budget bigger than the corpus → all rows, cum == total
+    total = sum(t for _, t, _ in rows)
+    allrows = sampling.token_budget_sample(df, "tok", total, order)
+    assert allrows.count() == 200
+    assert allrows.agg(F.max("cum_tokens")).collect()[0][0] == total
+    # zero budget → empty, schema intact
+    empty = sampling.token_budget_sample(df, "tok", 0, order)
+    assert empty.count() == 0 and empty.columns == ["id", "tok", "q", "cum_tokens"]
+
+
 # ---------------------------------------------------------------- line dedup
 
 def test_line_dedup_drops_boilerplate(spark):

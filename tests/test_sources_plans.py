@@ -310,6 +310,44 @@ def test_stream_smudge_if_and_running_min_flush(spark, tmp_path):
     assert got_min == expect_min
 
 
+def test_stream_stateful_multi_chunk_group(spark, tmp_path):
+    """A group larger than one Arrow batch reaches the stateful update
+    function as MULTIPLE chunks in shuffle arrival order — the operator
+    must sort the whole micro-batch, not each chunk (regression: per-chunk
+    sort broke sequential semantics past ~10k rows per key per batch).
+    Rows are written in REVERSE time order so arrival order disagrees
+    with event order across chunk boundaries."""
+    import datetime as dtm
+
+    from supersonic_spark.streaming.ops import stream_smudge
+
+    t0 = dtm.datetime(2024, 1, 1)
+    n = 40
+    # value only every 4th second → LOCF answer = last multiple of 4
+    rows = [
+        ("k1", t0 + dtm.timedelta(seconds=i), float(i) if i % 4 == 0 else None)
+        for i in reversed(range(n))
+    ]
+    src = str(tmp_path / "chunk_src")
+    core.scan_view(spark, rows, "k string, ts timestamp, v double").coalesce(
+        1
+    ).write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema("k string, ts timestamp, v double").parquet(src)
+        sm = stream_smudge(stream, "k", "v", "ts")
+        (sm.writeStream.format("memory").queryName("chunk_out")
+            .outputMode("append").trigger(availableNow=True).start()
+            .awaitTermination(120))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {r["ts"].second: r["filled"]
+           for r in spark.sql("select * from chunk_out").collect()}
+    assert got == {i: float(i - i % 4) for i in range(n)}
+
+
 def test_stream_locf_running_min_cross_batch(spark, tmp_path):
     """Composed LOCF→running-min-with-flush with micro-batch boundaries
     cutting BOTH a fill gap and an open min segment: the LOCF carry and the
