@@ -124,10 +124,19 @@ def main() -> None:
     # would otherwise poison every query of whichever SF block it lands
     # on and flip exponent signs; it is very unlikely to hit the same
     # (query, SF) cell in both passes.
+    import json
+
+    ckpt_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_CKPT.json",
+    )
+    n_cells = 0
     for _pass in range(2):
         for sf_dir, _sf in sfs:
             opt = opt_dirs[sf_dir]
             for name in QUERIES:
+                print(f"pass {_pass + 1}/2  {os.path.basename(sf_dir)}  {name} ...",
+                      flush=True)
                 qs[name](spark, opt).write.format("noop").mode("overwrite").save()
                 best = results[name].get(sf_dir, float("inf"))
                 for _ in range(n_runs):
@@ -135,6 +144,13 @@ def main() -> None:
                     qs[name](spark, opt).write.format("noop").mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
                 results[name][sf_dir] = best
+                # checkpoint after every cell: an interrupted multi-hour
+                # sweep (big synth SFs run 10-60s PER EXECUTION) salvages
+                # everything measured so far — rerun, or hand-merge the
+                # checkpoint into SCALING_RAW.json (same schema, min-safe)
+                n_cells += 1
+                with open(ckpt_path, "w") as f:
+                    json.dump({q_: c for q_, c in results.items() if c}, f, indent=1)
 
     # Merge with previously recorded mins (SCALING_RAW.json): the host's
     # co-tenant load is intermittent and can poison arbitrary (query, SF)
@@ -142,8 +158,6 @@ def main() -> None:
     # across ALL recorded steady runs is the defensible steady-state
     # estimator (same rationale as min-of-k within a run); the sidecar
     # makes it monotone across invocations.
-    import json
-
     raw_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING_RAW.json",
@@ -157,6 +171,8 @@ def main() -> None:
                 mine[sf_dir] = min(mine[sf_dir], t) if sf_dir in mine else t
     with open(raw_path, "w") as f:
         json.dump(results, f, indent=1)
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # completed: everything is in SCALING_RAW.json
 
     # Report over EVERY SF ever recorded in SCALING_RAW (sorted by sf),
     # not just the dirs measured THIS invocation — so a targeted run
