@@ -223,12 +223,33 @@ def _optimize_layout(spark, sf_dir: str, big_files: int = 8) -> tuple[str, float
     is timed and reported separately, like any load-then-query benchmark;
     queries measure pure execution.  Disable with
     SPARK_GRAFT_BENCH_INGEST=0 to scan the driver layout directly.
+
+    The classic fact tables (lineitem/orders/events) always get
+    ``big_files``; every OTHER table's file count derives from its
+    SOURCE BYTES (≈3 MB of source parquet per output file, capped at
+    ``big_files``) instead of being pinned to 1: the pin is right at
+    sf0.1 (documents = 5k rows → still 1 file, bench series unchanged)
+    and catastrophically wrong at synth SFs — the round-6 sf30 sweep
+    measured exponent 2.0-2.9 on the whole text/embedding family because
+    documents/embeddings (182 MB, 1.5M docs at sf30) re-ingested as ONE
+    single-row-group file, making every downstream shingle/fold/assign a
+    one-task scan (30 idle cores; SCALING.md addendum).
     """
     import time as _t
 
     from supersonic_spark.session import load_tables
 
     from concurrent.futures import ThreadPoolExecutor
+
+    def _src_bytes(name: str) -> int:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(p) if os.path.exists(p) else 0
 
     tag = sf_dir.rstrip("/").replace("/", "_")
     dst = os.path.join("/tmp", f"ss_bench_opt{tag}")
@@ -237,7 +258,10 @@ def _optimize_layout(spark, sf_dir: str, big_files: int = 8) -> tuple[str, float
 
     def write(item):
         name, df = item
-        n = big_files if name in ("lineitem", "orders", "events") else 1
+        if name in ("lineitem", "orders", "events"):
+            n = big_files
+        else:
+            n = min(big_files, max(1, round(_src_bytes(name) / (3 << 20))))
         (df.repartition(n).write.mode("overwrite")
            .parquet(os.path.join(dst, f"{name}.parquet")))
 
