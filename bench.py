@@ -359,6 +359,11 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         results[name] = min(runs)
         samples[name] = runs
+        # drop persisted two-pass intermediates (with_row_id /
+        # token_budget_sample) so caches don't pile up across the loop
+        from supersonic_spark.session import release_two_pass_caches
+
+        release_two_pass_caches()
         # spread = (max-min)/min over the steady runs: >0.3 means the host
         # was noisy while this query ran and its min is still an upper bound
         spread[name] = round((max(runs) - min(runs)) / max(min(runs), 1e-9), 3)

@@ -109,9 +109,97 @@ def limit(df: DataFrame, count: int, offset: int = 0, order: list | None = None)
     return df.orderBy(*order).offset(offset).limit(count)
 
 
+#: logical-plan node names that change partitioning downstream of the scan —
+#: when any is present, getNumPartitions() reflects a real exchange and the
+#: scan-split bound below does not apply.
+_EXCHANGE_NODES = (
+    "Join", "Aggregate", "Repartition", "Sort", "Window", "Deduplicate",
+    "Distinct", "Intersect", "Except", "GlobalLimit", "CoGroup", "FlatMapGroups",
+)
+
+
+def _narrow_from_scan(df: DataFrame) -> bool:
+    """True when ``df``'s logical plan is scan + narrow ops only (no node
+    that re-partitions), so its task parallelism is exactly the scan's."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover — e.g. Spark Connect
+        return False
+    return not any(n in plan for n in _EXCHANGE_NODES)
+
+
+def _parse_bytes(v: str) -> int:
+    v = str(v).strip().lower().rstrip("b")
+    for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suf):
+            return int(float(v[:-1]) * mult)
+    return int(v)
+
+
+def effective_scan_splits(df: DataFrame, max_files: int = 256) -> int | None:
+    """Upper bound on the number of scan tasks that will actually RECEIVE
+    rows, from the parquet footers of the files backing ``df``.
+
+    Spark splits a parquet file into byte ranges of ``maxPartitionBytes``,
+    but a row group is assigned to the ONE split containing its midpoint —
+    a 182 MB single-row-group file reports 2 partitions while only one task
+    gets rows.  ``getNumPartitions()`` counts byte ranges; this counts
+    min(row groups, byte ranges) per file, which is what bounds effective
+    parallelism.  Returns None when the answer is "not a small file scan"
+    (no input files, more than ``max_files`` of them — then splits are
+    plentiful and footer-probing from the driver would be the real cost —
+    or non-parquet), in which case callers should trust getNumPartitions.
+    """
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = list(df.inputFiles())
+    except Exception:  # pragma: no cover
+        return None
+    if not files or len(files) > max_files:
+        return None
+    try:
+        mpb = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except Exception:  # pragma: no cover
+        mpb = 128 * 1024 * 1024
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover — pyarrow is a hard dep in practice
+        return None
+    bound = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme not in ("", "file"):
+            return None  # remote store: don't footer-probe from the driver
+        path = unquote(p.path) or uri
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        if size == 0:
+            continue
+        splits = max(1, math.ceil(size / mpb))
+        if path.endswith((".gz", ".zst", ".bz2")):
+            bound += 1  # unsplittable compression: one task per file
+        elif path.endswith(".parquet"):
+            try:
+                rgs = pq.ParquetFile(path).metadata.num_row_groups
+            except Exception:
+                return None
+            bound += min(max(rgs, 1), splits)
+        else:
+            bound += splits  # line-splittable text formats
+    return bound if bound > 0 else None
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Redistribute ``df`` round-robin when its plan yields fewer partitions
-    than ``min_partitions`` (default: the cluster's default parallelism).
+    """Redistribute ``df`` round-robin when its plan yields fewer EFFECTIVE
+    partitions than ``min_partitions`` (default: the cluster's default
+    parallelism).
 
     For CPU-dense per-row operators (shingling, MinHash, regex scoring,
     embedding sketches) the work should scale with cores, not with however
@@ -121,6 +209,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     compute it unblocks costs orders of magnitude more than that move.  When
     the source already has enough splits (the normal 100 TB case) this is a
     no-op with zero plan change.
+
+    "Effective" matters: ``getNumPartitions()`` counts byte-range splits,
+    and a single-row-group parquet file larger than ``maxPartitionBytes``
+    reports ≥2 partitions while only ONE task gets rows (row groups are
+    assigned by midpoint).  That exact cliff serialized the dedup/ANN fold
+    stage at sf30 (SCALING.md round-6 addendum: 434 s with 30 idle cores)
+    WITHOUT this function firing.  For scan-shaped plans over local parquet
+    the effective count is therefore bounded by the footer's row-group
+    count per byte range (:func:`effective_scan_splits`); plans downstream
+    of an exchange keep the plain partition count, which is real there.
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
@@ -128,6 +226,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         current = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - plan not convertible; don't block
         return df
+    if current >= min_partitions and _narrow_from_scan(df):
+        bound = effective_scan_splits(df)
+        if bound is not None:
+            current = min(current, bound)
     if current >= min_partitions:
         return df
     return df.repartition(min_partitions)

@@ -61,7 +61,9 @@ def with_row_id(df: DataFrame, order, name: str = "row_id",
         .sortWithinPartitions(*cols)
         .withColumn(_PID, F.spark_partition_id())
     )
-    arranged = arranged.persist()
+    from supersonic_spark.session import track_persist
+
+    arranged = track_persist(arranged)
     counts = {
         r[_PID]: r["cnt"]
         for r in arranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()

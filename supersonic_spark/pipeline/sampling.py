@@ -276,8 +276,11 @@ def weighted_reservoir_sample(
     ).cast("long")
     u = (v.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
     key = -F.log(u) / w
+    # NaN compares GREATER than any number under Spark SQL semantics, so a
+    # bare `w > 0` would let NaN weights through as NaN sort keys — exclude
+    # them like NULL/non-positive (w is cast to double, so isnan is valid).
     out = (
-        df.filter(w > 0.0)
+        df.filter((w > 0.0) & ~F.isnan(w))
         .withColumn("__wres_key", key)
         .orderBy(F.col("__wres_key"), _c(id_col))
         .limit(k)
@@ -328,23 +331,31 @@ def token_budget_sample(
     )]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     pid = "__ss_tb_pid"
-    arranged = (
+    from supersonic_spark.session import track_persist
+
+    arranged = track_persist(
         df.repartitionByRange(parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn(pid, F.spark_partition_id())
-    ).persist()
-    sums = {
-        r[pid]: int(r["s"])
-        for r in arranged.groupBy(pid)
-        .agg(F.sum(F.col(token_col).cast("long")).alias("s"))
-        .collect()
-    }
+    )
+    agg = arranged.groupBy(pid).agg(
+        F.sum(F.col(token_col).cast("long")).alias("s"),
+        F.min(F.col(token_col).cast("long")).alias("mn"),
+    ).collect()
+    # the early-return in stamp() and the wholesale partition prune both
+    # assume the running total is monotone — a negative token breaks that
+    neg = [r for r in agg if r["mn"] is not None and r["mn"] < 0]
+    if neg:
+        raise ValueError(f"token_budget_sample: {token_col} must be >= 0")
+    sums = {r[pid]: int(r["s"]) for r in agg}
     offsets: dict[int, int] = {}
     acc = 0
     for p in sorted(sums):
         offsets[p] = acc
         acc += sums[p]
-    keep_pids = [p for p in sorted(sums) if offsets[p] < budget]
+    # <= not <: a partition whose global offset EQUALS the budget can still
+    # contribute zero-token rows (cum == budget passes the stamp filter)
+    keep_pids = [p for p in sorted(sums) if offsets[p] <= budget]
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.LongType(), False)]

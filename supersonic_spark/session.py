@@ -113,6 +113,40 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Persisted intermediates created by two-pass operators (with_row_id,
+#: token_budget_sample).  The persist is load-bearing for correctness —
+#: both passes must see ONE range partitioning, and repartitionByRange
+#: re-samples boundaries per execution — but it outlives the query: the
+#: returned DataFrame is lazy, so the operator cannot know when the
+#: caller is done.  Harnesses that run many queries back-to-back (bench,
+#: the scaling sweep) call :func:`release_two_pass_caches` between runs
+#: so caches don't accumulate until LRU eviction.
+_TWO_PASS_PERSISTS: list = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for later release_two_pass_caches()."""
+    df = df.persist()
+    _TWO_PASS_PERSISTS.append(df)
+    return df
+
+
+def release_two_pass_caches() -> int:
+    """Unpersist every tracked two-pass intermediate; returns the count.
+
+    Safe to call anytime: already-consumed results are unaffected (they
+    hold no reference to the cache), and an in-flight query would simply
+    recompute — callers invoke this BETWEEN queries, not during."""
+    n = len(_TWO_PASS_PERSISTS)
+    while _TWO_PASS_PERSISTS:
+        df = _TWO_PASS_PERSISTS.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    return n
+
+
 @contextmanager
 def session_timezone(spark: SparkSession, tz: str):
     """Run a block under a non-UTC session timezone (the reference's

@@ -664,7 +664,7 @@ def sessionize(
     )
 
 
-def _group_batch(pdfs: Iterator[pd.DataFrame], sort_cols) -> pd.DataFrame:
+def _group_batch(pdfs: Iterator[pd.DataFrame], sort_cols, cols=None) -> pd.DataFrame:
     """Materialize a group's micro-batch and sort it GLOBALLY.
 
     applyInPandasWithState delivers a group's rows as MULTIPLE Arrow
@@ -675,8 +675,19 @@ def _group_batch(pdfs: Iterator[pd.DataFrame], sort_cols) -> pd.DataFrame:
     sort the WHOLE batch before replaying it.  Memory is bounded by one
     group's rows in ONE micro-batch (not the stream) — the same bound a
     correct sort needs anyway.
+
+    ``cols``: extra column names the caller will read from the result —
+    used to build a schema-correct EMPTY frame when the iterator yields
+    zero chunks (a state-timeout invocation delivers no data; callers'
+    zip-loops then emit nothing instead of crashing on chunks[0]).
     """
-    chunks = list(pdfs)
+    chunks = [c for c in pdfs if len(c)]
+    if not chunks:
+        names = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        for c in cols or ():
+            if c not in names:
+                names.append(c)
+        return pd.DataFrame({n: pd.Series(dtype="object") for n in names})
     pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     return pdf.sort_values(sort_cols)
 
@@ -710,7 +721,7 @@ def stream_changed(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         last, seen = (state.get if state.exists else (None, False))
         rows = {"key": [], ts_col: [], "value": [], out_col: []}
-        pdf = _group_batch(pdfs, ts_col)
+        pdf = _group_batch(pdfs, ts_col, (value_col,))
         for ts, v in zip(pdf[ts_col], pdf[value_col].astype("string")):
             v = None if pd.isna(v) else str(v)
             changed = (not seen) or (v != last)
@@ -755,7 +766,7 @@ def stream_smudge(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         carry = state.get[0] if state.exists else None
         rows = {"key": [], ts_col: [], out_col: []}
-        pdf = _group_batch(pdfs, ts_col)
+        pdf = _group_batch(pdfs, ts_col, (value_col,))
         for ts, v in zip(pdf[ts_col], pdf[value_col]):
             if not pd.isna(v):
                 carry = float(v)
@@ -802,7 +813,7 @@ def stream_smudge_if(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         carry = state.get[0] if state.exists else None
         rows = {"key": [], ts_col: [], out_col: []}
-        pdf = _group_batch(pdfs, ts_col)
+        pdf = _group_batch(pdfs, ts_col, (value_col, cond_col))
         for ts, v, c in zip(pdf[ts_col], pdf[value_col], pdf[cond_col]):
             anchored = (pd.isna(c) or not bool(c))
             if anchored and not pd.isna(v):
@@ -849,7 +860,7 @@ def stream_running_min_with_flush(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         cur = state.get[0] if state.exists else None
         rows = {"key": [], ts_col: [], out_col: []}
-        pdf = _group_batch(pdfs, ts_col)
+        pdf = _group_batch(pdfs, ts_col, (value_col, flush_col))
         for ts, v, fl in zip(pdf[ts_col], pdf[value_col], pdf[flush_col]):
             if not pd.isna(v) and (cur is None or float(v) < cur):
                 cur = float(v)
@@ -916,7 +927,7 @@ def stream_locf_running_min(
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         carry, cur_min = (state.get if state.exists else (None, None))
         rows = {"key": [], id_col: [], "filled": [], "run_min": []}
-        pdf = _group_batch(pdfs, [ts_col, id_col])
+        pdf = _group_batch(pdfs, [ts_col, id_col], (value_col, flush_col))
         for rid, v, fl in zip(pdf[id_col], pdf[value_col], pdf[flush_col]):
             if not pd.isna(v):
                 carry = float(v)

@@ -1203,3 +1203,74 @@ def test_mg_heavy_hitters_guarantees(spark):
     )
     nn = mg_heavy_hitters(with_null, "key", k=4).collect()
     assert {r["key"]: r["est"] for r in nn} == {"x": 2}
+
+
+def test_ensure_parallelism_detects_single_row_group_scan(spark, tmp_path):
+    """A single-row-group parquet file wider than maxPartitionBytes reports
+    multiple byte-range partitions, but only ONE scan task receives rows
+    (row groups are assigned by midpoint) — the exact cliff that serialized
+    the dedup/ANN fold at sf30 (SCALING.md round-6 addendum) while the old
+    getNumPartitions()-based ensure_parallelism declined to fire.  The
+    engine must not depend on the ingest layout being friendly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from supersonic_spark.operators.core import (
+        effective_scan_splits,
+        ensure_parallelism,
+    )
+
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [f"word{i} alpha beta gamma delta epsilon zeta" for i in range(n)],
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf), path, row_group_size=n)  # ONE row group
+    assert pq.ParquetFile(path).metadata.num_row_groups == 1
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = spark.read.parquet(path)
+        byte_splits = df.rdd.getNumPartitions()
+        assert byte_splits >= 2  # the over-report that fooled the old detector
+
+        # ground truth: exactly one byte-range split actually gets rows
+        per_part = (
+            df.withColumn("__p", F.spark_partition_id())
+            .groupBy("__p")
+            .count()
+            .collect()
+        )
+        assert len(per_part) == 1
+
+        # the footer-based bound sees through the byte ranges...
+        assert effective_scan_splits(df) == 1
+        # ...so ensure_parallelism fires and the dense stage downstream
+        # (the minhash fold runs directly on this) gets >= default
+        # parallelism NON-EMPTY partitions
+        out = ensure_parallelism(df)
+        dp = spark.sparkContext.defaultParallelism
+        spread = (
+            out.withColumn("__p", F.spark_partition_id())
+            .groupBy("__p")
+            .count()
+            .collect()
+        )
+        assert len(spread) >= min(dp, n)
+
+        # narrow ops (select/filter) keep the scan bound visible
+        narrowed = df.select("doc_id", "text").filter(F.col("doc_id") >= 0)
+        assert effective_scan_splits(narrowed) == 1
+        assert ensure_parallelism(narrowed).rdd.getNumPartitions() >= dp
+
+        # a plan downstream of an exchange is NOT footer-bounded: the
+        # shuffle's partitioning is real, so no spurious second shuffle
+        shuffled = df.repartition(dp)
+        assert ensure_parallelism(shuffled) is shuffled
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

@@ -144,6 +144,12 @@ def main() -> None:
                     qs[name](spark, opt).write.format("noop").mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
                 results[name][sf_dir] = best
+                # two-pass operators persist intermediates they cannot
+                # release themselves; drop them so a multi-SF sweep does
+                # not accumulate cached partitions between cells
+                from supersonic_spark.session import release_two_pass_caches
+
+                release_two_pass_caches()
                 # checkpoint after every cell: an interrupted multi-hour
                 # sweep (big synth SFs run 10-60s PER EXECUTION) salvages
                 # everything measured so far — rerun, or hand-merge the
