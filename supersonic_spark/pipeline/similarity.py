@@ -26,6 +26,22 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+#: Fault-injection seam for the durability drill (DURABILITY.md): when set,
+#: called with (src, dst) BEFORE every publish rename — a test raises from
+#: here to simulate a crash at any rename boundary of the index lifecycle.
+#: None in production; the call costs one None-check.
+_RENAME_HOOK = None
+
+
+def _publish_rename(fs, src, dst, what: str) -> None:
+    """Every durable publish rename funnels through here so the crash
+    drill can kill the process at each boundary exactly once."""
+    if _RENAME_HOOK is not None:
+        _RENAME_HOOK(str(src), str(dst))
+    if not fs.rename(src, dst):
+        raise IOError(f"{what}: rename {src} -> {dst}")
+
+
 def _fs_write_text(spark, path: str, text: str) -> None:
     """Write a small text file through the Hadoop FileSystem API, so the
     sidecar lands on the SAME filesystem as the parquet half of the index
@@ -62,8 +78,7 @@ def _fs_write_text_atomic(spark, path: str, text: str) -> None:
         out.close()
     if fs.exists(p):
         fs.delete(p, False)
-    if not fs.rename(tmp, p):
-        raise IOError(f"atomic publish failed: rename {tmp} -> {p}")
+    _publish_rename(fs, tmp, p, "atomic publish failed")
 
 
 def _fs_read_text(spark, path: str) -> str:
@@ -1217,8 +1232,7 @@ def _staged_partition_append(assigned: DataFrame, path: str, tag: str) -> None:
         cell = src.getParent().getName()  # "cell=<n>"
         fs.mkdirs(hpath(f"{root}/{cell}"))
         dst = hpath(f"{root}/{cell}/{tag}-{src.getName()}")
-        if not fs.rename(src, dst):
-            raise IOError(f"index append publish failed: rename {src} -> {dst}")
+        _publish_rename(fs, src, dst, "index append publish failed")
     fs.delete(hpath(staging), True)
 
 
@@ -1363,10 +1377,12 @@ def ann_index_compact(
             json.dumps({"cell": cell, "old": names, "staged": staged, "new": new}),
         )
         for s_name, n_name in zip(staged, new):
-            if not fs.rename(
-                hpath(f"{cell_staging}/{s_name}"), hpath(f"{root}/{cell}/{n_name}")
-            ):
-                raise IOError(f"compact publish failed for {cell}/{n_name}")
+            _publish_rename(
+                fs,
+                hpath(f"{cell_staging}/{s_name}"),
+                hpath(f"{root}/{cell}/{n_name}"),
+                f"compact publish failed for {cell}",
+            )
         for n in names:
             fs.delete(hpath(f"{root}/{cell}/{n}"), False)
         fs.delete(hpath(intent_path), False)
@@ -1411,10 +1427,12 @@ def _index_compact_recover(spark, path: str) -> None:
     )
     if can_forward:
         for s, n in missing:
-            if not fs.rename(
-                hpath(f"{cell_staging}/{s}"), hpath(f"{root}/{cell}/{n}")
-            ):
-                raise IOError(f"compact recovery rename failed for {cell}/{n}")
+            _publish_rename(
+                fs,
+                hpath(f"{cell_staging}/{s}"),
+                hpath(f"{root}/{cell}/{n}"),
+                f"compact recovery rename failed for {cell}",
+            )
         for n in intent["old"]:
             fs.delete(hpath(f"{root}/{cell}/{n}"), False)
     else:

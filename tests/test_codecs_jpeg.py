@@ -108,3 +108,64 @@ def test_jpeg_huffman_tables_are_prefix_free():
             for prior in seen:
                 assert not bits.startswith(prior) and not prior.startswith(bits)
             seen.add(bits)
+
+
+def _reset_backend(monkeypatch, value: str | None):
+    monkeypatch.setattr(codecs, "_JPEG_BACKEND", None)
+    if value is None:
+        monkeypatch.delenv("SPARK_GRAFT_JPEG_BACKEND", raising=False)
+    else:
+        monkeypatch.setenv("SPARK_GRAFT_JPEG_BACKEND", value)
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_jpeg_backend_selection(monkeypatch):
+    # forced pure always works, with or without Pillow
+    _reset_backend(monkeypatch, "pure")
+    assert codecs.jpeg_backend() == "pure"
+    # auto resolves to pil exactly when Pillow imports
+    _reset_backend(monkeypatch, None)
+    assert codecs.jpeg_backend() == ("pil" if _have_pil() else "pure")
+    # explicit pil without Pillow must surface loudly, not as ok=False
+    if not _have_pil():
+        _reset_backend(monkeypatch, "pil")
+        with pytest.raises(RuntimeError, match="Pillow"):
+            codecs.jpeg_backend()
+    # decode still works end-to-end under the forced-pure hatch
+    _reset_backend(monkeypatch, "pure")
+    px = _smooth_rgb(24, 32)
+    out = codecs.decode_image(J.encode_jpeg(px, quality=90))
+    assert out.shape == (24, 32, 3)
+
+
+@pytest.mark.skipif(not _have_pil(), reason="Pillow not installed in this container")
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_jpeg_pil_path_agrees_with_pure(monkeypatch, sub):
+    """The libjpeg escape hatch must honor the pure decoder's contract:
+    same shape/dtype/channel order, pixels within the JPEG standard's
+    cross-decoder IDCT tolerance."""
+    for px in (_smooth_rgb(40, 56, seed=3), _smooth_rgb(33, 41, seed=7)):
+        blob = J.encode_jpeg(px, quality=88, subsample=sub)
+        pure = J.decode_jpeg(blob)
+        _reset_backend(monkeypatch, "pil")
+        pil = codecs.decode_image(blob)
+        assert pil.shape == pure.shape and pil.dtype == np.uint8
+        diff = np.abs(pil.astype(np.int16) - pure.astype(np.int16))
+        assert diff.max() <= 4 and diff.mean() <= 1.5
+
+    # grayscale keeps the (H, W, 1) contract
+    gray = _smooth_rgb(24, 24, seed=1)[:, :, :1]
+    blob = J.encode_jpeg(gray, quality=90)
+    pure = J.decode_jpeg(blob)
+    _reset_backend(monkeypatch, "pil")
+    pil = codecs.decode_image(blob)
+    assert pil.shape == pure.shape == (24, 24, 1)
+    assert np.abs(pil.astype(np.int16) - pure.astype(np.int16)).max() <= 4

@@ -1684,3 +1684,136 @@ def test_line_dedup_regex_special_separator(spark):
     }
     assert out[1]["text"] == "a|x" and out[1]["n_dropped"] == 1
     assert out[3]["text"] == "c|z" and out[3]["n_lines"] == 3
+
+
+# ---------------------------------------------------------------- kill drill
+
+
+class _DrillCrash(Exception):
+    """Simulated crash injected at a publish-rename boundary."""
+
+
+def _drill_frames(tables):
+    emb = tables["embeddings"]
+    mk = lambda r: emb.filter(F.col("vec_id") % 3 == r).select(  # noqa: E731
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return mk(0), mk(1), mk(2)
+
+
+def _drill_steps(spark, root: str, b1, b2):
+    """The post-build index lifecycle as replayable steps: append →
+    commit manifest → append → commit manifest → compact → rebalance.
+    Each step is idempotent by the DURABILITY.md contracts, so replaying
+    from the crashed step converges."""
+    import json
+
+    return [
+        lambda: similarity.ivf_index_append_atomic(b1, "cid", "cv", root, tag="batch0"),
+        lambda: similarity._fs_write_text_atomic(
+            spark, root + "/_ivf_appended_batches.json", json.dumps([0])
+        ),
+        lambda: similarity.ivf_index_append_atomic(b2, "cid", "cv", root, tag="batch1"),
+        lambda: similarity._fs_write_text_atomic(
+            spark, root + "/_ivf_appended_batches.json", json.dumps([0, 1])
+        ),
+        lambda: similarity.ann_index_compact(spark, root, target_files_per_cell=1),
+        lambda: similarity.ivf_index_rebalance(spark, root, root + "_out", n_cells=4),
+    ]
+
+
+@pytest.fixture(scope="module")
+def ivf_drill_truth(spark, tables, tmp_path_factory):
+    """Run the whole lifecycle once fault-free with a counting hook to
+    learn how many publish-rename boundaries it crosses, and pin the
+    fault-free end state the drill runs must converge to."""
+    base, b1, b2 = _drill_frames(tables)
+    root = str(tmp_path_factory.mktemp("ivf_drill") / "gt")
+    counter = [0]
+    similarity.ivf_index_build(base, "cid", "cv", root, n_cells=4, train=True)
+    similarity._RENAME_HOOK = lambda s, d: counter.__setitem__(0, counter[0] + 1)
+    try:
+        for step in _drill_steps(spark, root, b1, b2):
+            step()
+    finally:
+        similarity._RENAME_HOOK = None
+    all_ids = {r["cid"] for r in base.collect()} | {r["cid"] for r in b1.collect()} | {
+        r["cid"] for r in b2.collect()
+    }
+    final_root = sorted(r["id"] for r in spark.read.parquet(root).collect())
+    final_out = sorted(r["id"] for r in spark.read.parquet(root + "_out").collect())
+    assert counter[0] >= 6, f"drill needs >=6 rename boundaries, saw {counter[0]}"
+    assert set(final_root) == set(final_out) == all_ids
+    return {
+        "n_renames": counter[0],
+        "base_ids": {r["cid"] for r in base.collect()},
+        "all_ids": all_ids,
+        "final_root": final_root,
+        "final_out": final_out,
+    }
+
+
+@pytest.mark.parametrize("frac", [0.0, 0.15, 0.3, 0.5, 0.65, 0.8, 0.99])
+def test_ivf_lifecycle_kill_point_drill(spark, tables, tmp_path, ivf_drill_truth, frac):
+    """DURABILITY.md exercised as a FAMILY, not per-case: crash the
+    append → manifest-commit → append → commit → compact → rebalance
+    lifecycle at a publish-rename boundary (7 points spread over every
+    boundary the fault-free run crosses), then assert
+
+    1. post-crash + recovery, the index is whole: readable, no duplicate
+       ids, old rows all present, nothing that isn't a real row (the
+       old-or-new contract), and
+    2. replaying from the crashed step converges to EXACTLY the
+       fault-free end state (replay idempotence).
+    """
+    import json
+
+    base, b1, b2 = _drill_frames(tables)
+    n = ivf_drill_truth["n_renames"]
+    k = round(frac * (n - 1))
+    root = str(tmp_path / f"drill_k{k}")
+    similarity.ivf_index_build(base, "cid", "cv", root, n_cells=4, train=True)
+    steps = _drill_steps(spark, root, b1, b2)
+
+    seen = [0]
+
+    def kill_at_k(src, dst):
+        if seen[0] == k:
+            raise _DrillCrash(f"boundary {k}: {dst}")
+        seen[0] += 1
+
+    crashed_at = None
+    similarity._RENAME_HOOK = kill_at_k
+    try:
+        for i, step in enumerate(steps):
+            try:
+                step()
+            except _DrillCrash:
+                crashed_at = i
+                break
+    finally:
+        similarity._RENAME_HOOK = None
+    assert crashed_at is not None, (
+        f"boundary {k} of {n} never reached — lifecycle rename count changed"
+    )
+
+    # --- recovery: the compact intent protocol converges; append/manifest
+    # crashes need no recovery pass (sweep-on-replay owns their leftovers)
+    similarity._index_compact_recover(spark, root)
+
+    # old-or-new at the crash point: readable, duplicate-free, complete old
+    ids = [r["id"] for r in spark.read.parquet(root).collect()]
+    assert len(ids) == len(set(ids)), f"duplicate rows after crash at {k} (step {crashed_at})"
+    assert ivf_drill_truth["base_ids"] <= set(ids)
+    assert set(ids) <= ivf_drill_truth["all_ids"]
+
+    # --- replay from the crashed step: must converge to the fault-free state
+    for step in steps[crashed_at:]:
+        step()
+    got_root = sorted(r["id"] for r in spark.read.parquet(root).collect())
+    got_out = sorted(r["id"] for r in spark.read.parquet(root + "_out").collect())
+    assert got_root == ivf_drill_truth["final_root"]
+    assert got_out == ivf_drill_truth["final_out"]
+    assert json.loads(
+        similarity._fs_read_text(spark, root + "_out/_ivf_appended_batches.json")
+    ) == [0, 1]

@@ -714,9 +714,17 @@ def test_priority_prefix_family_complete():
         "serde_plan": {"serde_plan_eval"},
         "repeating_block": {"repeating_block_synth"},
         "tpch_integration": {"tpch_q5_shape", "tpch_q3_shape", "tpch_q18_shape"},
+        # pipeline families (graded first-class alongside §2): each must
+        # keep a representative in the driver's window as the registry grows
         "dedup": {"dedup_exact", "dedup_minhash_lsh"},
         "similarity": {"similarity_cosine_topk"},
-        "text_quality": {"text_quality"},
+        "text": {"text_quality"},
+        "multimodal": {"multimodal_decode_png", "multimodal_decode_jpeg"},
+        "sampling": {"sample_fixed_k", "sample_hash_split",
+                     "sample_weighted_reservoir"},
+        "sketch": {"approx_distinct_users", "cms_heavy_hitters",
+                   "mg_heavy_hitters"},
     }
     evicted = {fam for fam, names in families.items() if not (names & prefix)}
-    assert not evicted, f"§2 families missing from the 50-entry prefix: {evicted}"
+    assert not evicted, \
+        f"§2/pipeline families missing from the 50-entry prefix: {evicted}"
