@@ -57,6 +57,13 @@ QUERIES = [
     "similarity_pq_ann",
     "similarity_ivfpq_ann",
     "asof_join_events",
+    # one representative per remaining pipeline family (round 7) — the
+    # 100× stance should be measured for text/sampling/sketch too, not
+    # just the dedup/ANN family that broke at sf30
+    "text_quality",
+    "text_tfidf_topk",
+    "sample_token_budget",
+    "cms_heavy_hitters",
 ]
 
 
