@@ -44,7 +44,8 @@ def read_stream(
     return reader.load(path)
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
     """Schema-adaptive streaming read of the driver's ``events`` table with
     ``ts`` normalized to µs ``TimestampType``.
 
@@ -54,19 +55,29 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming read must NOT hardcode either; it probes the batch schema of
     the same file and normalizes (ns → µs truncation matches a DuckDB ns→µs
     cast; NTZ → TZ is value-preserving because the session is pinned UTC;
-    watermarks reject TIMESTAMP_NTZ, hence TimestampType)."""
+    watermarks reject TIMESTAMP_NTZ, hence TimestampType).
+
+    ``events.parquet`` may be a single file (the driver's layout) or a
+    multi-file dataset directory (a real ingest); both stream.  With
+    ``max_files_per_trigger`` a multi-file dataset drains as several
+    micro-batches — state genuinely carries across batches instead of the
+    whole table arriving as one batch (how tools/stream_throughput.py
+    exercises the stateful operators)."""
     import os
 
     from supersonic_spark.session import apply_runtime_conf
 
     apply_runtime_conf(spark)
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(batch_schema)
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isdir(path):
+        stream = reader.parquet(path)  # dataset dir: stream its part files
+    else:
         # file streams take a directory; the glob narrows it to this table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     ts_type = batch_schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         # integer `div` — a double division of ~1.7e18 ns loses µs
