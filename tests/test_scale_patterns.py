@@ -298,6 +298,37 @@ def test_stream_stream_interval_join_batch_equal(spark, sf_dir, tables):
     assert got.count() > 0  # the interval actually matches something
 
 
+def test_events_stream_multifile_dataset_dir(spark, sf_dir, tables, tmp_path):
+    """events_stream must read a MULTI-FILE events.parquet dataset directory
+    (a real ingest layout) identically to the driver's single file, and
+    maxFilesPerTrigger must chunk the drain into several micro-batches so
+    stateful operators genuinely carry state across batches
+    (tools/stream_throughput.py relies on both)."""
+    from supersonic_spark.streaming.ops import events_stream
+
+    src = tables["events"]
+    out = str(tmp_path / "multi")
+    src.repartition(6).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+
+    seen: dict[int, int] = {}
+
+    def fb(df, epoch_id):
+        seen[epoch_id] = df.count()
+
+    (
+        events_stream(spark, out, max_files_per_trigger=2)
+        .select("event_id")
+        .writeStream.foreachBatch(fb)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert sum(seen.values()) == src.count()  # no rows lost or duplicated
+    assert len(seen) >= 3  # 6 files / 2 per trigger → ≥3 micro-batches
+
+
 # ---------------------------------------------------------------------
 # transformWithState running aggregate == batch groupBy at drain
 # ---------------------------------------------------------------------
