@@ -1312,7 +1312,12 @@ def semdedup(
 
     ``n_cells`` must scale with the corpus (SemDeDup's own argument): the
     per-cell cost is quadratic in cell size, so hold cell size roughly
-    constant (corpus/n_cells ≈ 10³-10⁴) as data grows.
+    constant (corpus/n_cells ≈ 10³-10⁴) as data grows.  At ``n_cells ≥
+    512`` assignment switches to the two-level quantizer
+    (similarity.ivf_train_centroids_hier): flat assignment is
+    ``N·n_cells·dim`` flops — quadratic in N once n_cells ∝ N — while the
+    hierarchical pass is ``N·2√n_cells·dim``; same approximation class,
+    and identical vectors still always share a cell.
 
     The cell assignment feeds the single groupBy; ``staging_path`` still
     materializes it as a parquet artifact first (survives the job,
@@ -1323,14 +1328,28 @@ def semdedup(
 
     from supersonic_spark.operators.core import ensure_parallelism
     from supersonic_spark.pipeline.similarity import (
+        _assign_cells_hier_udf,
         _assign_cells_udf,
         ivf_train_centroids,
+        ivf_train_centroids_hier,
     )
 
-    cents = ivf_train_centroids(
-        df, id_col, vec_col, n_cells, sample_size=sample_size, iters=iters
-    )
-    assign = _assign_cells_udf(cents, nprobe=1)
+    if n_cells >= 512:
+        # n_cells scales with the corpus here, so FLAT assignment
+        # (N·n_cells·dim flops) is asymptotically quadratic — measured as
+        # exponent 1.6 at sf30 while every other family member held ~1.
+        # Two-level assignment is N·2√n_cells·dim; the per-cell scan and
+        # the keep-lowest-id rule are unchanged (identical vectors still
+        # share a cell, so the oracle's planted-copy argument holds).
+        c1, c2 = ivf_train_centroids_hier(
+            df, id_col, vec_col, n_cells, sample_size=sample_size, iters=iters
+        )
+        assign = _assign_cells_hier_udf(c1, c2)
+    else:
+        cents = ivf_train_centroids(
+            df, id_col, vec_col, n_cells, sample_size=sample_size, iters=iters
+        )
+        assign = _assign_cells_udf(cents, nprobe=1)
     base = ensure_parallelism(df).select(
         _c(id_col).alias("__id"), _c(vec_col).alias("__v")
     ).withColumn("__cell", assign("__v")[0])

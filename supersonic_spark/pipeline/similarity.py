@@ -16,6 +16,8 @@ dim) — reproducible across runs/clusters with no RNG state.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -257,6 +259,109 @@ def lsh_topk(
 
 # ------------------------------------------------------------------- IVF
 
+def ivf_train_centroids_hier(
+    corpus: DataFrame,
+    corpus_id,
+    corpus_vec,
+    n_cells: int,
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Two-level spherical k-means for LARGE cell counts: ``k1 = ⌈√n_cells⌉``
+    coarse centroids trained on a driver sample, then per-coarse-cell fine
+    centroids (``⌈n_cells/k1⌉`` each) trained on that cell's sample members.
+
+    Why: flat assignment costs ``N·n_cells·dim`` flops — when n_cells must
+    scale with the corpus to hold cell size constant (the SemDeDup recipe),
+    that term is asymptotically QUADRATIC in N, and it is exactly what the
+    round-7 scaling sweep measured (dedup_semantic_semdedup exponent 1.6 at
+    sf30 with everything else linear).  Hierarchical assignment costs
+    ``N·(k1 + k2)·dim ≈ N·2√n_cells·dim`` — the standard IVF/ANN trade: a
+    vector near a coarse boundary can land in a slightly different fine
+    cell than flat k-means would give, which only moves WHICH near-dup
+    pairs a clustered scan can see (same approximation class as flat cells;
+    identical vectors still always share a cell — the deterministic argmax
+    chain sees identical rows).
+
+    The sample grows mildly with n_cells (8 rows per requested cell, capped
+    at 64k ≈ 32 MB of f64 at dim 64) so fine cells train on >1 member;
+    a coarse cell with no sample members degenerates to one fine cell at
+    the coarse centroid.  Unlike the flat trainer's 4096-row
+    ``orderBy(xxhash64).limit``, the bigger sample is taken by a
+    deterministic HASH-THRESHOLD filter — ``orderBy().limit()`` is a
+    TakeOrdered whose driver-side merge receives ``partitions × limit``
+    wide vectors, itself a scaling hazard at 64k; the filter ships only
+    the surviving rows and is content-defined, so it is reproducible
+    across layouts and cluster sizes.  Returns (coarse, fine-per-coarse);
+    feed both to :func:`_assign_cells_hier_udf`.
+    """
+    eff = min(max(sample_size, 8 * n_cells), 65536)
+    sel = corpus.select(_c(corpus_vec).alias("v"), _c(corpus_id).alias("i"))
+    n_total = sel.count()  # parquet-backed scans answer this from footers
+    if n_total > eff:
+        # keep ~1.1×eff by hash threshold, then trim deterministically
+        denom = 1 << 20
+        thresh = min(denom, int(denom * 1.1 * eff / n_total) + 1)
+        sel = sel.filter(F.pmod(F.xxhash64(F.col("i")), F.lit(denom)) < thresh)
+    # deterministic trim: survivors are already hash-randomized, so plain
+    # id order is a stable, layout-independent rule (no driver TakeOrdered)
+    rows = sorted(sel.collect(), key=lambda r: r.i)[:eff]
+    X = np.asarray([list(r.v) for r in rows], dtype="float64")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k1 = min(int(math.ceil(math.sqrt(n_cells))), len(Xn))
+    k2 = int(math.ceil(n_cells / max(k1, 1)))
+    C1 = _spherical_lloyd(Xn, k1, iters)
+    assign = np.argmax(Xn @ C1.T, axis=1)
+    fine: list[list[list[float]]] = []
+    for j in range(k1):
+        members = Xn[assign == j]
+        if len(members) == 0:
+            fine.append([list(map(float, C1[j]))])
+        else:
+            C2 = _spherical_lloyd(members, min(k2, len(members)), iters)
+            fine.append([list(map(float, c)) for c in C2])
+    return [list(map(float, c)) for c in C1], fine
+
+
+def _assign_cells_hier_udf(coarse, fine):
+    """Arrow-batched two-level cell assignment: argmax over the coarse
+    centroids, then argmax over that coarse cell's fine centroids; emits a
+    single GLOBAL fine-cell id (coarse offsets + fine index) as array<int>
+    of length 1 — drop-in for ``_assign_cells_udf(..., nprobe=1)``."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C1 = np.asarray(coarse, dtype="float64")
+    C1n = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-12)
+    F2n = []
+    for f in fine:
+        A = np.asarray(f, dtype="float64")
+        F2n.append(A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12))
+    offsets = np.zeros(len(F2n) + 1, dtype="int64")
+    np.cumsum([len(f) for f in F2n], out=offsets[1:])
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(v: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="float64") for e in v])
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        # Round scores before argmax: BLAS reduction order varies with the
+        # BATCH shape, so the same vector in two Arrow batches gets dot
+        # products differing by ~1e-14 — with hundreds of cells, near-tied
+        # centroids then flip the argmax and identical vectors can land in
+        # different cells (observed; it breaks the copy-shares-cell
+        # invariant the oracle relies on).  1e-9 is far above FP jitter
+        # and far below any meaningful cosine gap; residual exact ties
+        # break to the lowest cell id, consistently for identical rows.
+        c1 = np.argmax(np.round(xn @ C1n.T, 9), axis=1)
+        out = np.empty(len(xn), dtype="int64")
+        for c in np.unique(c1):
+            m = c1 == c
+            out[m] = offsets[c] + np.argmax(np.round(xn[m] @ F2n[c].T, 9), axis=1)
+        return pd.Series([[int(o)] for o in out])
+
+    return cells
+
+
 def _assign_cells_udf(centroids, nprobe: int):
     """Arrow-batched cell assignment: one matmul per batch scores every
     vector against all centroids; returns the ``nprobe`` nearest cell ids
@@ -329,7 +434,15 @@ def ivf_train_centroids(
     )
     X = np.asarray([list(r.v) for r in rows], dtype="float64")
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    k = min(n_cells, len(Xn))
+    C = _spherical_lloyd(Xn, min(n_cells, len(Xn)), iters)
+    return [list(map(float, c)) for c in C]
+
+
+def _spherical_lloyd(Xn: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Deterministic spherical Lloyd iterations on a pre-normalized sample
+    (seeds = first ``k`` rows; ties break to the lowest cell id; empty
+    cells re-seed to the worst-fit vector).  Shared by the flat and
+    hierarchical trainers — behavior identical to the original inline loop."""
     C = Xn[:k].copy()
     for _ in range(iters):
         sim = Xn @ C.T                                  # sample × k
@@ -342,7 +455,7 @@ def ivf_train_centroids(
             else:                                       # re-seed empty cell
                 worst = int(np.argmin(sim.max(axis=1)))
                 C[j] = Xn[worst]
-    return [list(map(float, c)) for c in C]
+    return C
 
 
 def ivf_topk(

@@ -1667,6 +1667,85 @@ def test_semdedup_chain_uses_lower_id_neighbors_not_kept_set(spark):
     assert got == {1: False, 2: True, 3: True}
 
 
+def test_semdedup_hierarchical_assignment_same_contract(spark):
+    """n_cells >= 512 switches to the two-level quantizer; the operator
+    contract must be unchanged: exact copies always drop (identical vectors
+    share a cell under the deterministic argmax chain), kept+dropped
+    partitions the corpus, cell ids stay within the fine-cell id space, and
+    every drop is justified by a lower-id SAME-CELL neighbor — the exact
+    invariants the oracle query re-verifies."""
+    import numpy as np
+
+    from supersonic_spark.pipeline import dedup
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(600, 16)).astype("float64")
+    rows_ = [(i, [float(x) for x in base[i]]) for i in range(600)]
+    rows_ += [(1000 + i, [float(x) for x in base[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows_, ["vec_id", "embedding"])
+    res = dedup.semdedup(df, "vec_id", "embedding", n_cells=512,
+                         threshold=0.99, sample_size=256)
+    got = res.collect()
+    assert len(got) == 610
+    by_id = {r["vec_id"]: r for r in got}
+    for i in range(10):
+        assert by_id[1000 + i]["dropped"] is True     # exact copy dropped
+        # identical vector ⇒ identical (coarse, fine) cell
+        assert by_id[1000 + i]["cell"] == by_id[i]["cell"]
+    # every drop justified: a lower-id same-cell neighbor at cos >= thr
+    vecs = {r["vec_id"]: np.asarray(base[r["vec_id"]] if r["vec_id"] < 600
+                                    else base[r["vec_id"] - 1000])
+            for r in got}
+    cells = {r["vec_id"]: r["cell"] for r in got}
+    for r in got:
+        if not r["dropped"]:
+            continue
+        v = vecs[r["vec_id"]] / np.linalg.norm(vecs[r["vec_id"]])
+        ok = any(
+            cells[o] == r["cell"] and o < r["vec_id"]
+            and float(v @ (vecs[o] / np.linalg.norm(vecs[o]))) >= 0.99
+            for o in vecs
+        )
+        assert ok, f"unjustified drop: {r['vec_id']}"
+
+
+def test_hier_centroids_cover_requested_cells(spark):
+    """The two-level trainer must produce a fine-cell id space close to the
+    requested n_cells (within the sample's ability to populate it) and the
+    assignment UDF must emit ids inside [0, total_fine)."""
+    import numpy as np
+
+    from supersonic_spark.pipeline.similarity import (
+        _assign_cells_hier_udf,
+        ivf_train_centroids_hier,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(2000, 8)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(2000)],
+        ["vec_id", "embedding"],
+    )
+    coarse, fine = ivf_train_centroids_hier(
+        df, "vec_id", "embedding", n_cells=600, sample_size=256
+    )
+    total = sum(len(f) for f in fine)
+    assert len(coarse) == len(fine)
+    # 8 rows/cell sampling floor: the trainer saw min(8*600, 2000) rows,
+    # so it can only materialize ≈2000 distinct members — but never more
+    # cells than requested + coarse rounding, and never trivially few
+    assert 100 <= total <= 600 + len(coarse)
+    assigned = df.withColumn(
+        "cell", _assign_cells_hier_udf(coarse, fine)("embedding")[0]
+    )
+    mm = assigned.agg(
+        F.min("cell").alias("lo"), F.max("cell").alias("hi"),
+        F.countDistinct("cell").alias("nd"),
+    ).collect()[0]
+    assert mm["lo"] >= 0 and mm["hi"] < total
+    assert mm["nd"] > len(coarse)  # genuinely using the fine level
+
+
 def test_line_dedup_regex_special_separator(spark):
     from supersonic_spark.pipeline import dedup
 

@@ -122,6 +122,23 @@ def main() -> None:
         build_corpus(spark, path, n_docs, hot_fraction)
     docs = spark.read.parquet(path)
 
+    variant = os.environ.get("SKEW_SWEEP_VARIANT")
+    if variant:  # subprocess worker: ONE variant, fresh JVM (see below)
+        import json
+
+        salt = None if variant == "unsalted" else "auto"
+        mark = _max_stage_id(spark)
+        t0 = time.perf_counter()
+        n_pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, verify="estimate",
+            skew_salt=salt,
+        ).count()
+        wall = time.perf_counter() - t0
+        max_task, sid = _max_task_s(spark, mark)
+        print(f"max-task stage: {sid}")
+        print(f"RESULT {json.dumps([wall, n_pairs, max_task])}")
+        return
+
     # what does the pre-flight decide? (production thresholds, no override;
     # banding reconstructed exactly as minhash_lsh_pairs builds it:
     # xxhash64 over 4-row signature slices, 16 bands of 64 hashes)
@@ -153,19 +170,32 @@ def main() -> None:
     )
     block_bound = math.ceil(n_hot / g)
 
+    # Each variant runs in its OWN subprocess/JVM: the unsalted run's
+    # ~1.8B-pair shuffle leaves its spill/shuffle files on disk for the
+    # session's lifetime, and at SF≥10 the second variant then dies on
+    # ENOSPC (observed: salted run failed SPILL_OUT_OF_MEMORY/No space
+    # left after the 534 s unsalted run).  A fresh JVM per variant frees
+    # the first variant's scratch before the second starts.
+    import json
+    import subprocess
+
     results = {}
-    for label, salt in [("unsalted", None), ("auto", "auto")]:
-        mark = _max_stage_id(spark)
-        t0 = time.perf_counter()
-        n_pairs = dedup.minhash_lsh_pairs(
-            docs, "doc_id", "text", threshold=0.5, verify="estimate",
-            skew_salt=salt,
-        ).count()
-        wall = time.perf_counter() - t0
-        max_task, sid = _max_task_s(spark, mark)
-        results[label] = (wall, n_pairs, max_task)
-        print(f"{label:9s}: {wall:7.2f}s wall  max-task {max_task:7.2f}s "
-              f"(stage {sid})  {n_pairs} pairs")
+    for label in ("unsalted", "auto"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(sf),
+             str(hot_fraction)],
+            env={**os.environ, "SKEW_SWEEP_VARIANT": label},
+            capture_output=True, text=True,
+        )
+        if out.returncode != 0:
+            print(out.stdout[-2000:])
+            print(out.stderr[-2000:])
+            raise RuntimeError(f"variant {label} failed")
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        results[label] = tuple(json.loads(line[len("RESULT "):]))
+        wall, n_pairs, max_task = results[label]
+        print(f"{label:9s}: {wall:7.2f}s wall  max-task {max_task:7.2f}s  "
+              f"{n_pairs} pairs")
     assert results["unsalted"][1] == results["auto"][1], "pair sets must match"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
