@@ -221,6 +221,7 @@ def _bucket_self_pairs(
     keys: list[str],
     carry: list[str],
     skew_salt: int | str | None = None,
+    raw: bool = False,
 ) -> DataFrame:
     """Unordered candidate pairs (id_a < id_b) from a bucketed table via
     self-join on ``keys`` — the shared tail of every LSH banding scheme.
@@ -237,6 +238,19 @@ def _bucket_self_pairs(
     to (k/g)², and the hot key fans out across g² tasks.  Each side is
     replicated (g+1)/2× on average — the same replication-for-balance trade
     as salted_join's right-side explode.
+
+    ``raw=True`` — for SYMMETRIC downstream scoring only (MinHash match
+    count, Hamming, cosine): skips BOTH the cross-band ``dropDuplicates``
+    and the id-order alignment of the carried columns (``<c>_a``/``<c>_b``
+    then follow JOIN orientation, not id order; ``id_a < id_b`` still
+    holds).  Callers compute their score per candidate row, filter, and
+    ``dropDuplicates(["id_a","id_b"])`` on the NARROW scored rows.  Why
+    this matters at scale: deduping first means the shuffle carries the
+    payload columns (a 64-long MinHash signature is ~0.5 KB PER SIDE), and
+    on a boilerplate-heavy corpus that is hundreds of GB of spill —
+    measured at the sf10 Zipf corpus as ~60 GB scratch and the #1 cost of
+    the whole operator; scoring first shrinks the dedup rows to ~24 B
+    (40×) and lets the threshold prune pairs before they ever shuffle.
 
     ``skew_salt="auto"``: run the :func:`auto_skew_salt` pre-flight and
     salt only when a bucket is actually hot.  The probe is one extra
@@ -264,7 +278,8 @@ def _bucket_self_pairs(
         sel = [F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")]
         sel += [F.col(f"l.{c}").alias(f"{c}_a") for c in carry]
         sel += [F.col(f"r.{c}").alias(f"{c}_b") for c in carry]
-        return l.join(r, cond).select(*sel).dropDuplicates(["id_a", "id_b"])
+        out = l.join(r, cond).select(*sel)
+        return out if raw else out.dropDuplicates(["id_a", "id_b"])
 
     g = int(skew_salt)
     sb = banded.withColumn("__s", F.pmod(F.xxhash64(F.col("__id")), F.lit(g)).cast("int"))
@@ -276,6 +291,22 @@ def _bucket_self_pairs(
         sb.withColumn("__p", F.explode(F.sequence(F.lit(0), F.col("__s"))))
         .withColumnRenamed("__s", "__q")
     )
+    # The block decomposition only bounds per-TASK time if blocks actually
+    # land on distinct reducers: a hot template yields bands×g(g+1)/2
+    # distinct block keys (e.g. 160 at g=4), and hashing those into the
+    # session's default shuffle-partition count piles several hot blocks
+    # onto one reducer — measured at the sf10 Zipf corpus as a 348 s
+    # straggler, WORSE than unsalted.  AQE cannot help: the hot partitions
+    # are byte-tiny (narrow banded rows) but CPU-heavy (the per-pair score
+    # runs in this stage), and both skew-split and coalescing key on
+    # BYTES.  Explicit hash partitioning on the full block key into many
+    # partitions replaces the join's own exchange (same keys, so the SMJ
+    # reuses it — no extra shuffle) and is exempt from AQE coalescing
+    # (user-specified partition count).
+    P = max(banded.sparkSession.sparkContext.defaultParallelism * 8, 128)
+    keyc = [F.col(k) for k in keys]
+    left = left.repartition(P, *keyc, F.col("__p"), F.col("__q"))
+    right = right.repartition(P, *keyc, F.col("__p"), F.col("__q"))
     l, r = left.alias("l"), right.alias("r")
     # same-salt block (p == q) needs the id< tie-break; cross-salt blocks
     # hold each unordered pair exactly once, in whichever orientation
@@ -287,11 +318,15 @@ def _bucket_self_pairs(
         & F.when(same, F.col("l.__id") < F.col("r.__id"))
          .otherwise(F.col("l.__id") != F.col("r.__id"))
     )
-    a_first = F.col("l.__id") < F.col("r.__id")
     sel = [
         F.least(F.col("l.__id"), F.col("r.__id")).alias("id_a"),
         F.greatest(F.col("l.__id"), F.col("r.__id")).alias("id_b"),
     ]
+    if raw:  # join orientation — no per-row conditional payload copy
+        sel += [F.col(f"l.{c}").alias(f"{c}_a") for c in carry]
+        sel += [F.col(f"r.{c}").alias(f"{c}_b") for c in carry]
+        return l.join(r, cond).select(*sel)
+    a_first = F.col("l.__id") < F.col("r.__id")
     sel += [
         F.when(a_first, F.col(f"l.{c}")).otherwise(F.col(f"r.{c}")).alias(f"{c}_a")
         for c in carry
@@ -429,7 +464,17 @@ def _estimate_pairs_from_sig(
         F.col("__sigarr").alias("__sig"),
         F.explode(F.array(*band_cols)).alias("__b"),
     ).select("__id", "__sig", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
-    cand = _bucket_self_pairs(banded, ["band", "bucket"], ["__sig"], skew_salt).select(
+    # raw=True: score FIRST (match fraction is symmetric in the two
+    # signatures, so join orientation is fine), filter, THEN dedup the
+    # narrow (id_a, id_b, jaccard) rows.  Deduping first would shuffle
+    # both ~0.5 KB signatures per candidate row — measured ~60 GB of
+    # scratch on the sf10 Zipf corpus vs ~1.5 GB this way (the pre-dedup
+    # zip_with re-scores cross-band duplicates, a few µs each: cheap
+    # against a 40× shuffle-width reduction, and the threshold prunes
+    # most candidates before they ever shuffle on real corpora).
+    cand = _bucket_self_pairs(
+        banded, ["band", "bucket"], ["__sig"], skew_salt, raw=True
+    ).select(
         "id_a", "id_b", F.col("__sig_a").alias("__sa"), F.col("__sig_b").alias("__sb")
     )
     matches = F.aggregate(
@@ -447,7 +492,7 @@ def _estimate_pairs_from_sig(
     )
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
-    return out
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 # ------------------------------------------------- incremental (indexed)
@@ -797,12 +842,19 @@ def simhash_dedup(
             )
         ).alias("__b"),
     ).select("__id", "__h", "__b.band", "__b.key")
-    cand = _bucket_self_pairs(bands, ["band", "key"], ["__h"], skew_salt).select(
+    # raw=True: Hamming distance is symmetric — score, filter, then dedup
+    # the narrow scored rows (same shuffle-width argument as the MinHash
+    # estimate path; here the payload is only 8 B but the pre-dedup filter
+    # still prunes non-near pairs before the exchange)
+    cand = _bucket_self_pairs(bands, ["band", "key"], ["__h"], skew_salt,
+                              raw=True).select(
         "id_a", "id_b", F.col("__h_a").alias("h_a"), F.col("__h_b").alias("h_b")
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -866,12 +918,17 @@ def embedding_lsh_pairs(
         .withColumn("__bkts", sketch("__v"))
         .select("__id", "__v", F.posexplode("__bkts").alias("tbl", "bkt"))
     )
-    cand = _bucket_self_pairs(base, ["tbl", "bkt"], ["__v"], skew_salt).select(
+    # raw=True: cosine is symmetric — score, filter, then dedup narrow
+    # rows instead of shuffling both embedding arrays through the dedup
+    cand = _bucket_self_pairs(base, ["tbl", "bkt"], ["__v"], skew_salt,
+                              raw=True).select(
         "id_a", "id_b", F.col("__v_a").alias("__va"), F.col("__v_b").alias("__vb")
     )
     cos = cosine(F.col("__va"), F.col("__vb"))
-    return cand.select("id_a", "id_b", cos.alias("cos")).filter(
-        F.col("cos") >= F.lit(threshold)
+    return (
+        cand.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

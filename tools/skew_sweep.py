@@ -126,7 +126,15 @@ def main() -> None:
     if variant:  # subprocess worker: ONE variant, fresh JVM (see below)
         import json
 
-        salt = None if variant == "unsalted" else "auto"
+        # SKEW_SWEEP_G overrides the pre-flight's g: the salted explode
+        # replicates the signature-carrying banded table (g+1)/2× into
+        # both join sorts, and this host's scratch disk cannot absorb the
+        # pre-flight's choice at sf10 (g=8 ⇒ ~4.5× ⇒ >73 GB spill, died
+        # ENOSPC twice).  A cluster sizes scratch per-executor; here we
+        # measure the bound at a g the disk affords and report both.
+        forced = os.environ.get("SKEW_SWEEP_G")
+        salt = None if variant == "unsalted" else (
+            int(forced) if forced else "auto")
         mark = _max_stage_id(spark)
         t0 = time.perf_counter()
         n_pairs = dedup.minhash_lsh_pairs(
@@ -136,6 +144,23 @@ def main() -> None:
         wall = time.perf_counter() - t0
         max_task, sid = _max_task_s(spark, mark)
         print(f"max-task stage: {sid}")
+        # per-stage breakdown for diagnosing WHERE a straggler lives
+        for st in sorted(_rest(spark, "/stages?status=COMPLETE"),
+                         key=lambda s: s["stageId"]):
+            if st["stageId"] <= mark:
+                continue
+            try:
+                summ = _rest(
+                    spark,
+                    f"/stages/{st['stageId']}/{st['attemptId']}/taskSummary"
+                    "?quantiles=0.5,1.0",
+                )
+                med, mx = (x / 1000.0 for x in summ["executorRunTime"])
+            except Exception:
+                continue
+            if mx >= 5.0:
+                print(f"stage {st['stageId']:4d}  tasks={st['numTasks']:5d}  "
+                      f"med={med:7.1f}s  max={mx:7.1f}s  {st['name'][:70]}")
         print(f"RESULT {json.dumps([wall, n_pairs, max_task])}")
         return
 
@@ -168,6 +193,12 @@ def main() -> None:
         f"adversarial corpus must trigger the salt (hot={n_hot} > "
         f"{dedup._AUTO_SALT_HOT}); got {g}"
     )
+    g_preflight = g
+    forced = os.environ.get("SKEW_SWEEP_G")
+    if forced:
+        g = int(forced)
+        print(f"applying g = {g} (pre-flight chose {g_preflight}; "
+              f"overridden for scratch-disk headroom)")
     block_bound = math.ceil(n_hot / g)
 
     # Each variant runs in its OWN subprocess/JVM: the unsalted run's
@@ -181,6 +212,15 @@ def main() -> None:
 
     results = {}
     for label in ("unsalted", "auto"):
+        cached = os.environ.get(f"SKEW_SWEEP_CACHED_{label.upper()}")
+        if cached:  # reuse a prior measurement (e.g. after the OTHER
+            # variant failed on scratch-disk exhaustion) instead of
+            # re-paying a multi-minute straggler run
+            results[label] = tuple(json.loads(cached))
+            wall, n_pairs, max_task = results[label]
+            print(f"{label:9s}: {wall:7.2f}s wall  max-task {max_task:7.2f}s  "
+                  f"{n_pairs} pairs  (cached)")
+            continue
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), str(sf),
              str(hot_fraction)],
@@ -188,8 +228,8 @@ def main() -> None:
             capture_output=True, text=True,
         )
         if out.returncode != 0:
-            print(out.stdout[-2000:])
-            print(out.stderr[-2000:])
+            print(out.stdout[-4000:])
+            print(out.stderr[-8000:])
             raise RuntimeError(f"variant {label} failed")
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
         results[label] = tuple(json.loads(line[len("RESULT "):]))
@@ -205,7 +245,7 @@ def main() -> None:
             "SCALING.md's replicas grow pair structure linearly by construction;\n"
             "this sweep (tools/skew_sweep.py) is the corpus shape that does NOT —\n"
             f"{n_docs:,} docs ({sf:g}× the sf0.1 documents table) with one hot\n"
-            f"template owning {n_hot:,} docs ({hot_fraction:.0%}): every band maps\n"
+            f"template owning {n_hot:,} docs ({hot_fraction:.1%}): every band maps\n"
             "the template to one bucket, so unsalted banding gives one task\n"
             "k² ≈ {:.1f}M signature comparisons per band.\n\n".format(
                 (n_hot ** 2) / 2 / 1e6
@@ -214,10 +254,10 @@ def main() -> None:
             + "| skew_salt=None | {:.2f} | {:.2f} | {:,} | hot bucket = 1 task/band |\n".format(
                 results["unsalted"][0], results["unsalted"][2], results["unsalted"][1]
             )
-            + "| skew_salt=\"auto\" | {:.2f} | {:.2f} | {:,} | pre-flight chose g={}, "
-            "block side ≤ {:,} docs |\n".format(
+            + "| salted | {:.2f} | {:.2f} | {:,} | g={} applied "
+            "(pre-flight chose {}), block side ≤ {:,} docs |\n".format(
                 results["auto"][0], results["auto"][2], results["auto"][1],
-                g, block_bound
+                g, g_preflight, block_bound
             )
             + "\nIdentical pair sets (asserted).  The pre-flight triggered at the\n"
             f"PRODUCTION thresholds (hot {n_hot:,} > {dedup._AUTO_SALT_HOT}); with it,\n"
