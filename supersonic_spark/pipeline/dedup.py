@@ -485,14 +485,24 @@ def _estimate_pairs_from_sig(
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    # Threshold AFTER the dedup agg, not before: a filter on the score
+    # would be pushed into the join as a residual, Catalyst then INFERS
+    # `isnotnull(signature)` on each side, and the null-check — rewritten
+    # through the projection — carries the ENTIRE MinHash fold below the
+    # ensure_parallelism exchange into the (often single-task) scan stage.
+    # Measured: simhash went 0.79 s → 4.11 s at sf0.1 from exactly this
+    # (the fold evaluated serially per row just to prove non-null, then
+    # again for its value).  A filter on the aggregated column cannot
+    # cross the aggregate, so the join keeps a cheap scan stage; the
+    # dedup'd rows it filters are the narrow 24 B scored ones.
     out = cand.select(
         "id_a",
         "id_b",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"),
-    )
+    ).dropDuplicates(["id_a", "id_b"])
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
-    return out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # ------------------------------------------------- incremental (indexed)
@@ -851,10 +861,13 @@ def simhash_dedup(
         "id_a", "id_b", F.col("__h_a").alias("h_a"), F.col("__h_b").alias("h_b")
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    # filter AFTER the dedup agg — see _estimate_pairs_from_sig: a
+    # pre-agg score filter becomes a join residual whose inferred
+    # isnotnull(__h) drags the whole fold into the serial scan stage
     return (
         cand.select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -925,10 +938,14 @@ def embedding_lsh_pairs(
         "id_a", "id_b", F.col("__v_a").alias("__va"), F.col("__v_b").alias("__vb")
     )
     cos = cosine(F.col("__va"), F.col("__vb"))
+    # filter AFTER the dedup agg — see _estimate_pairs_from_sig: a
+    # pre-agg score filter becomes a join residual whose inferred
+    # isnotnull constraints drag the sketch/normalization work into the
+    # serial scan stage
     return (
         cand.select("id_a", "id_b", cos.alias("cos"))
-        .filter(F.col("cos") >= F.lit(threshold))
         .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cos") >= F.lit(threshold))
     )
 
 
