@@ -182,8 +182,15 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
 #: unsalted (k² ≤ ~16M comparisons fits one task comfortably); above, the
 #: salt targets ``target`` docs per block side.
 _AUTO_SALT_HOT = 4096
-_AUTO_SALT_TARGET = 2048
-_AUTO_SALT_MAX_G = 16
+# Block side target: g = ceil(hot/512) gives a hot key g(g+1)/2 ≈
+# (k/512)²/2 blocks, so block keys outnumber reducers and hash placement
+# evens out (the r7 placement straggler: g=4 → only 160 block keys into
+# 256 partitions → 3-4 stacked on one reducer).  Per-key salting (the
+# "auto" path) replicates ONLY hot rows, so the finer target is
+# affordable; _AUTO_SALT_MAX_G bounds replication of a mega-hot key at
+# (64+1)/2 ≈ 32× of that key's rows.
+_AUTO_SALT_TARGET = 512
+_AUTO_SALT_MAX_G = 64
 
 
 def auto_skew_salt(
@@ -193,13 +200,19 @@ def auto_skew_salt(
     target_block: int | None = None,
     max_g: int | None = None,
 ) -> int | None:
-    """Skew pre-flight for a bucketed self-join: the heavy-hitter probe of
-    :func:`~supersonic_spark.operators.analytics.key_profile` specialized
+    """Skew DECISION PROBE for a bucketed self-join: the heavy-hitter probe
+    of :func:`~supersonic_spark.operators.analytics.key_profile` specialized
     to "does any bucket exceed ``hot_bucket`` docs".  One partial-aggregated
     count on the bucket keys and a 1-row max — bounded driver traffic at
     any corpus size.  Returns the salt g (per-block side ≈ ``target_block``
-    docs, capped at ``max_g``) when the hottest bucket would otherwise give
-    one task k² work, else None."""
+    docs, capped at ``max_g``) the HOTTEST bucket would get, else None.
+
+    Note: ``_bucket_self_pairs(skew_salt="auto")`` no longer routes through
+    this global answer — it runs its own one-job pre-flight and salts
+    PER KEY (only hot buckets replicate, each at its own g).  This function
+    remains the explainability probe ("would the salt trigger, and at what
+    g for the worst key?") used by tools/skew_sweep.py and callers sizing
+    an explicit salt by hand."""
     import math
 
     hot_bucket = _AUTO_SALT_HOT if hot_bucket is None else hot_bucket
@@ -243,14 +256,16 @@ def _bucket_self_pairs(
     count, Hamming, cosine): skips BOTH the cross-band ``dropDuplicates``
     and the id-order alignment of the carried columns (``<c>_a``/``<c>_b``
     then follow JOIN orientation, not id order; ``id_a < id_b`` still
-    holds).  Callers compute their score per candidate row, filter, and
-    ``dropDuplicates(["id_a","id_b"])`` on the NARROW scored rows.  Why
-    this matters at scale: deduping first means the shuffle carries the
-    payload columns (a 64-long MinHash signature is ~0.5 KB PER SIDE), and
-    on a boilerplate-heavy corpus that is hundreds of GB of spill —
-    measured at the sf10 Zipf corpus as ~60 GB scratch and the #1 cost of
-    the whole operator; scoring first shrinks the dedup rows to ~24 B
-    (40×) and lets the threshold prune pairs before they ever shuffle.
+    holds).  Callers de-duplicate cross-band copies with a CLAIM filter —
+    each pair survives only on the row whose band is the FIRST band where
+    the two sides collide, recomputable from the carried payloads (see
+    :func:`_claim_filter`) — so the score runs once per pair and no
+    ``dropDuplicates`` shuffle exists at all.  Why not dedup first: that
+    would shuffle the payload columns (a 64-long MinHash signature is
+    ~0.5 KB PER SIDE) through the dedup exchange — measured at the sf10
+    Zipf corpus as ~60 GB of scratch and the #1 cost of the whole
+    operator (round 7); claim-then-score eliminates both that exchange
+    and the round-7 residual cost of re-scoring each cross-band copy.
 
     ``skew_salt="auto"``: run the :func:`auto_skew_salt` pre-flight and
     salt only when a bucket is actually hot.  The probe is one extra
@@ -264,13 +279,71 @@ def _bucket_self_pairs(
     """
     from functools import reduce as _reduce
 
-    if skew_salt == "auto":
-        skew_salt = auto_skew_salt(banded, keys)
-
     def keycond(l, r):
         return _reduce(
             lambda x, y: x & y, [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
         )
+
+    gexpr = None
+    P = None
+    if skew_salt == "auto":
+        # PER-KEY pre-flight (one job): per-bucket counts give (a) the
+        # salt decision, (b) the hot-key list, (c) the banded row count
+        # for sizing the explicit partitioning.  Only HOT buckets
+        # replicate — the round-7 global-g salt replicated the ENTIRE
+        # banded table (g+1)/2× into both join sorts (at sf10 Zipf that
+        # was the difference between a 20M-row shuffle and an 8M-row one,
+        # and with signature payloads it twice exhausted this host's
+        # scratch disk), while cold buckets never needed blocks at all.
+        keyc = [F.col(k) for k in keys]
+        stat = (
+            banded.groupBy(*keyc)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.sum("__n").alias("total"),
+                F.collect_list(
+                    F.when(
+                        F.col("__n") > _AUTO_SALT_HOT,
+                        F.struct(*keyc, F.col("__n")),
+                    )
+                ).alias("hot"),
+            )
+            .first()
+        )
+        total = stat["total"] or 0
+        hot_rows = stat["hot"] or []
+        if not hot_rows:
+            skew_salt = None
+        else:
+            spark = banded.sparkSession
+            hot_df = spark.createDataFrame(
+                [tuple(r) for r in hot_rows], list(keys) + ["__n"]
+            )
+            banded = banded.join(F.broadcast(hot_df), list(keys), "left")
+            # per-key salt: block side ≈ _AUTO_SALT_TARGET docs.  The
+            # smaller target (vs round 7's global 2048) is the PLACEMENT
+            # fix: a hot key now fans into g(g+1)/2 blocks with
+            # g = ceil(k/512), so block keys outnumber reducers by an
+            # order of magnitude and the birthday-collision straggler
+            # (r7: 160 keys into 256 bins → 3-4 hot blocks on one
+            # reducer, 116.9 s max task vs 1.7 s median) averages out —
+            # max load ≈ mean when blocks ≫ partitions.  Replication
+            # cost (g+1)/2 applies only to the hot rows, so a larger g
+            # is affordable where it matters.
+            banded = banded.withColumn(
+                "__g",
+                F.when(F.col("__n").isNull(), F.lit(1))
+                .otherwise(
+                    F.least(
+                        F.ceil(F.col("__n") / F.lit(_AUTO_SALT_TARGET)),
+                        F.lit(_AUTO_SALT_MAX_G),
+                    )
+                )
+                .cast("int"),
+            ).drop("__n")
+            gexpr = F.col("__g")
+            dp = spark.sparkContext.defaultParallelism
+            P = max(dp, min(dp * 8, int(total // 10_000) + 1))
 
     if skew_salt is None:
         l, r = banded.alias("l"), banded.alias("r")
@@ -281,29 +354,42 @@ def _bucket_self_pairs(
         out = l.join(r, cond).select(*sel)
         return out if raw else out.dropDuplicates(["id_a", "id_b"])
 
-    g = int(skew_salt)
-    sb = banded.withColumn("__s", F.pmod(F.xxhash64(F.col("__id")), F.lit(g)).cast("int"))
+    if gexpr is None:
+        # explicit integer salt: the expert/compat mode — GLOBAL g, every
+        # row replicated, no pre-flight job (unit tests pin this exact
+        # decomposition).  Production callers should pass "auto".
+        gexpr = F.lit(int(skew_salt))
+    sb = banded.withColumn("__g", gexpr).withColumn(
+        "__s", F.pmod(F.xxhash64(F.col("__id")), F.col("__g")).cast("int")
+    )
     left = (
-        sb.withColumn("__q", F.explode(F.sequence(F.col("__s"), F.lit(g - 1))))
+        sb.withColumn(
+            "__q", F.explode(F.sequence(F.col("__s"), F.col("__g") - F.lit(1)))
+        )
         .withColumnRenamed("__s", "__p")
+        .drop("__g")
     )
     right = (
         sb.withColumn("__p", F.explode(F.sequence(F.lit(0), F.col("__s"))))
         .withColumnRenamed("__s", "__q")
+        .drop("__g")
     )
     # The block decomposition only bounds per-TASK time if blocks actually
-    # land on distinct reducers: a hot template yields bands×g(g+1)/2
-    # distinct block keys (e.g. 160 at g=4), and hashing those into the
-    # session's default shuffle-partition count piles several hot blocks
-    # onto one reducer — measured at the sf10 Zipf corpus as a 348 s
-    # straggler, WORSE than unsalted.  AQE cannot help: the hot partitions
-    # are byte-tiny (narrow banded rows) but CPU-heavy (the per-pair score
-    # runs in this stage), and both skew-split and coalescing key on
-    # BYTES.  Explicit hash partitioning on the full block key into many
-    # partitions replaces the join's own exchange (same keys, so the SMJ
-    # reuses it — no extra shuffle) and is exempt from AQE coalescing
-    # (user-specified partition count).
-    P = max(banded.sparkSession.sparkContext.defaultParallelism * 8, 128)
+    # land on distinct reducers: hashing block keys into the session's
+    # default shuffle-partition count piles hot blocks onto one reducer —
+    # measured at the sf10 Zipf corpus as a 348 s straggler, WORSE than
+    # unsalted.  AQE cannot help: the hot partitions are byte-tiny (narrow
+    # banded rows) but CPU-heavy (the per-pair score runs in this stage),
+    # and both skew-split and coalescing key on BYTES.  Explicit hash
+    # partitioning on the full block key into many partitions replaces the
+    # join's own exchange (same keys, so the SMJ reuses it — no extra
+    # shuffle) and is exempt from AQE coalescing (user-specified partition
+    # count).  The auto path sizes P from the measured banded row count
+    # (tiny inputs don't pay a fixed floor); the explicit path has no row
+    # count to consult and keeps a parallelism-derived width.
+    if P is None:
+        dp = banded.sparkSession.sparkContext.defaultParallelism
+        P = max(dp, min(dp * 8, 128))
     keyc = [F.col(k) for k in keys]
     left = left.repartition(P, *keyc, F.col("__p"), F.col("__q"))
     right = right.repartition(P, *keyc, F.col("__p"), F.col("__q"))
@@ -336,6 +422,35 @@ def _bucket_self_pairs(
         for c in carry
     ]
     return l.join(r, cond).select(*sel).dropDuplicates(["id_a", "id_b"])
+
+
+def _claim_filter(band_col: Column, band_eqs: list[Column]) -> Column:
+    """One-band-claim predicate for ``_bucket_self_pairs(raw=True)`` output:
+    TRUE only on the candidate row whose band is the FIRST band where the
+    two sides collide (``band_eqs[b]`` = "sides equal in band b",
+    recomputed from the carried payloads).  Every cross-band duplicate of a
+    pair evaluates the same claim, so exactly one row survives — the
+    scorer then runs ONCE per pair and no dedup shuffle is needed.
+
+    Collision stance: the claim recomputes band equality from the payload
+    (signature slices / hash bits / bucket arrays), so a pair whose only
+    collisions are xxhash64 BUCKET collisions with unequal payload bands
+    claims no row and is dropped — it was a false-positive candidate that
+    only the ~2⁻⁶⁴ bucket collision produced (same stance as exact_dedup's
+    digest join).
+
+    The predicate is wrapped ``coalesce(..., FALSE)`` on purpose: a
+    null-INTOLERANT pre-join filter lets Catalyst infer
+    ``isnotnull(payload)`` on each join side, and that constraint —
+    rewritten through the projections — carries the whole signature fold
+    below the ensure_parallelism exchange into the (often single-task)
+    scan stage, double-evaluating it (the round-7 simhash 0.79→4.11 s
+    regression).  Coalesce is null-tolerant, so no constraint is derived;
+    the filter itself references both sides and therefore stays at the
+    join, where the banded rows already are.
+    """
+    first_eq = F.array_position(F.array(*band_eqs), F.lit(True))
+    return F.coalesce(first_eq == band_col.cast("long") + 1, F.lit(False))
 
 
 def minhash_lsh_pairs(
@@ -456,26 +571,35 @@ def _estimate_pairs_from_sig(
     """Estimate-mode tail of :func:`minhash_lsh_pairs`: the signature array
     (``__sigarr`` on ``arr``) rides through the band explode so the
     (band, bucket) self-join yields both sides' signatures directly — zero
-    verification joins.  The component-match count is a 64-element
-    zip_with fold evaluated only on candidate pairs (post-banding, a
-    vanishing fraction of the corpus)."""
+    verification joins.  Cross-band duplicate candidates are resolved by
+    the one-band CLAIM (:func:`_claim_filter`): a pair survives only on
+    the row of the first band whose signature SLICES are equal, checked
+    with ``bands`` small array comparisons — so the 64-element zip_with
+    match fold runs exactly once per pair, and there is NO dedup shuffle
+    at all (round 7 scored every cross-band copy and shuffled the 24-byte
+    scored rows through a dropDuplicates; the re-scoring term was the
+    measured superlinear tail of the sf30 sweep, exponent 1.19)."""
+    bands = len(band_cols)
+    rows = num_hashes // bands
     banded = arr.select(
         "__id",
         F.col("__sigarr").alias("__sig"),
         F.explode(F.array(*band_cols)).alias("__b"),
     ).select("__id", "__sig", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
-    # raw=True: score FIRST (match fraction is symmetric in the two
-    # signatures, so join orientation is fine), filter, THEN dedup the
-    # narrow (id_a, id_b, jaccard) rows.  Deduping first would shuffle
-    # both ~0.5 KB signatures per candidate row — measured ~60 GB of
-    # scratch on the sf10 Zipf corpus vs ~1.5 GB this way (the pre-dedup
-    # zip_with re-scores cross-band duplicates, a few µs each: cheap
-    # against a 40× shuffle-width reduction, and the threshold prunes
-    # most candidates before they ever shuffle on real corpora).
     cand = _bucket_self_pairs(
-        banded, ["band", "bucket"], ["__sig"], skew_salt, raw=True
+        banded, ["band", "bucket"], ["__sig", "band"], skew_salt, raw=True
     ).select(
-        "id_a", "id_b", F.col("__sig_a").alias("__sa"), F.col("__sig_b").alias("__sb")
+        "id_a", "id_b", F.col("band_a").alias("__band"),
+        F.col("__sig_a").alias("__sa"), F.col("__sig_b").alias("__sb"),
+    )
+
+    def _slice_eq(b: int) -> Column:
+        return F.slice(F.col("__sa"), b * rows + 1, rows) == F.slice(
+            F.col("__sb"), b * rows + 1, rows
+        )
+
+    claimed = cand.filter(
+        _claim_filter(F.col("__band"), [_slice_eq(b) for b in range(bands)])
     )
     matches = F.aggregate(
         F.zip_with(
@@ -485,23 +609,16 @@ def _estimate_pairs_from_sig(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    # Threshold AFTER the dedup agg, not before: a filter on the score
-    # would be pushed into the join as a residual, Catalyst then INFERS
-    # `isnotnull(signature)` on each side, and the null-check — rewritten
-    # through the projection — carries the ENTIRE MinHash fold below the
-    # ensure_parallelism exchange into the (often single-task) scan stage.
-    # Measured: simhash went 0.79 s → 4.11 s at sf0.1 from exactly this
-    # (the fold evaluated serially per row just to prove non-null, then
-    # again for its value).  A filter on the aggregated column cannot
-    # cross the aggregate, so the join keeps a cheap scan stage; the
-    # dedup'd rows it filters are the narrow 24 B scored ones.
-    out = cand.select(
+    out = claimed.select(
         "id_a",
         "id_b",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"),
-    ).dropDuplicates(["id_a", "id_b"])
+    )
     if threshold is not None:
-        out = out.filter(F.col("jaccard") >= threshold)
+        # coalesce-wrapped for the same no-isnotnull-inference reason as
+        # the claim (see _claim_filter); And short-circuits, so the fold
+        # only ever evaluates on claimed rows.
+        out = out.filter(F.coalesce(F.col("jaccard") >= threshold, F.lit(False)))
     return out
 
 
@@ -633,7 +750,12 @@ def dedup_against_index(
     probe = minhash_band_index(
         new_df, id_col, text_col, num_hashes, bands, shingle_words, shingle
     )
+    rows = num_hashes // bands
     n, x = probe.alias("n"), index.alias("x")
+    # One-band claim instead of a dropDuplicates over signature-wide rows
+    # (see _claim_filter): each (new, indexed) pair survives only on the
+    # first band whose signature SLICES agree, so the match fold runs once
+    # per pair and both ~0.5 KB signatures never ride a dedup exchange.
     cand = (
         n.join(
             x,
@@ -644,10 +766,19 @@ def dedup_against_index(
         .select(
             F.col(f"n.{id_col}").alias("new_id"),
             F.col(f"x.{id_col}").alias("index_id"),
+            F.col("n.band").alias("__band"),
             F.col("n.signature").alias("__sa"),
             F.col("x.signature").alias("__sb"),
         )
-        .dropDuplicates(["new_id", "index_id"])
+    )
+
+    def _slice_eq(b: int) -> Column:
+        return F.slice(F.col("__sa"), b * rows + 1, rows) == F.slice(
+            F.col("__sb"), b * rows + 1, rows
+        )
+
+    claimed = cand.filter(
+        _claim_filter(F.col("__band"), [_slice_eq(b) for b in range(bands)])
     )
     matches = F.aggregate(
         F.zip_with(
@@ -656,13 +787,13 @@ def dedup_against_index(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    out = cand.select(
+    out = claimed.select(
         "new_id",
         "index_id",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"),
     )
     if threshold is not None:
-        out = out.filter(F.col("jaccard") >= threshold)
+        out = out.filter(F.coalesce(F.col("jaccard") >= threshold, F.lit(False)))
     return out
 
 
@@ -852,22 +983,32 @@ def simhash_dedup(
             )
         ).alias("__b"),
     ).select("__id", "__h", "__b.band", "__b.key")
-    # raw=True: Hamming distance is symmetric — score, filter, then dedup
-    # the narrow scored rows (same shuffle-width argument as the MinHash
-    # estimate path; here the payload is only 8 B but the pre-dedup filter
-    # still prunes non-near pairs before the exchange)
-    cand = _bucket_self_pairs(bands, ["band", "key"], ["__h"], skew_salt,
-                              raw=True).select(
-        "id_a", "id_b", F.col("__h_a").alias("h_a"), F.col("__h_b").alias("h_b")
+    # raw=True + one-band claim: Hamming distance is symmetric, and the
+    # first band where the two 16-bit slices agree is recomputable from
+    # the carried hashes — each pair survives on exactly one candidate
+    # row (_claim_filter), so popcount runs once per pair and there is no
+    # dedup shuffle.  Filters are coalesce-wrapped so no isnotnull(__h)
+    # constraint is inferred (the round-7 serial-scan trap; see
+    # _claim_filter).
+    cand = _bucket_self_pairs(bands, ["band", "key"], ["__h", "band"],
+                              skew_salt, raw=True).select(
+        "id_a", "id_b", F.col("band_a").alias("__band"),
+        F.col("__h_a").alias("h_a"), F.col("__h_b").alias("h_b"),
+    )
+
+    def _band16_eq(k: int) -> Column:
+        mask = F.lit(0xFFFF)
+        return (
+            F.shiftright(F.col("h_a"), 16 * k).bitwiseAND(mask)
+            == F.shiftright(F.col("h_b"), 16 * k).bitwiseAND(mask)
+        )
+
+    claimed = cand.filter(
+        _claim_filter(F.col("__band"), [_band16_eq(k) for k in range(4)])
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    # filter AFTER the dedup agg — see _estimate_pairs_from_sig: a
-    # pre-agg score filter becomes a join residual whose inferred
-    # isnotnull(__h) drags the whole fold into the serial scan stage
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
+    return claimed.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.coalesce(F.col("hamming") <= max_hamming, F.lit(False))
     )
 
 
@@ -929,23 +1070,35 @@ def embedding_lsh_pairs(
     base = (
         ensure_parallelism(df).select(_c(id_col).alias("__id"), _c(vec_col).alias("__v"))
         .withColumn("__bkts", sketch("__v"))
-        .select("__id", "__v", F.posexplode("__bkts").alias("tbl", "bkt"))
+        .select(
+            "__id", "__v", "__bkts", F.posexplode("__bkts").alias("tbl", "bkt")
+        )
     )
-    # raw=True: cosine is symmetric — score, filter, then dedup narrow
-    # rows instead of shuffling both embedding arrays through the dedup
-    cand = _bucket_self_pairs(base, ["tbl", "bkt"], ["__v"], skew_salt,
-                              raw=True).select(
-        "id_a", "id_b", F.col("__v_a").alias("__va"), F.col("__v_b").alias("__vb")
+    # raw=True + one-table claim: cosine is symmetric, and carrying each
+    # side's full bucket array (``tables`` ints — bytes, vs the dim-float
+    # vector already riding along) lets each pair claim the FIRST table
+    # where the buckets agree (_claim_filter), so the cosine fold runs
+    # once per pair and no dedup shuffle exists.  Filters are
+    # coalesce-wrapped so no isnotnull constraint drags the sketch UDF
+    # into the serial scan stage (round-7 trap; see _claim_filter).
+    cand = _bucket_self_pairs(base, ["tbl", "bkt"], ["__v", "__bkts", "tbl"],
+                              skew_salt, raw=True).select(
+        "id_a", "id_b", F.col("tbl_a").alias("__tbl"),
+        F.col("__v_a").alias("__va"), F.col("__v_b").alias("__vb"),
+        F.col("__bkts_a").alias("__ba"), F.col("__bkts_b").alias("__bb"),
+    )
+    claimed = cand.filter(
+        _claim_filter(
+            F.col("__tbl"),
+            [
+                F.col("__ba").getItem(t) == F.col("__bb").getItem(t)
+                for t in range(tables)
+            ],
+        )
     )
     cos = cosine(F.col("__va"), F.col("__vb"))
-    # filter AFTER the dedup agg — see _estimate_pairs_from_sig: a
-    # pre-agg score filter becomes a join residual whose inferred
-    # isnotnull constraints drag the sketch/normalization work into the
-    # serial scan stage
-    return (
-        cand.select("id_a", "id_b", cos.alias("cos"))
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("cos") >= F.lit(threshold))
+    return claimed.select("id_a", "id_b", cos.alias("cos")).filter(
+        F.coalesce(F.col("cos") >= F.lit(threshold), F.lit(False))
     )
 
 

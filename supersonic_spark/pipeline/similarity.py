@@ -266,6 +266,7 @@ def ivf_train_centroids_hier(
     n_cells: int,
     sample_size: int = 4096,
     iters: int = 10,
+    max_train_bytes: int = 128 << 20,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Two-level spherical k-means for LARGE cell counts: ``k1 = ⌈√n_cells⌉``
     coarse centroids trained on a driver sample, then per-coarse-cell fine
@@ -284,33 +285,61 @@ def ivf_train_centroids_hier(
     chain sees identical rows).
 
     The sample grows mildly with n_cells (8 rows per requested cell, capped
-    at 64k ≈ 32 MB of f64 at dim 64) so fine cells train on >1 member;
-    a coarse cell with no sample members degenerates to one fine cell at
-    the coarse centroid.  Unlike the flat trainer's 4096-row
-    ``orderBy(xxhash64).limit``, the bigger sample is taken by a
-    deterministic HASH-THRESHOLD filter — ``orderBy().limit()`` is a
-    TakeOrdered whose driver-side merge receives ``partitions × limit``
-    wide vectors, itself a scaling hazard at 64k; the filter ships only
-    the surviving rows and is content-defined, so it is reproducible
-    across layouts and cluster sizes.  Returns (coarse, fine-per-coarse);
-    feed both to :func:`_assign_cells_hier_udf`.
+    at 64k rows AND at ``max_train_bytes`` of f64 — rows × dim × 8, so a
+    dim-1024 corpus caps at ~16k rows instead of silently collecting
+    ~0.5 GB to the driver) so fine cells train on >1 member; a coarse cell
+    with no sample members degenerates to one fine cell at the coarse
+    centroid.  When the byte cap squeezes the sample below 8 rows/cell,
+    the COARSE level falls back to the distributed trainer
+    (:func:`kmeans_lloyd` — k1 ≈ √n_cells centroids, corpus never
+    collected) and only the fine per-cell training uses the byte-capped
+    sample.  Unlike the flat trainer's 4096-row ``orderBy(xxhash64)
+    .limit``, the bigger sample is taken by a deterministic
+    HASH-THRESHOLD filter — ``orderBy().limit()`` is a TakeOrdered whose
+    driver-side merge receives ``partitions × limit`` wide vectors,
+    itself a scaling hazard at 64k; the filter ships only the surviving
+    rows and is content-defined, so it is reproducible across layouts and
+    cluster sizes.  When ``n_total`` is within 1.5× of the target the
+    filter is skipped entirely (collect all, trim driver-side): a
+    hash-threshold keeps the target only IN EXPECTATION, and at small
+    ratios binomial variance can undershoot it.  Returns (coarse,
+    fine-per-coarse); feed both to :func:`_assign_cells_hier_udf`.
     """
     eff = min(max(sample_size, 8 * n_cells), 65536)
     sel = corpus.select(_c(corpus_vec).alias("v"), _c(corpus_id).alias("i"))
     n_total = sel.count()  # parquet-backed scans answer this from footers
-    if n_total > eff:
-        # keep ~1.1×eff by hash threshold, then trim deterministically
+    first = sel.first()
+    dim = len(first["v"]) if first is not None else 1
+    row_cap = max(1, int(max_train_bytes // (dim * 8)))
+    # distributed-coarse fallback when the byte cap cuts below the hier
+    # quality bar (8 rows/cell) AND actually binds (corpus bigger than cap)
+    coarse_distributed = row_cap < min(8 * n_cells, n_total)
+    eff = min(eff, row_cap)
+    if n_total > eff and n_total > int(1.5 * eff):
+        # keep ~1.3×eff by hash threshold, then trim deterministically;
+        # below the 1.5× ratio we collect everything instead (see above)
         denom = 1 << 20
-        thresh = min(denom, int(denom * 1.1 * eff / n_total) + 1)
+        thresh = min(denom, int(denom * 1.3 * eff / n_total) + 1)
         sel = sel.filter(F.pmod(F.xxhash64(F.col("i")), F.lit(denom)) < thresh)
     # deterministic trim: survivors are already hash-randomized, so plain
     # id order is a stable, layout-independent rule (no driver TakeOrdered)
     rows = sorted(sel.collect(), key=lambda r: r.i)[:eff]
     X = np.asarray([list(r.v) for r in rows], dtype="float64")
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    k1 = min(int(math.ceil(math.sqrt(n_cells))), len(Xn))
+    # the coarse level is not sample-bound when trained distributed
+    k1_bound = n_total if coarse_distributed else len(Xn)
+    k1 = min(int(math.ceil(math.sqrt(n_cells))), k1_bound)
     k2 = int(math.ceil(n_cells / max(k1, 1)))
-    C1 = _spherical_lloyd(Xn, k1, iters)
+    if coarse_distributed and len(Xn) > 0:
+        # the sample is byte-bound below hier quality (8 rows/cell): train
+        # the coarse quantizer on the FULL corpus distributed — per
+        # iteration one Arrow matmul scan + one k1×dim shuffle, nothing
+        # wide ever collected — and keep the sample for fine training only.
+        _, c1_list = kmeans_lloyd(corpus, corpus_id, corpus_vec, k=k1, iters=3)
+        C1 = np.asarray(c1_list, dtype="float64")
+        C1 = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-12)
+    else:
+        C1 = _spherical_lloyd(Xn, k1, iters)
     assign = np.argmax(Xn @ C1.T, axis=1)
     fine: list[list[list[float]]] = []
     for j in range(k1):
@@ -377,7 +406,16 @@ def _assign_cells_udf(centroids, nprobe: int):
         x = np.stack([np.asarray(e, dtype="float64") for e in v])
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sim = xn @ Cn.T                       # batch × n_cells
-        top = np.argsort(-sim, axis=1)[:, :nprobe].astype("int32")
+        # Round before ranking, ties to the lowest cell id (stable sort):
+        # BLAS reduction order varies with the BATCH shape, so the same
+        # vector in two Arrow batches gets dot products differing by
+        # ~1e-14; with near-tied centroids that flips the ranking and
+        # identical vectors can land in different cells — breaking the
+        # copy-shares-cell invariant semdedup/ivf oracles rely on (same
+        # fix as _assign_cells_hier_udf, where it was first observed).
+        top = np.argsort(-np.round(sim, 9), axis=1, kind="stable")[
+            :, :nprobe
+        ].astype("int32")
         return pd.Series(list(top))
 
     return cells

@@ -1746,6 +1746,55 @@ def test_hier_centroids_cover_requested_cells(spark):
     assert mm["nd"] > len(coarse)  # genuinely using the fine level
 
 
+def test_hier_centroids_byte_cap_and_distributed_coarse(spark):
+    """The trainer's driver collect is BYTE-capped (rows × dim × 8 ≤
+    max_train_bytes), not row-capped: a big-dim corpus must shrink the
+    sample instead of collecting ~0.5 GB to the driver, and when the cap
+    cuts below 8 rows/cell the coarse level trains DISTRIBUTED
+    (kmeans_lloyd) while keeping the same return contract — identical
+    vectors still share a (coarse, fine) cell."""
+    import numpy as np
+
+    from supersonic_spark.pipeline.similarity import (
+        _assign_cells_hier_udf,
+        ivf_train_centroids_hier,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    X = rng.normal(size=(400, dim)).astype("float64")
+    rows_ = [(i, [float(x) for x in X[i]]) for i in range(400)]
+    rows_ += [(1000 + i, [float(x) for x in X[i]]) for i in range(5)]  # copies
+    df = spark.createDataFrame(rows_, ["vec_id", "embedding"])
+
+    # cap allows only 64 sample rows (64*32*8 = 16 KiB) while 8 rows/cell
+    # for n_cells=100 wants 800 → the distributed-coarse path must engage
+    coarse, fine = ivf_train_centroids_hier(
+        df, "vec_id", "embedding", n_cells=100, sample_size=4096,
+        max_train_bytes=64 * dim * 8,
+    )
+    assert len(coarse) == len(fine)
+    # coarse level is corpus-trained, NOT bounded by the 64-row sample:
+    # k1 = ceil(sqrt(100)) = 10 distinct coarse centroids
+    assert len(coarse) == 10
+    total = sum(len(f) for f in fine)
+    assert 10 <= total <= 100 + len(coarse)
+    assigned = df.withColumn(
+        "cell", _assign_cells_hier_udf(coarse, fine)("embedding")[0]
+    )
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    for i in range(5):
+        assert got[1000 + i] == got[i]  # copy-shares-cell invariant
+    assert all(0 <= c < total for c in got.values())
+
+    # small-ratio sampling (ADVICE fix): n_total barely above the target
+    # must not undershoot — the trainer collects everything below 1.5×
+    coarse2, fine2 = ivf_train_centroids_hier(
+        df.limit(80), "vec_id", "embedding", n_cells=8, sample_size=64
+    )
+    assert sum(len(f) for f in fine2) >= 8  # full quality at tiny ratios
+
+
 def test_line_dedup_regex_special_separator(spark):
     from supersonic_spark.pipeline import dedup
 

@@ -184,6 +184,67 @@ def test_salted_banding_join_skew_bounded(spark):
     assert len(per_block) > 1 and max(per_block.values()) <= total // 3
 
 
+def test_auto_skew_salt_per_key(spark, monkeypatch):
+    """skew_salt="auto" salts PER KEY: only buckets above the hot threshold
+    replicate (cold buckets keep g=1 — no corpus-wide explode), each hot
+    bucket at its own g = ceil(n/target) capped at max_g, and the pair set
+    is exactly the unsalted one with no cross-block duplicates."""
+    from supersonic_spark.pipeline import dedup
+
+    monkeypatch.setattr(dedup, "_AUTO_SALT_HOT", 10)
+    monkeypatch.setattr(dedup, "_AUTO_SALT_TARGET", 5)
+    monkeypatch.setattr(dedup, "_AUTO_SALT_MAX_G", 8)
+    rows = (
+        [(i, "hot") for i in range(30)]                   # g = ceil(30/5) = 6
+        + [(100 + i, "warm") for i in range(12)]          # g = ceil(12/5) = 3
+        + [(200 + i, f"c{i % 4}") for i in range(8)]      # cold: g = 1
+    )
+    banded = spark.createDataFrame(rows, ["__id", "bucket"])
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup._bucket_self_pairs(banded, ["bucket"], []).collect()
+    }
+    got = [
+        (r["id_a"], r["id_b"])
+        for r in dedup._bucket_self_pairs(
+            banded, ["bucket"], [], skew_salt="auto"
+        ).collect()
+    ]
+    assert len(got) == len(set(got))  # exactly-once: no cross-block dupes
+    assert set(got) == base
+
+    # hot bucket decomposes at ITS g: per-(p,q)-block pair counts must be
+    # the decomposition-theoretic shares for g = ceil(30/5) = 6
+    g_hot = 6
+    hs = {
+        r["__id"]: r["s"]
+        for r in banded.filter(F.col("bucket") == "hot")
+        .select(
+            "__id",
+            F.pmod(F.xxhash64(F.col("__id")), F.lit(g_hot)).cast("int").alias("s"),
+        )
+        .collect()
+    }
+    per_block: dict[tuple[int, int], int] = {}
+    for a, b in got:
+        if a in hs and b in hs:
+            blk = tuple(sorted((hs[a], hs[b])))
+            per_block[blk] = per_block.get(blk, 0) + 1
+    sizes = [sum(1 for s in hs.values() if s == p) for p in range(g_hot)]
+    for (p, qq), n in per_block.items():
+        want = sizes[p] * (sizes[p] - 1) // 2 if p == qq else sizes[p] * sizes[qq]
+        assert n == want, (p, qq, n, want)
+    assert sum(per_block.values()) == 30 * 29 // 2
+
+    # when nothing is hot, auto degrades to the plain (unreplicated) join
+    monkeypatch.setattr(dedup, "_AUTO_SALT_HOT", 10_000)
+    plain = dedup._bucket_self_pairs(banded, ["bucket"], [], skew_salt="auto")
+    assert "__p" not in plain.columns  # structural: salted columns absent
+    assert {
+        (r["id_a"], r["id_b"]) for r in plain.collect()
+    } == base
+
+
 # ---------------------------------------------------------------------
 # navigation window family
 # ---------------------------------------------------------------------

@@ -16,8 +16,10 @@ and reports the ratio.  With `ensure_parallelism`'s row-group-aware
 detector (operators/core.py:effective_scan_splits, round-7 fix) case (b)
 pays one extra round-robin exchange and then runs the fold stage on all
 cores; without it the fold serializes onto the handful of row-group tasks
-(the 434 s cliff).  A ratio ≤ ~2× is a pass — the exchange plus the
-serial scan of one file is the honest lower bound for (b).
+(the 434 s cliff).  A ratio ≤ 2.5× is a pass (matching the coded
+threshold below): the exchange plus the serial scan of one file is the
+honest lower bound for (b), and the 0.5 margin absorbs host noise on a
+measurement whose failure mode is a 10×+ cliff, not a near-miss.
 
 Usage: python tools/fatfile_ab.py [sf_dir]  (default /tmp/supersonic_scale/sf10)
 """
