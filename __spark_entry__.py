@@ -39,46 +39,131 @@ def entry(spark: SparkSession) -> DataFrame:
 # §2.7 stateful expressions, and the §2.8 serialized-expression wires),
 # followed by the headline pipeline operators.  Everything not listed keeps
 # its registration order after these.
-_PRIORITY: list[str] = [
+#
+# Each slot is a ROTATION RING of same-family queries: the slot's pick for
+# a given round is ``ring[rotation % len(ring)]``, where the rotation index
+# is derived from the CORRECTNESS_r*.json artifacts the driver leaves in
+# this directory (deterministic within a round, advances by one each
+# round).  A 50-query external window that re-verified the SAME 50 names
+# forever left the other 150 relying on the builder's own oracle reruns;
+# rotating family REPRESENTATIVES keeps every §2/pipeline family
+# externally checked every round while cycling fresh members of the big
+# families (tpch shapes, dedup, similarity, text, multimodal, sampling,
+# sketch) through the driver's window — full catalog coverage in a few
+# rounds instead of never.  Singleton rings are the families whose §2 row
+# is one specific query (the expr_* surfaces, the four serde wires, ...).
+_PRIORITY_SLOTS: list[list[str]] = [
     # §2.2-§2.3 sources / scans / projections
-    "scan_project", "scan_view_selection", "generate_sequence",
-    "compute_expr", "filter_predicate", "limit_offset", "foreign_filter",
-    # §2.4 joins (LEFT_OUTER is judge-window-checked; INNER holds the slot)
-    "hash_join_inner", "rowid_merge_join",
-    "lookup_index_join",
+    ["scan_project"], ["scan_view_selection"], ["generate_sequence"],
+    ["compute_expr"], ["filter_predicate"], ["limit_offset"],
+    ["foreign_filter"],
+    # §2.4 joins: ring covers INNER/LEFT_OUTER (§2 row) + the superset
+    # join kinds (full outer / semi / anti) that share the HashJoin family
+    ["hash_join_inner", "hash_join_left", "hash_join_full_outer",
+     "semi_join_active_customers", "anti_join"],
+    ["rowid_merge_join"],
+    ["lookup_index_join"],
     # §2.5 aggregation
-    "tpch_q1", "scalar_aggregate", "distinct_aggregate", "concat_aggregate",
-    "first_last_aggregate", "group_aggregate_with_limit",
+    ["tpch_q1"], ["scalar_aggregate"], ["distinct_aggregate"],
+    ["concat_aggregate"], ["first_last_aggregate"],
+    ["group_aggregate_with_limit"],
     # §2.6 sort / set ops
-    "sort_topk", "sort_case_insensitive", "sort_nulls_ordering",
-    "merge_union_all", "coalesce_zip",
-    # §2.7 expression families
-    "expr_arithmetic", "expr_comparison_in", "expr_logic_case",
-    "expr_bitwise", "expr_parse_cast", "expr_math", "expr_trig",
-    "expr_string", "expr_regexp", "expr_datetime", "expr_hashing",
-    # §2.7 stateful expressions (smudge_if is judge-window-checked)
-    "stateful_running_sum", "stateful_smudge",
-    "stateful_running_min_flush",
-    # §2.8 serialized expressions / plans
-    "serde_expression_eval", "serde_expression_textproto",
-    "serde_tuple_textproto", "serde_plan_eval",
+    ["sort_topk"], ["sort_case_insensitive"], ["sort_nulls_ordering"],
+    ["merge_union_all"], ["coalesce_zip"],
+    # §2.7 expression families (one query IS the family — no rotation)
+    ["expr_arithmetic"], ["expr_comparison_in"], ["expr_logic_case"],
+    ["expr_bitwise"], ["expr_parse_cast"], ["expr_math"], ["expr_trig"],
+    ["expr_string"], ["expr_regexp"],
+    ["expr_datetime", "expr_datetime_local"],
+    ["expr_hashing"],
+    # §2.7 stateful expressions (5 members over 3 slots)
+    ["stateful_running_sum", "stateful_composed_stream"],
+    ["stateful_smudge", "stateful_smudge_if"],
+    ["stateful_running_min_flush"],
+    # §2.8 serialized expressions / plans (4 distinct wire formats)
+    ["serde_expression_eval"], ["serde_expression_textproto"],
+    ["serde_tuple_textproto"], ["serde_plan_eval"],
     # §2.2 RepeatingBlock source
-    "repeating_block_synth",
-    # TPC-H shapes (multi-operator integration; q6 is judge-window-checked)
-    "tpch_q5_shape", "tpch_q3_shape", "tpch_q18_shape",
-    # pipeline headliners — one per pipeline family (dedup / similarity /
-    # multimodal / text / sampling / sketch), so the driver's 50-entry
-    # window externally verifies every family every round
-    "dedup_exact", "dedup_minhash_lsh", "similarity_cosine_topk",
-    "text_quality", "multimodal_decode_png", "sample_fixed_k",
-    "approx_distinct_users",
+    ["repeating_block_synth"],
+    # TPC-H shapes (multi-operator integration): 18 more shapes cycle
+    # through three slots, 6 per ring (len 6 ≠ len 5/2/8/... of the other
+    # rings, so consecutive rotations change different slot subsets)
+    ["tpch_q5_shape", "tpch_q7_shape", "tpch_q9_shape", "tpch_q21_shape",
+     "tpch_q2_shape", "tpch_q17_shape"],
+    ["tpch_q3_shape", "tpch_q10_shape", "tpch_q12_shape", "tpch_q4_shape",
+     "tpch_q14_shape", "tpch_q19_shape"],
+    ["tpch_q18_shape", "tpch_q13_shape", "tpch_q16_shape", "tpch_q22_shape",
+     "tpch_q11_shape", "tpch_q15_shape"],
+    # pipeline families — one slot per family (dedup gets two: the exact
+    # and the probabilistic sub-families are distinct §2-grade rows)
+    ["dedup_exact", "dedup_exact_incremental", "dedup_ngram_jaccard",
+     "dedup_fuzzy_part_names", "dedup_decontaminate",
+     "line_dedup_boilerplate", "dedup_cluster_keep_best",
+     "dedup_jaccard_clusters"],
+    ["dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_estimate",
+     "dedup_embedding_cosine", "dedup_embedding_lsh",
+     "dedup_semantic_semdedup", "dedup_duplicate_clusters",
+     "dedup_incremental_minhash", "dedup_clusters_two_phase"],
+    ["similarity_cosine_topk", "similarity_ivf_ann", "similarity_ivfpq_ann",
+     "similarity_pq_ann", "similarity_lsh_ann", "similarity_ivf_index_probe",
+     "kmeans_embeddings", "similarity_mmr_rerank",
+     "similarity_quantize_int8", "similarity_mean_embedding"],
+    ["text_quality", "text_lang_id", "text_token_stats", "text_tfidf_topk",
+     "text_pii_redact", "text_chunk_documents", "text_repetition_signals",
+     "text_clean_normalize", "text_vocab_topk", "text_unigram_logprob",
+     "text_bigram_logprob"],
+    ["multimodal_decode_png", "multimodal_gif_frames",
+     "multimodal_audio_wav", "multimodal_mixed_corpus",
+     "multimodal_resize_roundtrip", "multimodal_bytes",
+     "multimodal_decode_jpeg", "multimodal_frame_plan",
+     "multimodal_decode_stub"],
+    ["sample_fixed_k", "sample_split_hash", "sample_token_budget",
+     "sample_pack_sequences", "sample_cap_per_key",
+     "sample_weighted_reservoir"],
+    ["approx_distinct_users", "sketch_distinct_merge", "cms_heavy_hitters",
+     "mg_heavy_hitters", "approx_percentile_bound"],
 ]
 
 
-def _ordered() -> list[str]:
-    head = [n for n in _PRIORITY if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in set(head)]
+def _round_rotation() -> int:
+    """Deterministic rotation index for the current driver round: the max N
+    over CORRECTNESS_r{N}.json files next to this module (the driver writes
+    one per completed round, so during round N the max present is N-1).
+    Stable for the whole round — every import between two driver
+    correctness runs sees the same artifacts, hence the same window."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [0]
+    for f in os.listdir(here):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds)
+
+
+def _ordered(rotation: int | None = None) -> list[str]:
+    rotation = _round_rotation() if rotation is None else rotation
+    head = [
+        ring[rotation % len(ring)]
+        for ring in _PRIORITY_SLOTS
+        if ring[rotation % len(ring)] in REGISTRY
+    ]
+    taken = set(head)
+    rest = [n for n in REGISTRY if n not in taken]
+    # rotate the tail too: if the driver's window ever widens past the
+    # 50-slot head, the overflow names also cycle round-to-round
+    if rest:
+        off = (rotation * 17) % len(rest)
+        rest = rest[off:] + rest[:off]
     return head + rest
+
+
+#: legacy alias: the CURRENT round's 50-name priority head (tests and
+#: tools import this; it now advances with the round rotation)
+_PRIORITY: list[str] = [
+    ring[_round_rotation() % len(ring)] for ring in _PRIORITY_SLOTS
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -662,69 +662,50 @@ def test_drain_and_read_timeout_and_empty_sink(spark, tmp_path):
 
 def test_priority_prefix_family_complete():
     """Registry hygiene guard (the driver's correctness window samples the
-    FIRST 50 catalog entries): every SURVEY.md §2 family must keep at least
-    one representative inside that prefix, so appending new queries can
-    never silently evict a family from external verification."""
+    FIRST 50 catalog entries): every SURVEY.md §2 family must keep exactly
+    one representative inside that prefix at EVERY rotation index, so the
+    round-to-round window rotation can never silently evict a family from
+    external verification — while still cycling ≥10 fresh names into the
+    window each round (full catalog driver-coverage in a few rounds)."""
     import __spark_entry__ as e
 
-    # no typos / no duplicates: every priority name is a real registry entry
-    assert len(e._PRIORITY) == len(set(e._PRIORITY))
-    missing = [n for n in e._PRIORITY if n not in e.REGISTRY]
-    assert not missing, f"_PRIORITY names not in REGISTRY: {missing}"
+    slots = e._PRIORITY_SLOTS
+    assert len(slots) == 50  # the driver's window size — one pick per slot
 
-    prefix = set(list(e.queries())[:50])
-    families = {
-        "scan/project": {"scan_project", "scan_view_selection"},
-        "generate": {"generate_sequence"},
-        "compute": {"compute_expr"},
-        "filter": {"filter_predicate"},
-        "limit": {"limit_offset"},
-        "foreign_filter": {"foreign_filter"},
-        "hash_join": {"hash_join_inner", "hash_join_left"},
-        "rowid_merge_join": {"rowid_merge_join"},
-        "lookup_index": {"lookup_index_join"},
-        "group_aggregate": {"tpch_q1"},
-        "scalar_aggregate": {"scalar_aggregate"},
-        "distinct_aggregate": {"distinct_aggregate"},
-        "concat_aggregate": {"concat_aggregate"},
-        "first_last_aggregate": {"first_last_aggregate"},
-        "bounded_aggregate": {"group_aggregate_with_limit"},
-        "sort": {"sort_topk", "sort_nulls_ordering"},
-        "sort_ci": {"sort_case_insensitive"},
-        "union": {"merge_union_all"},
-        "coalesce_zip": {"coalesce_zip"},
-        "expr_arithmetic": {"expr_arithmetic"},
-        "expr_comparison": {"expr_comparison_in"},
-        "expr_logic": {"expr_logic_case"},
-        "expr_bitwise": {"expr_bitwise"},
-        "expr_cast": {"expr_parse_cast"},
-        "expr_math": {"expr_math"},
-        "expr_trig": {"expr_trig"},
-        "expr_string": {"expr_string"},
-        "expr_regexp": {"expr_regexp"},
-        "expr_datetime": {"expr_datetime", "expr_datetime_local"},
-        "expr_hashing": {"expr_hashing"},
-        "stateful": {
-            "stateful_running_sum", "stateful_smudge",
-            "stateful_smudge_if", "stateful_running_min_flush",
-        },
-        "serde_json": {"serde_expression_eval"},
-        "serde_textproto": {"serde_expression_textproto"},
-        "serde_tuple": {"serde_tuple_textproto"},
-        "serde_plan": {"serde_plan_eval"},
-        "repeating_block": {"repeating_block_synth"},
-        "tpch_integration": {"tpch_q5_shape", "tpch_q3_shape", "tpch_q18_shape"},
-        # pipeline families (graded first-class alongside §2): each must
-        # keep a representative in the driver's window as the registry grows
-        "dedup": {"dedup_exact", "dedup_minhash_lsh"},
-        "similarity": {"similarity_cosine_topk"},
-        "text": {"text_quality"},
-        "multimodal": {"multimodal_decode_png", "multimodal_decode_jpeg"},
-        "sampling": {"sample_fixed_k", "sample_hash_split",
-                     "sample_weighted_reservoir"},
-        "sketch": {"approx_distinct_users", "cms_heavy_hitters",
-                   "mg_heavy_hitters"},
-    }
-    evicted = {fam for fam, names in families.items() if not (names & prefix)}
-    assert not evicted, \
-        f"§2/pipeline families missing from the 50-entry prefix: {evicted}"
+    # ring hygiene: every member is a real registry entry, no name appears
+    # in two rings (a double-booked name would shrink some rotation's head)
+    flat = [n for ring in slots for n in ring]
+    assert len(flat) == len(set(flat)), "name in two rotation rings"
+    missing = [n for n in flat if n not in e.REGISTRY]
+    assert not missing, f"ring names not in REGISTRY: {missing}"
+
+    max_len = max(len(r) for r in slots)
+    picks_by_rot = [
+        [ring[rot % len(ring)] for ring in slots] for rot in range(2 * max_len)
+    ]
+    for rot, picks in enumerate(picks_by_rot):
+        # family-complete at every rotation: all 50 slots distinct, and the
+        # catalog prefix IS exactly those picks (order preserved)
+        assert len(set(picks)) == 50, f"rotation {rot}: collapsed prefix"
+        assert list(e._ordered(rot))[:50] == picks
+        # the catalog never loses names to rotation — same 200 keys always
+        assert set(e._ordered(rot)) == set(e.REGISTRY)
+
+    # the verdict's coverage bar: consecutive rounds differ by ≥10 names,
+    # so the driver externally verifies fresh queries every round
+    for rot in range(2 * max_len - 1):
+        fresh = set(picks_by_rot[rot + 1]) - set(picks_by_rot[rot])
+        assert len(fresh) >= 10, f"rotation {rot}→{rot + 1}: only {fresh}"
+
+    # full-cycle coverage: every ring member reaches the window within
+    # len(ring) rounds (trivial by modular arithmetic — pinned here so a
+    # future 'skip index 3' refactor can't break it silently)
+    seen = {n for picks in picks_by_rot[:max_len] for n in picks}
+    assert seen == set(flat)
+
+    # the live rotation is artifact-derived and consistent: _PRIORITY (the
+    # legacy alias tools import) is this round's pick list
+    rot_now = e._round_rotation()
+    assert rot_now >= 1  # CORRECTNESS_r*.json artifacts exist in this repo
+    assert e._PRIORITY == picks_by_rot[rot_now % len(picks_by_rot)] or \
+        e._PRIORITY == [r[rot_now % len(r)] for r in slots]
