@@ -67,6 +67,13 @@ HEADLINE: dict[str, list[str]] = {
     "dedup_semantic_semdedup": ["embeddings"],
     "dedup_incremental_minhash": ["documents"],
     "similarity_ivf_index_probe": ["embeddings"],
+    # round 8: newest pipeline families promoted into the perf-tracked set
+    # (they were oracle-checked but a regression was invisible to bench)
+    "multimodal_gif_frames": ["documents"],
+    "multimodal_audio_wav": ["documents"],
+    "sample_pack_sequences": ["documents"],
+    "sample_token_budget": ["documents"],
+    "sample_cap_per_key": ["documents"],
 }
 
 
@@ -380,12 +387,44 @@ def main() -> None:
     }
 
     sf = orig_sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # streaming-throughput GATE (supersonic_spark/streaming/gate.py): drain
+    # the three representative stateful operators and fail LOUDLY on a
+    # rows/sec collapse — the batch side has this via the BENCH_r* history,
+    # the streaming side only had the periodic STREAMING.md sweep.  Floors
+    # are calibrated to the sf0.1 drain, so the gate only arms there;
+    # other SFs still report the measurement.  SPARK_GRAFT_BENCH_STREAMING=0
+    # skips the probe entirely.
+    streaming_rps: dict[str, float] | None = None
+    streaming_gate = "skipped"
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        from supersonic_spark.streaming.gate import (
+            check_streaming_gate,
+            measure_streaming_throughput,
+        )
+
+        streaming_rps = {
+            k: round(v)
+            for k, v in measure_streaming_throughput(spark, orig_sf_dir).items()
+        }
+        if sf == "0.1":
+            violations = check_streaming_gate(streaming_rps)
+            streaming_gate = "pass" if not violations else "FAIL: " + "; ".join(
+                violations
+            )
+            for v in violations:
+                print(f"STREAMING GATE FAIL: {v}", file=sys.stderr)
+        else:
+            streaming_gate = "unarmed (floors calibrated at sf0.1)"
+
     lean = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,
         "ingest_sec": ingest_sec,
+        "streaming_rows_per_sec": streaming_rps,
+        "streaming_gate": streaming_gate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver records only the last ~2000 chars of stdout: keep the

@@ -146,9 +146,21 @@ def effective_scan_splits(df: DataFrame, max_files: int = 256) -> int | None:
     gets rows.  ``getNumPartitions()`` counts byte ranges; this counts
     min(row groups, byte ranges) per file, which is what bounds effective
     parallelism.  Returns None when the answer is "not a small file scan"
-    (no input files, more than ``max_files`` of them — then splits are
-    plentiful and footer-probing from the driver would be the real cost —
-    or non-parquet), in which case callers should trust getNumPartitions.
+    (no input files, or more than ``max_files`` of them — then splits are
+    plentiful and footer-probing from the driver would be the real cost),
+    in which case callers should trust getNumPartitions.
+
+    Remote stores (s3/gs/abfs/hdfs/...): footers are NOT probed — a driver
+    round-trip per file against an object store is exactly the cost this
+    function must never add.  Instead the bound is LISTING-based and
+    pessimistic: one effective task per remote file (``inputFiles`` is
+    already materialized driver-side by the scan, so this costs nothing).
+    A remote file could be single-row-group — the sf30 cliff this bound
+    exists for — and assuming it errs in the protective direction: worst
+    case, a well-laid-out few-file remote table pays one benign round-robin
+    exchange before a CPU-dense fold; the miss it prevents is that fold
+    serializing onto a handful of tasks.  Past ``max_files`` remote files
+    the answer is None (splits plentiful), same as local.
     """
     import math
     import os
@@ -174,7 +186,12 @@ def effective_scan_splits(df: DataFrame, max_files: int = 256) -> int | None:
     for uri in files:
         p = urlparse(uri)
         if p.scheme not in ("", "file"):
-            return None  # remote store: don't footer-probe from the driver
+            # remote store: never footer-probe from the driver — count the
+            # file as ONE effective task (listing-based pessimistic bound;
+            # see docstring).  Unsplittable-compression suffixes are exact,
+            # parquet/text are the conservative assumption.
+            bound += 1
+            continue
         path = unquote(p.path) or uri
         try:
             size = os.path.getsize(path)

@@ -1,0 +1,134 @@
+"""Streaming-throughput GATE: fail loudly when a stateful-operator
+throughput collapse lands, instead of waiting for a human to re-read
+STREAMING.md.
+
+The batch side already has a loud regression surface (BENCH_r*.json
+history, the 2x-vs-baseline grade); the streaming side only had the
+periodic tools/stream_throughput.py sweep — a regression between sweeps
+was invisible.  bench.py now drains the three representative stateful
+operators at the bench SF and compares rows/sec against the floors
+below; a violation is printed on stderr AND carried in the bench JSON
+line (``streaming_gate``), so the per-round record shows the failure.
+
+Floors are HALF the rows/sec the sf0.1 row of STREAMING.md recorded on
+this host class (the same "within 2x" discipline as the batch gate vs
+BASELINE.json):
+
+    sliding_agg   18,654 rows/s  -> floor  9,000
+    stream_dedup  23,136 rows/s  -> floor 11,000
+    running_sum   14,103 rows/s  -> floor  7,000
+
+They encode "collapsed", not "slightly slower": the failure mode being
+guarded is a stateful operator falling off the JVM/incremental path
+(e.g. a state-store misconfiguration or an accidental per-row Python
+lane), which costs 5-100x, never 1.3x.  The floors are calibrated to
+the sf0.1 drain on a ~32-thread host and are only applied at that
+config (bench.py skips the gate at other SFs — at sf0.001 fixed
+per-batch planning overhead dominates and rows/sec is meaningless).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+#: rows/sec floors at the tracked bench config (sf0.1 events drain,
+#: 16 source files, maxFilesPerTrigger=2 -> 8 micro-batches).
+STREAM_FLOORS: dict[str, float] = {
+    "sliding_agg": 9_000.0,
+    "stream_dedup": 11_000.0,
+    "running_sum": 7_000.0,
+}
+
+N_FILES = 16
+FILES_PER_TRIGGER = 2
+
+
+def check_streaming_gate(
+    measured: dict[str, float], floors: dict[str, float] | None = None
+) -> list[str]:
+    """Pure gate predicate: return one violation string per operator whose
+    measured rows/sec is below its floor (or missing entirely — an operator
+    that stopped producing a number is the loudest collapse of all).
+    Empty list = gate passes.  Separated from the measurement so the gate
+    itself is unit-testable with injected numbers."""
+    floors = STREAM_FLOORS if floors is None else floors
+    out = []
+    for name, floor in floors.items():
+        got = measured.get(name)
+        if got is None:
+            out.append(f"{name}: no measurement (expected >= {floor:,.0f} rows/s)")
+        elif got < floor:
+            out.append(
+                f"{name}: {got:,.0f} rows/s < floor {floor:,.0f} "
+                f"(collapse: {floor / max(got, 1e-9):.1f}x below)"
+            )
+    return out
+
+
+def measure_streaming_throughput(
+    spark, sf_dir: str, runs: int = 1, src_root: str | None = None
+) -> dict[str, float]:
+    """Drain the three representative stateful operators over the events
+    table via ``availableNow`` (multi-file source -> state carries across
+    micro-batches) and return steady rows/sec per operator.  Same drain
+    shape as tools/stream_throughput.py, sized for a per-bench-run probe:
+    one warm drain + min-of-``runs`` timed drains per operator."""
+    from pyspark.sql import functions as F
+
+    from supersonic_spark.operators.aggregate import AggSpec, Aggregation
+    from supersonic_spark.streaming.ops import (
+        events_stream,
+        stream_dedup,
+        stream_running_sum,
+        windowed_aggregate,
+    )
+
+    src_root = src_root or os.path.join("/tmp", "ss_bench_stream_src")
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out_dir = os.path.join(src_root, tag)
+    dst = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+         .repartition(N_FILES).write.mode("overwrite").parquet(dst))
+    n_rows = spark.read.parquet(dst).count()
+
+    def _drain(df, mode: str) -> None:
+        sink = (df.writeStream.format("noop").outputMode(mode)
+                .trigger(availableNow=True).start())
+        if not sink.awaitTermination(1800):
+            sink.stop()
+            raise TimeoutError("streaming gate drain exceeded 1800s")
+
+    def sliding() -> None:
+        e = events_stream(spark, out_dir, max_files_per_trigger=FILES_PER_TRIGGER)
+        agged = windowed_aggregate(
+            e.withColumn("value_d", F.col("value").cast("decimal(12,2)")),
+            "ts", "1 hour",
+            [AggSpec(Aggregation.COUNT, None, "n"),
+             AggSpec(Aggregation.SUM, "value_d", "total", output_type="double")],
+            keys=["event_type"], slide="30 minutes", watermark="1 hour",
+        )
+        _drain(agged, "update")
+
+    def dedup() -> None:
+        e = events_stream(spark, out_dir, max_files_per_trigger=FILES_PER_TRIGGER)
+        _drain(stream_dedup(e, ["event_id"], ts_col="ts", watermark="1 hour"),
+               "append")
+
+    def running_sum() -> None:
+        e = events_stream(spark, out_dir, max_files_per_trigger=FILES_PER_TRIGGER)
+        _drain(stream_running_sum(e, "user_id", "value"), "update")
+
+    ops = {"sliding_agg": sliding, "stream_dedup": dedup,
+           "running_sum": running_sum}
+    measured: dict[str, float] = {}
+    for name, fn in ops.items():
+        fn()  # warm: codegen + Arrow worker spin-up, state-store init
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        measured[name] = n_rows / best if best > 0 else 0.0
+    return measured

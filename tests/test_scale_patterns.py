@@ -1366,3 +1366,51 @@ def test_ensure_parallelism_detects_single_row_group_scan(spark, tmp_path):
         assert ensure_parallelism(shuffled) is shuffled
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_effective_scan_splits_remote_listing_bound():
+    """On remote stores (s3/gs/hdfs/...) the fat-file protection must not
+    silently disappear: footers are never probed (a driver round-trip per
+    object-store file is the cost the function exists to avoid), but the
+    bound stays LISTING-based — one effective task per remote file, the
+    pessimistic assumption that errs toward the protective repartition.
+    Past max_files the answer is None (splits plentiful), same as local."""
+    from supersonic_spark.operators.core import effective_scan_splits
+
+    class _Conf:
+        def get(self, key, default=None):
+            return "134217728"
+
+    class _Session:
+        conf = _Conf()
+
+    class _FakeScan:
+        """Duck-typed stand-in: effective_scan_splits touches only
+        inputFiles() and sparkSession.conf."""
+
+        sparkSession = _Session()
+
+        def __init__(self, files):
+            self._files = files
+
+        def inputFiles(self):
+            return self._files
+
+    # 3 remote parquet files -> 3 effective tasks (not None, not footer-read)
+    s3 = [f"s3a://bucket/warehouse/part-{i:05d}.parquet" for i in range(3)]
+    assert effective_scan_splits(_FakeScan(s3)) == 3
+
+    # unsplittable compression on a remote path: still 1 per file
+    gz = ["gs://bucket/logs/a.json.gz", "hdfs://nn/logs/b.json.gz"]
+    assert effective_scan_splits(_FakeScan(gz)) == 2
+
+    # mixed local+remote: local files keep the exact footer path — a
+    # missing local file is still a bail-out (unknown layout), remote
+    # contributes its listing bound
+    mixed = ["s3a://bucket/x.parquet", "file:///nonexistent/y.parquet"]
+    assert effective_scan_splits(_FakeScan(mixed)) is None
+
+    # plentiful remote files: None, caller trusts getNumPartitions
+    many = [f"s3a://bucket/p-{i}.parquet" for i in range(300)]
+    assert effective_scan_splits(_FakeScan(many)) is None
+    assert effective_scan_splits(_FakeScan([])) is None

@@ -220,6 +220,52 @@ def test_resize_and_audio_kernels(spark):
     assert real[1] is None and real[2] is None
 
 
+def test_streaming_gate_trips_on_collapse():
+    """INTENTIONAL-REGRESSION test of the bench streaming gate itself: the
+    pure predicate must flag an operator whose rows/sec collapsed below its
+    floor (and one that stopped reporting entirely), and stay silent on a
+    healthy measurement — so a gate that silently stopped gating is itself
+    caught here."""
+    from supersonic_spark.streaming.gate import (
+        STREAM_FLOORS,
+        check_streaming_gate,
+    )
+
+    healthy = {k: v * 2.0 for k, v in STREAM_FLOORS.items()}
+    assert check_streaming_gate(healthy) == []
+
+    # a 100x collapse on one operator (the per-row-Python-lane failure
+    # mode the gate exists for) must produce exactly one loud violation
+    collapsed = dict(healthy, sliding_agg=STREAM_FLOORS["sliding_agg"] / 100)
+    viol = check_streaming_gate(collapsed)
+    assert len(viol) == 1 and "sliding_agg" in viol[0] and "collapse" in viol[0]
+
+    # an operator that produced NO number is the loudest collapse of all
+    missing = {k: v for k, v in healthy.items() if k != "running_sum"}
+    viol = check_streaming_gate(missing)
+    assert len(viol) == 1 and "running_sum" in viol[0]
+
+    # floors are overridable (bench arms the gate only at the calibrated
+    # sf0.1 config; other configs can pass their own floors)
+    assert check_streaming_gate({"x": 5.0}, floors={"x": 10.0}) != []
+    assert check_streaming_gate({"x": 50.0}, floors={"x": 10.0}) == []
+
+
+def test_streaming_gate_measurement_smoke(spark, tmp_path):
+    """measure_streaming_throughput drains the three stateful operators on
+    a real (tiny) events table and returns a positive rows/sec for each —
+    the live half of the gate; the thresholds themselves are exercised by
+    test_streaming_gate_trips_on_collapse (floors are sf0.1-calibrated and
+    meaningless at sf0.001, so the gate stays unarmed here)."""
+    from supersonic_spark.streaming.gate import measure_streaming_throughput
+
+    got = measure_streaming_throughput(
+        spark, "/root/testdata/sf0.001", src_root=str(tmp_path)
+    )
+    assert set(got) == {"sliding_agg", "stream_dedup", "running_sum"}
+    assert all(v > 0 for v in got.values())
+
+
 def test_stream_changed_and_smudge(spark, tmp_path):
     import datetime as dtm
 
