@@ -160,9 +160,18 @@ def tfidf(
 
     Scale shape: (doc, token) counts shuffle once on the pair; doc
     frequency is a vocabulary-sized rollup of that result (map-side
-    combined); N is a 1-row broadcast; the idf join shuffles on token
-    (vocabulary-sized right side, AQE may broadcast it).  No Python in the
-    row path.
+    combined); N is a 1-row broadcast; the idf join SHUFFLES on token with
+    the vocabulary side shuffle-hash-hinted as the build.  The hint is a
+    measured scale guard, not pessimism: Catalyst's post-aggregate size
+    estimate for ``tf`` can undershoot the broadcast threshold and flip
+    the CORPUS-sized side into the broadcast build — observed at the sf3
+    synth corpus, where the 3.6M-row tf table was broadcast, the join +
+    top-k window partial then executed inside the doc_freq stage that AQE
+    had coalesced to ONE task for its 1,920 input rows (6.8 s serial;
+    sf3 read SLOWER than sf10).  At 100 TB that plan is a driver OOM.
+    SHJ keeps both sides shuffled on token (vocab per partition is small)
+    and neither side ever collects to the driver.  No Python in the row
+    path.
     """
     t = F.lower(F.col(text_col))
     tok = F.explode(F.split(t, pattern)).alias("token")
@@ -171,7 +180,7 @@ def tfidf(
     doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
     doc_freq = doc_freq.crossJoin(F.broadcast(n_docs))
-    scored = tf.join(doc_freq, on="token")
+    scored = tf.join(doc_freq.hint("shuffle_hash"), on="token")
     idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0))) + F.lit(1.0)
     return scored.select(
         F.col(id_col), F.col("token"), F.col("tf"), F.col("doc_freq"),
@@ -343,7 +352,9 @@ def unigram_logprob(
         (F.col("c") + F.lit(1.0))
         / (F.col("__total").cast("double") + F.col("__v").cast("double"))
     )
-    scored = tf.join(lm, on="token").groupBy(id_col).agg(
+    # vocab side shuffle-hash-hinted: never let a bad post-agg estimate
+    # broadcast the corpus-sized tf side (see tfidf docstring)
+    scored = tf.join(lm.hint("shuffle_hash"), on="token").groupBy(id_col).agg(
         F.round(
             F.sum(F.col("tf") * logp) / F.sum(F.col("tf")).cast("double"), 6
         ).alias("avg_logprob"),
@@ -452,10 +463,12 @@ def bigram_logprob(
     unigrams = base.select(F.explode("__t").alias("w"))
     c1 = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     consts = c1.agg(F.count(F.lit(1)).alias("__v"))
+    # vocab sides shuffle-hash-hinted: never let a bad post-agg estimate
+    # broadcast the corpus-sized doc_tf side (see tfidf docstring)
     scored = (
-        doc_tf.join(corpus_bg, on="bg")
+        doc_tf.join(corpus_bg.hint("shuffle_hash"), on="bg")
         .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
-        .join(c1.withColumnRenamed("w", "w1"), on="w1")
+        .join(c1.withColumnRenamed("w", "w1").hint("shuffle_hash"), on="w1")
         .crossJoin(F.broadcast(consts))
         .withColumn(
             "__logp",

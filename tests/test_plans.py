@@ -37,6 +37,32 @@ def test_filter_pushdown_and_column_pruning(spark, qs):
     assert read_schemas and all("l_comment" not in l for l in read_schemas)
 
 
+def test_tfidf_token_join_never_broadcasts_the_corpus_side(spark, qs):
+    """The tf↔doc_freq join must stay a SHUFFLED join: Catalyst's
+    post-aggregate size estimate can undershoot the broadcast threshold
+    and flip the CORPUS-sized tf table into the broadcast build — observed
+    at the sf3 synth corpus, where broadcasting 3.6M tf rows pushed the
+    join + top-k window partial into a 1-task AQE-coalesced stage (6.8 s
+    serial; sf3 measured SLOWER than sf10).  At 100 TB that plan is a
+    driver OOM.  The shuffle_hash hint on the vocab side pins the strategy
+    for tfidf, unigram_logprob, and bigram_logprob."""
+    from supersonic_spark.pipeline import textstats
+    from supersonic_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    for build in (
+        textstats.tfidf_topk(docs, "doc_id", "text", k=5),
+        textstats.unigram_logprob(docs, "doc_id", "text"),
+        textstats.bigram_logprob(docs, "doc_id", "text"),
+    ):
+        plan = _plan(build)
+        assert "ShuffledHashJoin" in plan
+        # the 1-row N/consts attach stays broadcast (that one is correct);
+        # no OTHER broadcast join may appear — i.e. never on a token key
+        bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+        assert not bhj, f"token join broadcast a corpus-derived side: {bhj}"
+
+
 def test_topk_plans_take_ordered_not_full_sort(spark, qs):
     plan = _plan(qs["sort_topk"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan  # ExtendedSort+LIMIT = true top-k
