@@ -74,6 +74,7 @@ HEADLINE: dict[str, list[str]] = {
     "sample_pack_sequences": ["documents"],
     "sample_token_budget": ["documents"],
     "sample_cap_per_key": ["documents"],
+    "dedup_substring_spans": ["documents"],
 }
 
 

@@ -2073,6 +2073,65 @@ def q_dedup_decontaminate(spark, sf_dir):
     return sort_ops.sort(out, [SortKey("doc_id")])
 
 
+_SUBSTRING_SPANS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), spans AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + 3 AS e
+  FROM grams g JOIN dup USING (gram)
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+), islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS start_tok,
+       CAST(MAX(e) AS BIGINT) AS end_tok,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_tokens
+FROM islands GROUP BY doc_id, isl
+ORDER BY doc_id, start_tok
+"""
+
+
+@q("dedup_substring_spans", _SUBSTRING_SPANS_ORACLE)
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 substring-level
+    dedup): per document, the merged 1-based token spans covered by any
+    4-token gram occurring in >= 2 distinct documents (production default
+    is ~50 BPE tokens; 4 keeps the gate non-trivial on the short synthetic
+    docs).  Document-level MinHash misses shared boilerplate paragraphs
+    inside otherwise-distinct documents; this emits exactly those spans.
+    Hash-keyed gram aggregation — span equality is hash-invariant, so the
+    oracle joins raw grams.  Scale shape: linear end to end (rolling-gram
+    explode, one df aggregation, shuffled-hash join back, window island
+    merge per doc) — no pair join anywhere."""
+    t = _t(spark, sf_dir)
+    out = dedup.substring_dup_spans(t["documents"], "doc_id", "text", k=4, min_df=2)
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id"), SortKey("start_tok")]).select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 _CLUSTERS_ORACLE = _exact_pair_stats_sql("""
 SELECT id, component FROM (
   WITH RECURSIVE

@@ -1795,6 +1795,57 @@ def test_hier_centroids_byte_cap_and_distributed_coarse(spark):
     assert sum(len(f) for f in fine2) >= 8  # full quality at tiny ratios
 
 
+def test_substring_dup_spans(spark):
+    """Exact duplicated-substring spans: a k-token gram shared by >=min_df
+    docs marks its token range in EVERY doc containing it; overlapping and
+    adjacent ranges merge into one island; unique text, too-short docs and
+    NULL text emit nothing; within-doc repeats alone don't qualify
+    (document frequency counts DISTINCT docs)."""
+    from supersonic_spark.pipeline.dedup import substring_dup_spans
+
+    shared = "alpha beta gamma delta"          # 4 tokens, in docs 1 and 2
+    rows = [
+        # doc 1: shared gram at tokens 3-6 of 8
+        (1, f"one two {shared} seven eight"),
+        # doc 2: shared gram at 1-4, PLUS an overlapping extension: tokens
+        # 2-5 ("beta gamma delta epsilon") also appear in doc 3 -> the two
+        # spans [1,4] and [2,5] merge into one island [1,5]
+        (2, f"{shared} epsilon zzz2"),
+        (3, "beta gamma delta epsilon unrelated filler words here"),
+        (4, "totally unique text with no shared grams at all"),
+        (5, "short doc"),                       # < k tokens: no grams
+        (6, None),                              # NULL text: dropped
+        # docs 7+8: a second shared gram, ADJACENT repeats inside doc 7 —
+        # "p q r s p q r s": gram [1,4] and [5,8] both match doc 8's text,
+        # adjacent islands merge to [1,8]
+        (7, "p q r s p q r s"),
+        (8, "p q r s tail filler"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_tokens"])
+        for r in substring_dup_spans(df, "doc_id", "text", k=4, min_df=2).collect()
+    }
+    assert (1, 3, 6, 4) in got
+    assert (2, 1, 5, 5) in got                  # overlap-merged island
+    assert (3, 1, 4, 4) in got
+    assert (7, 1, 8, 8) in got                  # adjacent islands merged
+    assert (8, 1, 4, 4) in got
+    assert not any(d in (4, 5, 6) for d, *_ in got)
+
+    # within-doc repetition alone is NOT cross-doc duplication
+    solo = spark.createDataFrame(
+        [(1, "x y z w x y z w"), (2, "nothing in common here at all")],
+        ["doc_id", "text"],
+    )
+    assert substring_dup_spans(solo, "doc_id", "text", k=4, min_df=2).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        substring_dup_spans(df, "doc_id", "text", k=0)
+
+
 def test_line_dedup_regex_special_separator(spark):
     from supersonic_spark.pipeline import dedup
 

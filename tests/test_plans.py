@@ -50,10 +50,14 @@ def test_tfidf_token_join_never_broadcasts_the_corpus_side(spark, qs):
     from supersonic_spark.session import load_tables
 
     docs = load_tables(spark, SF_DIR)["documents"]
+    from supersonic_spark.pipeline import dedup as _dedup
+
     for build in (
         textstats.tfidf_topk(docs, "doc_id", "text", k=5),
         textstats.unigram_logprob(docs, "doc_id", "text"),
         textstats.bigram_logprob(docs, "doc_id", "text"),
+        # same fact<->aggregate-derived join shape: gram stream vs df set
+        _dedup.substring_dup_spans(docs, "doc_id", "text", k=4),
     ):
         plan = _plan(build)
         assert "ShuffledHashJoin" in plan

@@ -64,6 +64,9 @@ QUERIES = [
     "text_tfidf_topk",
     "sample_token_budget",
     "cms_heavy_hitters",
+    # round 8: substring-level dedup (linear by construction — the curve
+    # documents that no pair join sneaks in as the corpus grows)
+    "dedup_substring_spans",
 ]
 
 
