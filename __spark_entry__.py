@@ -99,7 +99,8 @@ _PRIORITY_SLOTS: list[list[str]] = [
     ["dedup_exact", "dedup_exact_incremental", "dedup_ngram_jaccard",
      "dedup_fuzzy_part_names", "dedup_decontaminate",
      "line_dedup_boilerplate", "dedup_cluster_keep_best",
-     "dedup_jaccard_clusters", "dedup_substring_spans"],
+     "dedup_jaccard_clusters", "dedup_substring_spans",
+     "dedup_substring_incremental"],
     ["dedup_minhash_lsh", "dedup_simhash", "dedup_minhash_estimate",
      "dedup_embedding_cosine", "dedup_embedding_lsh",
      "dedup_semantic_semdedup", "dedup_duplicate_clusters",

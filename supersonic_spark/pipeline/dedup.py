@@ -1392,6 +1392,67 @@ def ngram_overlap(
 
 # ------------------------------------------ exact duplicated substrings
 
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(__id, pos, g): rolling ``k``-token word grams per document, hashed
+    to 8-byte xxhash64 keys (the explode shuffle never carries gram text).
+    Positions are 1-based token indices; docs with < k tokens (and NULL
+    text — size(NULL) = -1) emit nothing."""
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    base = ensure_parallelism(df).select(
+        _c(id_col).alias("__id"),
+        F.split(F.lower(F.trim(_c(text_col))), r"\s+").alias("__t"),
+    )
+    n = F.size("__t")
+    return base.select(
+        "__id",
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k) + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.array_join(F.slice(F.col("__t"), i, k), " ")
+                        ).alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+        ).alias("__gr"),
+    ).select("__id", F.col("__gr.pos").alias("pos"), F.col("__gr.g").alias("g"))
+
+
+def _merge_token_spans(spans: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """Merge overlapping AND adjacent per-document token spans (island
+    trick, all JVM window functions): a new island starts where this
+    span's start exceeds 1 + the max end seen so far; islands aggregate to
+    (min start, max end).  ``spans`` must have (__id, s, e)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "__new", (prev_max_e.isNull() | (F.col("s") > prev_max_e + 1)).cast("int")
+    )
+    islands = flagged.withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("__id", "__isl")
+        .agg(F.min("s").alias("start_tok"), F.max("e").alias("end_tok"))
+        .select(
+            F.col("__id").alias(out_id),
+            "start_tok",
+            "end_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("n_tokens"),
+        )
+    )
+
+
 def substring_dup_spans(
     df: DataFrame,
     id_col: str,
@@ -1425,34 +1486,7 @@ def substring_dup_spans(
     hash values, so an ANSI-SQL oracle that joins raw gram strings
     reproduces the output exactly.
     """
-    from pyspark.sql.window import Window
-
-    from supersonic_spark.operators.core import ensure_parallelism
-
-    if k < 1:
-        raise ValueError(f"k must be >= 1; got {k}")
-    base = ensure_parallelism(df).select(
-        _c(id_col).alias("__id"),
-        F.split(F.lower(F.trim(_c(text_col))), r"\s+").alias("__t"),
-    )
-    n = F.size("__t")
-    grams = base.select(
-        "__id",
-        F.explode(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - F.lit(k) + 1),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.xxhash64(
-                            F.array_join(F.slice(F.col("__t"), i, k), " ")
-                        ).alias("g"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
-        ).alias("__gr"),
-    ).select("__id", F.col("__gr.pos").alias("pos"), F.col("__gr.g").alias("g"))
+    grams = _doc_grams(df, id_col, text_col, k)
     dup = (
         grams.groupBy("g")
         .agg(F.count_distinct("__id").alias("__df"))
@@ -1462,28 +1496,51 @@ def substring_dup_spans(
     spans = grams.join(dup.hint("shuffle_hash"), "g").select(
         "__id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e")
     )
-    # merge overlapping AND adjacent spans per document (island trick):
-    # a new island starts where this span's start exceeds 1 + the max end
-    # seen so far; islands then aggregate to (min start, max end)
-    w = Window.partitionBy("__id").orderBy("s", "e")
-    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = spans.withColumn(
-        "__new", (prev_max_e.isNull() | (F.col("s") > prev_max_e + 1)).cast("int")
-    )
-    islands = flagged.withColumn(
-        "__isl",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    return _merge_token_spans(spans, "__id", id_col)
+
+
+def substring_gram_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Build the corpus-side substring index: one row per DISTINCT k-token
+    gram hash with its document frequency — (g, doc_freq).  Persist it
+    with a plain parquet write (8+8 bytes per distinct gram) and feed new
+    batches to :func:`substring_spans_against_index`; append-merge of two
+    indexes is ``union.groupBy(g).sum(doc_freq)`` (the counts are
+    mergeable), same discipline as the exact-dedup digest index."""
     return (
-        islands.groupBy("__id", "__isl")
-        .agg(F.min("s").alias("start_tok"), F.max("e").alias("end_tok"))
-        .select(
-            F.col("__id").alias(id_col),
-            "start_tok",
-            "end_tok",
-            (F.col("end_tok") - F.col("start_tok") + 1).alias("n_tokens"),
-        )
+        _doc_grams(df, id_col, text_col, k)
+        .groupBy("g")
+        .agg(F.count_distinct("__id").alias("doc_freq"))
     )
+
+
+def substring_spans_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 1,
+) -> DataFrame:
+    """Incremental substring decontamination: merged token spans of NEW
+    documents covered by any k-token gram already present in the corpus
+    index (``doc_freq >= min_df``).  The ingest-time twin of
+    :func:`substring_dup_spans` — a new batch is checked against the
+    standing corpus WITHOUT rescanning it, the same build-once/probe-many
+    contract as the MinHash band index and the exact-dedup digest index.
+
+    Scale shape: the new batch's grams explode and join the index on the
+    8-byte gram hash (shuffled-hash; the index side is aggregate-derived —
+    never let it broadcast-flip, see substring_dup_spans), then the window
+    island merge runs per NEW doc only.  ``k`` must match the index's.
+    """
+    grams = _doc_grams(new_df, id_col, text_col, k)
+    hits = index.filter(F.col("doc_freq") >= min_df).select("g")
+    spans = grams.join(hits.hint("shuffle_hash"), "g").select(
+        "__id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e")
+    )
+    return _merge_token_spans(spans, "__id", id_col)
 
 
 # ------------------------------------------------- line-level boilerplate

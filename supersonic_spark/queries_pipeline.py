@@ -2107,6 +2107,79 @@ ORDER BY doc_id, start_tok
 """
 
 
+_SUBSTRING_INCR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 4
+), corpus AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 2 = 0
+), spans AS (
+  SELECT g.doc_id, g.pos AS s, g.pos + 3 AS e
+  FROM grams g JOIN corpus USING (gram)
+  WHERE g.doc_id % 2 = 1
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+), islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS start_tok,
+       CAST(MAX(e) AS BIGINT) AS end_tok,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_tokens
+FROM islands GROUP BY doc_id, isl
+ORDER BY doc_id, start_tok
+"""
+
+
+@q("dedup_substring_incremental", _SUBSTRING_INCR_ORACLE)
+def q_dedup_substring_incremental(spark, sf_dir):
+    """Incremental substring decontamination against a PERSISTED gram
+    index: even-id docs are the standing corpus (their substring_gram_index
+    is written to parquet and read back — the cross-session artifact),
+    odd-id docs are the new batch; output is each new doc's merged token
+    spans covered by corpus-known 4-grams.  The corpus text is never
+    re-tokenized at probe time.  Span equality is hash-invariant, so the
+    oracle joins raw grams."""
+    import os
+    import tempfile
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    corpus = core.filter_op(docs, F.col("doc_id") % 2 == 0)
+    batch = core.filter_op(docs, F.col("doc_id") % 2 == 1)
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    idx_path = os.path.join(tempfile.gettempdir(), f"ss_substr_index{tag}")
+    dedup.substring_gram_index(corpus, "doc_id", "text", k=4).write.mode(
+        "overwrite"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    out = dedup.substring_spans_against_index(
+        batch, index, "doc_id", "text", k=4
+    )
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id"), SortKey("start_tok")]).select(
+        "doc_id",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("end_tok").cast("long").alias("end_tok"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 @q("dedup_substring_spans", _SUBSTRING_SPANS_ORACLE)
 def q_dedup_substring_spans(spark, sf_dir):
     """Exact duplicated-substring spans (Lee et al. 2022 substring-level

@@ -1846,6 +1846,79 @@ def test_substring_dup_spans(spark):
         substring_dup_spans(df, "doc_id", "text", k=0)
 
 
+def test_substring_gram_index_and_probe(spark, tmp_path):
+    """Incremental substring decontamination: the gram index persists to
+    parquet and a NEW batch probes it without touching corpus text; spans
+    match the batch-mode operator run over corpus+batch restricted to
+    grams the corpus contains; two indexes append-merge by summed
+    doc_freq."""
+    from supersonic_spark.pipeline.dedup import (
+        substring_dup_spans,
+        substring_gram_index,
+        substring_spans_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta tail one"),
+         (2, "alpha beta gamma delta other text"),
+         (4, "completely different corpus content here")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1, "lead alpha beta gamma delta trail"),   # corpus gram at 2-5
+         (3, "no shared grams in this new doc"),
+         (5, "alpha beta gamma delta")],              # whole doc duplicated
+        ["doc_id", "text"],
+    )
+    idx_path = str(tmp_path / "gram_idx")
+    substring_gram_index(corpus, "doc_id", "text", k=4).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    # doc_freq is per-distinct-doc: the shared gram sits in corpus docs 0+2
+    assert {r["doc_freq"] for r in index.collect()} <= {1, 2}
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in substring_spans_against_index(
+            batch, index, "doc_id", "text", k=4
+        ).collect()
+    }
+    assert got == {(1, 2, 5), (5, 1, 4)}
+
+    # min_df raises the bar: grams must be in >=2 corpus docs
+    got2 = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in substring_spans_against_index(
+            batch, index, "doc_id", "text", k=4, min_df=2
+        ).collect()
+    }
+    assert got2 == {(1, 2, 5), (5, 1, 4)}  # the shared gram has df=2
+
+    # append-merge discipline: union + groupBy(g).sum == index of the union
+    import pyspark.sql.functions as SF
+
+    half_a = substring_gram_index(corpus.filter("doc_id <= 2"), "doc_id", "text", k=4)
+    half_b = substring_gram_index(corpus.filter("doc_id > 2"), "doc_id", "text", k=4)
+    merged = (
+        half_a.unionByName(half_b).groupBy("g")
+        .agg(SF.sum("doc_freq").alias("doc_freq"))
+    )
+    full = substring_gram_index(corpus, "doc_id", "text", k=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    # parity with the batch-mode operator: probing the index equals
+    # running substring_dup_spans over corpus+batch and keeping batch-side
+    # spans whose grams the corpus holds (min_df=2 across the union finds
+    # the same cross-side duplicates here, since batch docs share grams
+    # only with the corpus)
+    both = substring_dup_spans(
+        corpus.unionByName(batch), "doc_id", "text", k=4, min_df=2
+    )
+    batch_side = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in both.collect() if r["doc_id"] % 2 == 1
+    }
+    assert batch_side == got
+
+
 def test_line_dedup_regex_special_separator(spark):
     from supersonic_spark.pipeline import dedup
 
