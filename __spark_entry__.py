@@ -112,7 +112,7 @@ _PRIORITY_SLOTS: list[list[str]] = [
     ["text_quality", "text_lang_id", "text_token_stats", "text_tfidf_topk",
      "text_pii_redact", "text_chunk_documents", "text_repetition_signals",
      "text_clean_normalize", "text_vocab_topk", "text_unigram_logprob",
-     "text_bigram_logprob"],
+     "text_bigram_logprob", "text_quality_classifier"],
     ["multimodal_decode_png", "multimodal_gif_frames",
      "multimodal_audio_wav", "multimodal_mixed_corpus",
      "multimodal_resize_roundtrip", "multimodal_bytes",

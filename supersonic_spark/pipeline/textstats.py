@@ -95,6 +95,54 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: reference weights for :func:`quality_classifier` — the shape a trained
+#: linear quality model (fasttext-style, distilled to interpretable
+#: features) would ship; deterministic so the oracle can replay them.
+DEFAULT_QUALITY_WEIGHTS: dict[str, float] = {
+    "mean_word_len": 0.6,
+    "stopword_ratio_en": 6.0,
+    "punct_ratio": -8.0,
+    "digit_ratio": -10.0,
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    bias: float = -4.5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering (the pretraining-corpus 'classifier
+    filter' stage): logistic score over :func:`quality_features` columns
+    with supplied linear weights, plus the keep/drop decision.  Returns
+    (id, quality_score, keep).
+
+    This is the PLUMBING a learned quality model rides at 100 TB: features
+    are one narrow JVM projection per document (no shuffle anywhere), the
+    model is a handful of literals folded into codegen (a bigger learned
+    model's weight vector would ride a broadcast instead — same plan
+    shape), and the score is computed where the data lives.  The score is
+    rounded to 6dp (exp differs across engines in the last ulp — the ln
+    discipline used repo-wide), so the decision replays bit-for-bit in
+    the oracle."""
+    w = DEFAULT_QUALITY_WEIGHTS if weights is None else weights
+    feats = quality_features(df, text_col, id_col)
+    unknown = [k for k in w if k not in feats.columns]
+    if unknown:
+        raise ValueError(f"weights reference unknown features: {unknown}")
+    z = F.lit(float(bias))
+    for name, wt in sorted(w.items()):
+        z = z + F.lit(float(wt)) * F.col(name)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def quality_score(text) -> Column:
     """Scalar quality score in [0,1]: blend of length sanity, stopword
     presence and low punctuation noise (heuristic, deterministic)."""

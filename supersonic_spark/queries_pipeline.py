@@ -1162,6 +1162,47 @@ def q_text_quality(spark, sf_dir):
     return textstats.quality_features(t["documents"], "text", "doc_id")
 
 
+_QUALITY_CLASSIFIER_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS mean_word_len,
+         CAST(length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / length(text) AS digit_ratio,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], lower(w)))) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio_en
+  FROM documents
+), z AS (
+  -- term order matches the Spark fold (sorted feature names) so the
+  -- float sum is bit-identical before the 6dp round
+  SELECT doc_id,
+         -4.5 + (-10.0) * digit_ratio + 0.6 * mean_word_len
+             + (-8.0) * punct_ratio + 6.0 * stopword_ratio_en AS zv
+  FROM f
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-zv)), 6) AS quality_score,
+       ROUND(1.0 / (1.0 + EXP(-zv)), 6) >= 0.5 AS keep
+FROM z ORDER BY doc_id
+"""
+
+
+@q("text_quality_classifier", _QUALITY_CLASSIFIER_ORACLE)
+def q_text_quality_classifier(spark, sf_dir):
+    """Model-based quality filter: logistic score over the quality-feature
+    projection with the repo's reference weights, plus the keep decision.
+    The oracle replays the identical linear model in SQL (weights are
+    literals; score rounded to 6dp per the repo-wide exp/ln discipline)."""
+    t = _t(spark, sf_dir)
+    out = textstats.quality_classifier(t["documents"], "text", "doc_id")
+    from supersonic_spark.operators import sort as sort_ops
+    from supersonic_spark.operators.sort import SortKey
+
+    return sort_ops.sort(out, [SortKey("doc_id")])
+
+
 _LANGID_ORACLE = """
 WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents

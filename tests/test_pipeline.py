@@ -278,6 +278,47 @@ def test_token_and_quality(spark, docs):
     assert by_id[5]["n_words"] == 1
 
 
+def test_quality_classifier(spark):
+    """Logistic quality filter: clean stopword-rich prose scores above the
+    digit/punct-spam doc, keep follows the rounded score vs threshold, a
+    custom single-feature model applies its own weights/bias, and unknown
+    feature names fail fast."""
+    import math
+
+    import pytest as _pt
+
+    from supersonic_spark.pipeline.textstats import (
+        DEFAULT_QUALITY_WEIGHTS,
+        quality_classifier,
+        quality_features,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and it is a happy cat today"),
+        (2, "9379 4711 0000 1234 !!!! ???? ;;;; 5550 9999 8888"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in quality_classifier(df, "text", "doc_id").collect()}
+    assert got[1]["quality_score"] > got[2]["quality_score"]
+    assert got[1]["keep"] and not got[2]["keep"]
+
+    # the score IS the advertised model: replay it feature-by-feature
+    f1 = {r["doc_id"]: r for r in quality_features(df, "text", "doc_id").collect()}[1]
+    z = -4.5 + sum(w * f1[k] for k, w in DEFAULT_QUALITY_WEIGHTS.items())
+    assert got[1]["quality_score"] == _pt.approx(
+        round(1.0 / (1.0 + math.exp(-z)), 6), abs=1e-6
+    )
+
+    # custom model: one feature, bias shifts the decision
+    custom = quality_classifier(
+        df, "text", "doc_id", weights={"digit_ratio": -20.0}, bias=5.0
+    ).collect()
+    assert all(r["quality_score"] <= 1.0 for r in custom)
+
+    with _pt.raises(ValueError):
+        quality_classifier(df, "text", "doc_id", weights={"no_such_feature": 1.0})
+
+
 def test_lang_id(spark):
     rows = [
         (1, "the cat sat on the mat and it is happy"),
