@@ -568,38 +568,50 @@ def _estimate_pairs_from_sig(
     threshold: float | None,
     skew_salt: int | str | None = None,
 ) -> DataFrame:
-    """Estimate-mode tail of :func:`minhash_lsh_pairs`: the signature array
-    (``__sigarr`` on ``arr``) rides through the band explode so the
-    (band, bucket) self-join yields both sides' signatures directly — zero
-    verification joins.  Cross-band duplicate candidates are resolved by
-    the one-band CLAIM (:func:`_claim_filter`): a pair survives only on
-    the row of the first band whose signature SLICES are equal, checked
-    with ``bands`` small array comparisons — so the 64-element zip_with
-    match fold runs exactly once per pair, and there is NO dedup shuffle
-    at all (round 7 scored every cross-band copy and shuffled the 24-byte
-    scored rows through a dropDuplicates; the re-scoring term was the
-    measured superlinear tail of the sf30 sweep, exponent 1.19)."""
-    bands = len(band_cols)
-    rows = num_hashes // bands
+    """Estimate-mode tail of :func:`minhash_lsh_pairs`: NARROW banding
+    join, then fetch both signatures per deduped pair and score once.
+
+    The banded self-join carries only (id, band, bucket) — 24 B rows —
+    and the cross-band dedup runs on 16-byte (id_a, id_b) pairs BEFORE
+    any signature exists in the plan; the two ~0.5 KB signatures are
+    then fetched by id (two shuffled-hash joins against the one
+    (id → signature) projection, which share a single id-keyed exchange
+    via ReuseExchange) and the 64-element match fold runs exactly once
+    per surviving pair.
+
+    Why not let the signatures ride the band explode (the round-7/8
+    'zero verification joins' shape, with cross-band copies resolved by
+    a one-band claim)?  MEASURED at sf100 (5M docs): the banded
+    self-join's two SMJ sorts then each spill ~80M rows x ~550 B ≈
+    80+ GB and the stage dies ENOSPC
+    (SPILL_OUT_OF_MEMORY/UnsafeExternalSorter) — the signature payload
+    turns a 4 GB narrow sort into a disk-bound one.  Fetch-after-dedup
+    costs two extra id-keyed shuffles of the signature projection
+    (corpus-sized but narrow, ~0.5 KB/doc — 2.5 GB at 5M docs) and one
+    extra evaluation of the MinHash fold (the two fetch joins reuse one
+    exchange; banding is the other consumer), and in exchange every
+    wide row is gone from every sort: the operator completes at sf100
+    in the same per-doc budget as sf30.  The claim-filter shape remains
+    right for SimHash (8 B payload) and stays in :func:`_claim_filter`.
+    """
     banded = arr.select(
         "__id",
-        F.col("__sigarr").alias("__sig"),
         F.explode(F.array(*band_cols)).alias("__b"),
-    ).select("__id", "__sig", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
-    cand = _bucket_self_pairs(
-        banded, ["band", "bucket"], ["__sig", "band"], skew_salt, raw=True
-    ).select(
-        "id_a", "id_b", F.col("band_a").alias("__band"),
-        F.col("__sig_a").alias("__sa"), F.col("__sig_b").alias("__sb"),
-    )
-
-    def _slice_eq(b: int) -> Column:
-        return F.slice(F.col("__sa"), b * rows + 1, rows) == F.slice(
-            F.col("__sb"), b * rows + 1, rows
+    ).select("__id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
+    pairs = _bucket_self_pairs(banded, ["band", "bucket"], [], skew_salt)
+    sigs = arr.select(F.col("__id"), F.col("__sigarr"))
+    cand = (
+        pairs.join(
+            sigs.select(
+                F.col("__id").alias("id_a"), F.col("__sigarr").alias("__sa")
+            ).hint("shuffle_hash"),
+            "id_a",
+        ).join(
+            sigs.select(
+                F.col("__id").alias("id_b"), F.col("__sigarr").alias("__sb")
+            ).hint("shuffle_hash"),
+            "id_b",
         )
-
-    claimed = cand.filter(
-        _claim_filter(F.col("__band"), [_slice_eq(b) for b in range(bands)])
     )
     matches = F.aggregate(
         F.zip_with(
@@ -609,15 +621,17 @@ def _estimate_pairs_from_sig(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    out = claimed.select(
+    out = cand.select(
         "id_a",
         "id_b",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"),
     )
     if threshold is not None:
-        # coalesce-wrapped for the same no-isnotnull-inference reason as
-        # the claim (see _claim_filter); And short-circuits, so the fold
-        # only ever evaluates on claimed rows.
+        # coalesce-wrapped so Catalyst derives no isnotnull(__sa/__sb)
+        # constraint: a null-intolerant score filter would push the
+        # null-check through the fetch joins onto the signature scan and
+        # drag the whole MinHash fold into the serial scan stage (the
+        # round-7 simhash trap; see _claim_filter).
         out = out.filter(F.coalesce(F.col("jaccard") >= threshold, F.lit(False)))
     return out
 
@@ -730,9 +744,10 @@ def dedup_against_index(
 
     Returns (new_id, index_id, jaccard) — one row per (new document,
     indexed document) pair that collides in ≥1 LSH band, scored by the
-    signature-match Jaccard estimator (both signatures ride the band join,
-    so scoring needs NO verification joins).  ``threshold=None`` returns
-    all banding candidates unscored-filtered.
+    signature-match Jaccard estimator.  Signatures come from the probe
+    and the INDEX itself (id-keyed fetch joins after the narrow band
+    join) — the corpus text is never touched.  ``threshold=None`` returns
+    all banding candidates unscore-filtered.
 
     The hash parameters MUST match the ones the index was built with —
     xxhash64 determinism is what makes a stored index probe-able by a
@@ -750,13 +765,19 @@ def dedup_against_index(
     probe = minhash_band_index(
         new_df, id_col, text_col, num_hashes, bands, shingle_words, shingle
     )
-    rows = num_hashes // bands
     n, x = probe.alias("n"), index.alias("x")
-    # One-band claim instead of a dropDuplicates over signature-wide rows
-    # (see _claim_filter): each (new, indexed) pair survives only on the
-    # first band whose signature SLICES agree, so the match fold runs once
-    # per pair and both ~0.5 KB signatures never ride a dedup exchange.
-    cand = (
+    # NARROW band join: only (id, band, bucket) enters the (band, bucket)
+    # join sorts; the pair dedup runs on 16-byte (new_id, index_id) rows;
+    # both ~0.5 KB signatures are fetched BY ID afterwards and the match
+    # fold runs once per pair.  The signature-riding variant's index-side
+    # sort spills ~(bands x corpus) wide rows — the same SMJ-sort ENOSPC
+    # measured for the self-join shape at sf100 (see
+    # _estimate_pairs_from_sig); at ingest scale the corpus index is the
+    # big side, so narrowing matters even more here.  The signatures are
+    # fetched from the INDEX itself (one dropDuplicates over its id — the
+    # signature repeats per band row), so the corpus text is still never
+    # touched, which is the operator's contract.
+    pairs = (
         n.join(
             x,
             (F.col("n.band") == F.col("x.band"))
@@ -766,19 +787,17 @@ def dedup_against_index(
         .select(
             F.col(f"n.{id_col}").alias("new_id"),
             F.col(f"x.{id_col}").alias("index_id"),
-            F.col("n.band").alias("__band"),
-            F.col("n.signature").alias("__sa"),
-            F.col("x.signature").alias("__sb"),
         )
+        .dropDuplicates(["new_id", "index_id"])
     )
-
-    def _slice_eq(b: int) -> Column:
-        return F.slice(F.col("__sa"), b * rows + 1, rows) == F.slice(
-            F.col("__sb"), b * rows + 1, rows
-        )
-
-    claimed = cand.filter(
-        _claim_filter(F.col("__band"), [_slice_eq(b) for b in range(bands)])
+    sig_n = probe.select(
+        F.col(id_col).alias("new_id"), F.col("signature").alias("__sa")
+    ).dropDuplicates(["new_id"])
+    sig_x = index.select(
+        F.col(id_col).alias("index_id"), F.col("signature").alias("__sb")
+    ).dropDuplicates(["index_id"])
+    cand = pairs.join(sig_n.hint("shuffle_hash"), "new_id").join(
+        sig_x.hint("shuffle_hash"), "index_id"
     )
     matches = F.aggregate(
         F.zip_with(
@@ -787,7 +806,7 @@ def dedup_against_index(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    out = claimed.select(
+    out = cand.select(
         "new_id",
         "index_id",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard"),
