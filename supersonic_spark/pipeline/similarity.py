@@ -464,6 +464,19 @@ def ivf_train_centroids(
     sample vectors in xxhash64 order; assignment ties break to the lowest
     cell id.  Empty cells re-seed to the vector farthest from its centroid.
     """
+    Xn = _sample_vectors_normalized(corpus, corpus_id, corpus_vec, sample_size)
+    C = _spherical_lloyd(Xn, min(n_cells, len(Xn)), iters)
+    return [list(map(float, c)) for c in C]
+
+
+def _sample_vectors_normalized(
+    corpus: DataFrame, corpus_id, corpus_vec, sample_size: int
+) -> "np.ndarray":
+    """The shared deterministic training sample: the first ``sample_size``
+    corpus vectors in (xxhash64(id), id) order, collected once and
+    L2-normalized.  One TakeOrdered job — trainers that need both coarse
+    centroids and codebooks reuse a single collect instead of re-running
+    the corpus scan per training stage."""
     rows = (
         corpus.select(_c(corpus_vec).alias("v"), _c(corpus_id).alias("i"))
         .orderBy(F.xxhash64(F.col("i")), F.col("i"))
@@ -471,9 +484,7 @@ def ivf_train_centroids(
         .collect()
     )
     X = np.asarray([list(r.v) for r in rows], dtype="float64")
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = _spherical_lloyd(Xn, min(n_cells, len(Xn)), iters)
-    return [list(map(float, c)) for c in C]
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
 
 def _spherical_lloyd(Xn: "np.ndarray", k: int, iters: int) -> "np.ndarray":
@@ -534,10 +545,20 @@ def ivf_topk(
     c_assign = _assign_cells_udf(centroids, 1)
     q_assign = _assign_cells_udf(centroids, nprobe)
 
+    # The cell column is coalesce-wrapped (the UDF never returns NULL, so
+    # values are unchanged): the inner join on "cell" infers
+    # isnotnull(cell), and that null-intolerant constraint — rewritten
+    # through the projection onto the assignment UDF — is pushed BELOW the
+    # ensure_parallelism exchange, evaluating the whole Arrow assignment
+    # pass twice, once serially in the (often 1-task) scan stage (the
+    # round-7 simhash trap, here via a join key instead of a filter;
+    # measured as a duplicate ArrowEvalPython node in the r8 plan pins).
+    # Coalesce is null-tolerant, so isnotnull(coalesce(x, -1)) folds away
+    # and the UDF evaluates once, above the exchange, in parallel.
     c = (
         ensure_parallelism(corpus)
         .select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
-        .withColumn("cell", c_assign("__cv")[0])
+        .withColumn("cell", F.coalesce(c_assign("__cv")[0], F.lit(-1)))
     )
     qd = (
         queries.select(_c(query_id).alias("__qid"), _c(query_vec).alias("__qv"))
@@ -879,20 +900,17 @@ def ivfpq_train(
 
     Returns (centroids n_cells × dim, codebooks m × ksub × dim/m).  Index
     metadata stays O(n_cells·dim + ksub·dim) regardless of corpus size.
+
+    The training sample is collected ONCE and shared by both stages
+    (coarse k-means and residual codebooks) — the previous shape ran the
+    identical TakeOrdered corpus scan twice, doubling the training-side
+    scan cost of every ivfpq_topk call (round-8 optimization; same rows,
+    same ordering, bit-identical centroids/codebooks).
     """
-    centroids = ivf_train_centroids(
-        corpus, corpus_id, corpus_vec, n_cells, sample_size, iters
-    )
-    C = np.asarray(centroids, dtype="float64")
+    Xn = _sample_vectors_normalized(corpus, corpus_id, corpus_vec, sample_size)
+    C = _spherical_lloyd(Xn, min(n_cells, len(Xn)), iters)
+    centroids = [list(map(float, c)) for c in C]
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    rows = (
-        corpus.select(_c(corpus_vec).alias("v"), _c(corpus_id).alias("i"))
-        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.asarray([list(r.v) for r in rows], dtype="float64")
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     assign = np.argmax(Xn @ Cn.T, axis=1)
     R = Xn - Cn[assign]
     dim = R.shape[1]
@@ -1018,13 +1036,17 @@ def ivfpq_topk(
     enc = _ivfpq_encode_udf(centroids, codebooks)
     prep = _ivfpq_query_udf(centroids, codebooks, nprobe)
 
+    # coalesce-wrapped cell for the same no-isnotnull-inference reason as
+    # ivf_topk: the join on "cell" must not push a null-check onto the
+    # encode UDF below the ensure_parallelism exchange (duplicate +
+    # serial Arrow pass; values unchanged — enc never returns NULL).
     c = (
         ensure_parallelism(corpus)
         .select(_c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv"))
         .withColumn("__e", enc("__cv"))
         .select(
             "__cid",
-            F.col("__e")[0].alias("cell"),
+            F.coalesce(F.col("__e")[0], F.lit(-1)).alias("cell"),
             F.slice(F.col("__e"), 2, len(codebooks)).alias("__codes"),
         )
     )

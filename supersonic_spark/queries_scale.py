@@ -76,10 +76,25 @@ def q_approx_distinct_users(spark, sf_dir):
     estimate, which is engine-specific.  Scale: exact distinct shuffles the
     whole key domain; the sketch is a constant-size mergeable state — at
     100 TB that is the difference between a re-shuffle and a map-side
-    combine (see aggregate.approx_distinct_aggregate)."""
+    combine (see aggregate.approx_distinct_aggregate).
+
+    Plan shape (round-8 optimization): mixing count_distinct with
+    approx_count_distinct in ONE agg makes Catalyst's distinct-rewrite
+    carry the partial HLL±2% state — 2^p ≈ 410 longs, ~3.3 KB — through
+    the first exchange FOR EVERY (event_type, user_id) group, and update
+    the sketch once per input row.  Deduplicating first and aggregating
+    the distinct pairs computes the identical result (count(*) over the
+    dedup IS count_distinct; HLL register sets are duplicate-insensitive,
+    so the sketch over distinct pairs equals the sketch over raw rows)
+    with a 16-byte-row first shuffle and one sketch update per DISTINCT
+    pair — the exchange narrows by ~200× and the heavy partial state
+    exists only in the per-event_type final aggregation."""
     t = _t(spark, sf_dir)
-    out = t["events"].groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_exact"),
+    pairs = t["events"].select("event_type", "user_id").distinct()
+    # count("user_id") (not count(*)) so a NULL user_id stays excluded,
+    # exactly like count_distinct over the raw rows
+    out = pairs.groupBy("event_type").agg(
+        F.count("user_id").alias("n_exact"),
         F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
     )
     return out.select(
