@@ -346,7 +346,17 @@ def _bucket_self_pairs(
             P = max(dp, min(dp * 8, int(total // 10_000) + 1))
 
     if skew_salt is None:
-        l, r = banded.alias("l"), banded.alias("r")
+        # Pinned shuffle_hash (round-8): the two sides are the SAME banded
+        # plan, so a shuffled join's two exchanges canonicalize equal and
+        # ReuseExchange computes the banding (and any carried signature
+        # fold) ONCE.  Left to the planner, small inputs flip to a
+        # broadcast join whose broadcast side is a SEPARATE subtree — the
+        # whole shingle+signature pipeline then evaluates twice (the r8
+        # sf0.1 plan pin shows 4 documents scans for minhash_lsh).  At
+        # cluster scale the sides exceed the broadcast threshold anyway,
+        # and shuffled-HASH (vs sort-merge) keeps carried payloads out of
+        # sort spills (the a7956e0 ENOSPC lesson).
+        l, r = banded.alias("l"), banded.hint("shuffle_hash").alias("r")
         cond = keycond(l, r) & (F.col("l.__id") < F.col("r.__id"))
         sel = [F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")]
         sel += [F.col(f"l.{c}").alias(f"{c}_a") for c in carry]
@@ -545,10 +555,19 @@ def minhash_lsh_pairs(
     cand = _bucket_self_pairs(banded, ["band", "bucket"], [], skew_salt)
 
     # Exact-Jaccard verification: fetch each side's shingles once per
-    # surviving candidate pair.
+    # surviving candidate pair.  Both fetch joins are pinned shuffle_hash
+    # (round-8): the two shingle projections canonicalize to the same
+    # id-keyed exchange, so the corpus is shingled ONCE for both fetches
+    # (broadcast builds are separate subtrees — the planner's sf0.1
+    # choice re-ran the shingle pipeline per side), and hash (vs
+    # sort-merge) keeps the wide shingle arrays out of any sort spill at
+    # corpus scale — the same reasoning as the estimate path's narrow
+    # signature fetches.
     sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    pairs = cand.join(sh_a.hint("shuffle_hash"), "id_a").join(
+        sh_b.hint("shuffle_hash"), "id_b"
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     out = pairs.select(
@@ -1505,7 +1524,20 @@ def substring_dup_spans(
     hash values, so an ANSI-SQL oracle that joins raw gram strings
     reproduces the output exactly.
     """
-    grams = _doc_grams(df, id_col, text_col, k)
+    # ONE explicit hash partition on the gram key feeds BOTH consumers
+    # (round-8 optimization): the doc-frequency aggregation's two phases
+    # (group (g, id), then group g) and the probe side of the join are
+    # all clustered by g, so hashpartitioning(g) satisfies every
+    # downstream distribution — Catalyst inserts no further exchange, the
+    # df-side join input is co-partitioned with the probe side (an
+    # exchange-free shuffled-hash join), and AQE reuses the single
+    # shuffle stage for both consumers, so the gram explode itself runs
+    # ONCE.  The previous shape evaluated the explode twice and shuffled
+    # the gram stream three times (probe exchange + the distinct
+    # aggregation's (g, id) and g exchanges).  repartition(col) with no
+    # explicit count stays AQE-coalescible, so tiny inputs do not pay a
+    # fixed partition floor and cluster runs inherit shuffle.partitions.
+    grams = _doc_grams(df, id_col, text_col, k).repartition("g")
     dup = (
         grams.groupBy("g")
         .agg(F.count_distinct("__id").alias("__df"))
@@ -1526,11 +1558,37 @@ def substring_gram_index(
     with a plain parquet write (8+8 bytes per distinct gram) and feed new
     batches to :func:`substring_spans_against_index`; append-merge of two
     indexes is ``union.groupBy(g).sum(doc_freq)`` (the counts are
-    mergeable), same discipline as the exact-dedup digest index."""
+    mergeable), same discipline as the exact-dedup digest index.
+
+    Shuffle shape (round-8 optimization): gram hashes are DEDUPLICATED
+    PER DOCUMENT map-side (array_distinct before the explode), so the
+    aggregation is a plain count — partial counts combine before the
+    exchange and ONE narrow (g, count) shuffle replaces the previous
+    two-phase count_distinct (a (g, id)-keyed exchange of the whole gram
+    stream followed by a second exchange on g).  A document contributes
+    exactly once per distinct gram either way, so doc_freq is identical.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.split(F.lower(F.trim(_c(text_col))), r"\s+").alias("__t")
+    )
+    n = F.size("__t")
+    grams = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k) + 1),
+                lambda i: F.xxhash64(F.array_join(F.slice(F.col("__t"), i, k), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
-        _doc_grams(df, id_col, text_col, k)
+        base.select(F.explode(grams).alias("g"))
         .groupBy("g")
-        .agg(F.count_distinct("__id").alias("doc_freq"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
 
 

@@ -115,39 +115,55 @@ def pack_sequences(
     batch_id), batch ids globally unique.
 
     Scale shape: packing is a sequential bin-fill, so it runs
-    INDEPENDENTLY PER PARTITION via ``applyInPandas`` over a partition-id
-    group — embarrassingly parallel, one Arrow batch per partition, and
-    batch ids are made global by offsetting with the partition id.  The
+    INDEPENDENTLY PER PARTITION — embarrassingly parallel, and batch ids
+    are made global by offsetting with the partition id.  The
     per-partition greedy fill wastes at most one batch per partition versus
     a global fill — noise at corpus scale.
+
+    Plan shape (round-8 optimization): the fill streams over each
+    partition IN PLACE via ``mapInPandas`` after a ``sortWithinPartitions``
+    (a local sort, no exchange), carrying the running (batch, tokens)
+    state across Arrow batches.  The previous ``applyInPandas`` over a
+    ``spark_partition_id()`` group hash-shuffled the corpus by its own
+    partition id — a full exchange that moved every row exactly back to
+    a same-sized grouping — and sorted per group on the Python side.
+    Output is identical: the group key WAS the partition id, so the
+    per-group row sets, their id-sorted order, and the partition-offset
+    batch ids are unchanged.
     """
+    from typing import Iterator
+
     import pandas as pd
 
     spark_part = F.spark_partition_id().alias("__part")
     base = df.select(
         _c(id_col).alias("id"), _c(tokens_col).cast("long").alias("n_tokens"), spark_part
-    )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        part = int(pdf["__part"].iloc[0])
-        # stable order inside the partition: by id (deterministic re-runs)
-        pdf = pdf.sort_values("id")
-        batch_ids, cur_id, cur_tok = [], 0, 0
-        for n in pdf["n_tokens"]:
-            n = int(n) if not pd.isna(n) else 0
-            if cur_tok > 0 and cur_tok + n > budget:
-                cur_id += 1
-                cur_tok = 0
-            batch_ids.append(cur_id)
-            cur_tok += n
-        out = pdf[["id", "n_tokens"]].copy()
-        # partition-offset batch ids: globally unique without coordination
-        out[out_col] = [part * (1 << 32) + b for b in batch_ids]
-        return out
+    ).sortWithinPartitions("id")
 
     id_type = base.schema["id"].dataType.simpleString()
     schema = f"id {id_type}, n_tokens long, {out_col} long"
-    return base.groupBy("__part").applyInPandas(pack, schema=schema)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        part, cur_id, cur_tok = None, 0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if part is None:
+                part = int(pdf["__part"].iloc[0])
+            batch_ids = []
+            for n in pdf["n_tokens"]:
+                n = int(n) if not pd.isna(n) else 0
+                if cur_tok > 0 and cur_tok + n > budget:
+                    cur_id += 1
+                    cur_tok = 0
+                batch_ids.append(cur_id)
+                cur_tok += n
+            out = pdf[["id", "n_tokens"]].copy()
+            # partition-offset batch ids: globally unique without coordination
+            out[out_col] = [part * (1 << 32) + b for b in batch_ids]
+            yield out
+
+    return base.mapInPandas(pack, schema=schema)
 
 
 def weighted_sample_by_hash(

@@ -1096,6 +1096,32 @@ def test_pack_sequences_budget_and_determinism(spark, tables):
     assert m1 == m2                                     # deterministic
 
 
+def test_pack_sequences_state_across_arrow_batches(spark):
+    """The mapInPandas fill carries (batch, tokens) state ACROSS Arrow
+    batches within a partition (round-8 rewrite of the applyInPandas
+    shape): with maxRecordsPerBatch forced tiny, a partition spans many
+    batches and the packing must equal the single-batch answer."""
+    from supersonic_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(200)], ["doc_id", "n_tok"]
+    ).repartition(2)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small = sampling.pack_sequences(df, "doc_id", "n_tok", budget=500).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    big = sampling.pack_sequences(df, "doc_id", "n_tok", budget=500).toPandas()
+    assert dict(zip(small["id"], small["batch_id"])) == dict(
+        zip(big["id"], big["batch_id"])
+    )
+    # 5 × 100-token docs per 500-budget batch, resetting per partition
+    sums = small.groupby("batch_id")["n_tokens"].agg(["sum", "count"])
+    assert (sums["sum"] <= 500).all()
+    assert (sums["count"] == 5).sum() >= 38  # 200/5 full batches, ±partition tails
+
+
 def test_vocab_topk_counts_and_tiebreak(spark):
     from supersonic_spark.pipeline.textstats import vocab_topk
 
