@@ -613,12 +613,23 @@ def _estimate_pairs_from_sig(
     in the same per-doc budget as sf30.  The claim-filter shape remains
     right for SimHash (8 B payload) and stays in :func:`_claim_filter`.
     """
-    banded = arr.select(
+    # ONE id-keyed exchange of (id, signature) feeds all three consumers
+    # (round-8): the banding branch explodes (band, bucket) ABOVE it, and
+    # the two fetch joins read it directly.  Every consumer uses the same
+    # two columns, so the exchange subtrees canonicalize equal and stage
+    # reuse computes the MinHash fold ONCE — the previous shape evaluated
+    # the fold separately under the banding exchange and under the fetch
+    # exchange (the "one extra evaluation" cost of the a7956e0 narrow-join
+    # restructure, now bought back for one extra narrow exchange read).
+    # The fetch joins are already keyed on this exchange's partitioning
+    # (id renamed), so the signature side of each fetch is exchange-free.
+    arr_p = arr.select("__id", "__sigarr").repartition("__id")
+    banded = arr_p.select(
         "__id",
         F.explode(F.array(*band_cols)).alias("__b"),
     ).select("__id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
     pairs = _bucket_self_pairs(banded, ["band", "bucket"], [], skew_salt)
-    sigs = arr.select(F.col("__id"), F.col("__sigarr"))
+    sigs = arr_p
     cand = (
         pairs.join(
             sigs.select(
@@ -781,8 +792,34 @@ def dedup_against_index(
     the corpus is never rescanned, which is the entire point vs re-running
     :func:`minhash_lsh_pairs` over corpus+batch.
     """
-    probe = minhash_band_index(
-        new_df, id_col, text_col, num_hashes, bands, shingle_words, shingle
+    # Probe side: ONE id-keyed exchange of (id, signature) shared by the
+    # band branch and the signature fetch (round-8, same shape as
+    # _estimate_pairs_from_sig) — building the full band-index projection
+    # separately for each consumer re-ran the shingle+fold pipeline per
+    # consumer.  The index side stays as handed in: in the persisted
+    # contract it is a parquet scan, and a column-pruned re-scan is
+    # cheaper than forcing a corpus-wide repartition of the index rows.
+    from supersonic_spark.operators.core import ensure_parallelism
+
+    rows = _band_rows(num_hashes, bands)
+    make = with_word_shingles if shingle == "word" else with_char_shingles
+    base_n = make(ensure_parallelism(new_df), id_col, text_col, shingle_words)
+    arr_n = base_n.select(
+        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sigarr")
+    ).repartition("__id")
+    nb = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.slice(F.col("__sigarr"), b * rows + 1, rows)).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    probe = arr_n.select(
+        F.col("__id").alias(id_col), F.explode(F.array(*nb)).alias("__b")
+    ).select(
+        id_col, F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
     )
     n, x = probe.alias("n"), index.alias("x")
     # NARROW band join: only (id, band, bucket) enters the (band, bucket)
@@ -809,9 +846,9 @@ def dedup_against_index(
         )
         .dropDuplicates(["new_id", "index_id"])
     )
-    sig_n = probe.select(
-        F.col(id_col).alias("new_id"), F.col("signature").alias("__sa")
-    ).dropDuplicates(["new_id"])
+    sig_n = arr_n.select(
+        F.col("__id").alias("new_id"), F.col("__sigarr").alias("__sa")
+    )
     sig_x = index.select(
         F.col(id_col).alias("index_id"), F.col("signature").alias("__sb")
     ).dropDuplicates(["index_id"])
