@@ -1142,9 +1142,16 @@ def embedding_lsh_pairs(
     from supersonic_spark.pipeline.similarity import _bucket_sketch_udf, cosine
 
     sketch = _bucket_sketch_udf(dim, planes, tables)
+    # coalesce-wrapped sketch (values unchanged — the UDF never returns
+    # NULL): the (tbl, bkt) self-join constraint otherwise rewrites onto
+    # the sketch UDF and duplicates it below the ensure_parallelism
+    # exchange (round-8 plan sweep found 6 duplicate ArrowEvalPython
+    # evaluations here — the join-key variant of the round-7 filter trap).
     base = (
         ensure_parallelism(df).select(_c(id_col).alias("__id"), _c(vec_col).alias("__v"))
-        .withColumn("__bkts", sketch("__v"))
+        .withColumn(
+            "__bkts", F.coalesce(sketch("__v"), F.array().cast("array<bigint>"))
+        )
         .select(
             "__id", "__v", "__bkts", F.posexplode("__bkts").alias("tbl", "bkt")
         )
@@ -1875,7 +1882,16 @@ def semdedup(
         )
 
     id_type = base.schema["__id"].dataType.simpleString()
-    out = base.groupBy("__cell").applyInPandas(
+    # Explicit partition count on the cell exchange (round-8): the cell
+    # rows are byte-tiny but the per-cell Gram scan is CPU-quadratic, and
+    # AQE's coalescing keys on BYTES — at sf0.1 it folded all cells into
+    # ONE post-shuffle task and serialized the whole quadratic phase
+    # (profiler: a 1-task 350 ms save stage).  A user partition count is
+    # exempt from coalescing; defaultParallelism is cluster-derived (not
+    # a local constant) and right for a CPU-bound stage, and the groupBy
+    # reuses the same hashpartitioning so no second exchange appears.
+    P = df.sparkSession.sparkContext.defaultParallelism
+    out = base.repartition(P, "__cell").groupBy("__cell").applyInPandas(
         per_cell, f"__id {id_type}, cell int, dropped boolean"
     )
     return out.withColumnRenamed("__id", id_col)

@@ -211,7 +211,16 @@ def _bucket_sketch_udf(dim: int, planes: int, tables: int):
         ids = (bits * pow2).sum(axis=2).astype("int64")
         return pd.Series(list(ids))
 
-    return buckets
+    # The function IS deterministic (fixed weights, pure numpy); the
+    # marking is the sanctioned way to stop the optimizer DUPLICATING the
+    # evaluation: the posexplode above it makes InferFiltersFromGenerate
+    # derive ``size(buckets(v)) > 0``, which — like the join keys'
+    # isnotnull — is pushed below the ensure_parallelism exchange and
+    # re-evaluates the whole Arrow matmul pass serially in the scan stage
+    # (coalesce-wrapping blocks the null-check but not the size-check).
+    # Non-deterministic expressions are never copied or reordered, so the
+    # sketch runs exactly once, above the exchange.
+    return buckets.asNondeterministic()
 
 
 def lsh_topk(
@@ -235,12 +244,18 @@ def lsh_topk(
     c = ensure_parallelism(corpus).select(
         _c(corpus_id).alias("__cid"), _c(corpus_vec).alias("__cv")
     )
+    # coalesce-wrapped sketch for the same no-isnotnull-inference reason
+    # as ivf_topk's cell key: the (tbl, bkt) join constraint otherwise
+    # rewrites onto the sketch UDF and duplicates it below the
+    # ensure_parallelism exchange (serial Arrow pass in the scan stage).
+    # The UDF never returns NULL, so values are unchanged.
+    empty = F.array().cast("array<bigint>")
     qb = (
-        q.withColumn("__bkts", sketch("__qv"))
+        q.withColumn("__bkts", F.coalesce(sketch("__qv"), empty))
         .select("__qid", "__qv", F.posexplode("__bkts").alias("tbl", "bkt"))
     )
     cb = (
-        c.withColumn("__bkts", sketch("__cv"))
+        c.withColumn("__bkts", F.coalesce(sketch("__cv"), empty))
         .select("__cid", "__cv", F.posexplode("__bkts").alias("tbl", "bkt"))
     )
     cand = (
