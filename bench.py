@@ -138,12 +138,23 @@ def _operator_overrides() -> dict:
     def incremental_minhash(spark, sf_dir):
         # pure operator: build the even-id corpus index in-plan and probe
         # the odd-id batch (the registry twin adds a parquet roundtrip and
-        # corpus-wide exact-Jaccard verification for the oracle gate)
+        # corpus-wide exact-Jaccard verification for the oracle gate).
+        # The built index is persisted WITHIN the timed run (round 8):
+        # dedup_against_index consumes it twice (band join + signature
+        # fetch) and without the persist each consumer re-ran the whole
+        # index-side shingle+fold pipeline — cost the real contract never
+        # pays, because there the index is a persisted parquet artifact
+        # (exactly what the registry twin's roundtrip models).  Still
+        # computed from the parquet inputs on every run; released by
+        # release_two_pass_caches between runs like the other two-pass
+        # intermediates.
+        from supersonic_spark.session import track_persist
+
         t = load_tables(spark, sf_dir)
         docs = t["documents"]
-        index = dedup.minhash_band_index(
+        index = track_persist(dedup.minhash_band_index(
             docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
-        )
+        ))
         return dedup.dedup_against_index(
             docs.filter(F.col("doc_id") % 2 == 1), index, "doc_id", "text",
             threshold=0.5,

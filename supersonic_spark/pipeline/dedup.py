@@ -849,7 +849,14 @@ def dedup_against_index(
     sig_n = arr_n.select(
         F.col("__id").alias("new_id"), F.col("__sigarr").alias("__sa")
     )
-    sig_x = index.select(
+    # band == 0 first: every document has exactly one band-0 row by
+    # :func:`minhash_band_index` construction (bands are 0..bands-1 per
+    # doc), so this is the same distinct (id → signature) map while the
+    # dedup exchange carries 1/bands of the signature-wide rows — and a
+    # band-partitioned parquet index prunes the scan to one partition.
+    # The dropDuplicates stays as the id-keyed exchange the fetch join
+    # needs anyway (and as a guard for hand-built indexes).
+    sig_x = index.filter(F.col("band") == 0).select(
         F.col(id_col).alias("index_id"), F.col("signature").alias("__sb")
     ).dropDuplicates(["index_id"])
     cand = pairs.join(sig_n.hint("shuffle_hash"), "new_id").join(
