@@ -1562,40 +1562,48 @@ def substring_dup_spans(
 
     Scale shape (100 TB): LINEAR everywhere — per-doc rolling grams
     (a JVM ``transform`` over token positions, hashed to 8-byte keys so
-    the explode shuffle never carries gram text), ONE hash aggregation
-    for document frequency, one shuffled-hash join back (the df side is
-    aggregate-derived: Catalyst's post-agg size estimate must never flip
-    the corpus-sized gram stream into a broadcast build — the sf3 tfidf
-    lesson), and a per-document window merge of overlapping/adjacent
-    spans.  No pair join exists at any point, so a hub gram (license
-    boilerplate in 10M docs) degrades linearly, not quadratically.
+    the explode shuffle never carries gram text), ONE hash partition of
+    the gram stream on the 8-byte key, document frequency computed as a
+    window over that same stream (no join back, so the post-aggregate
+    broadcast-flip trap of the sf3 tfidf lesson cannot arise), and a
+    per-document window merge of overlapping/adjacent spans.  No pair
+    join exists at any point, so a hub gram (license boilerplate in 10M
+    docs) degrades linearly, not quadratically: its frame buffers df(g)
+    24-byte rows through the spillable window buffer.
 
     Collision stance: grams are compared by xxhash64 (2^-64 per pair,
     the exact_dedup stance); span EQUALITY therefore does not depend on
     hash values, so an ANSI-SQL oracle that joins raw gram strings
     reproduces the output exactly.
     """
-    # ONE explicit hash partition on the gram key feeds BOTH consumers
-    # (round-8 optimization): the doc-frequency aggregation's two phases
-    # (group (g, id), then group g) and the probe side of the join are
-    # all clustered by g, so hashpartitioning(g) satisfies every
-    # downstream distribution — Catalyst inserts no further exchange, the
-    # df-side join input is co-partitioned with the probe side (an
-    # exchange-free shuffled-hash join), and AQE reuses the single
-    # shuffle stage for both consumers, so the gram explode itself runs
-    # ONCE.  The previous shape evaluated the explode twice and shuffled
-    # the gram stream three times (probe exchange + the distinct
-    # aggregation's (g, id) and g exchanges).  repartition(col) with no
+    from pyspark.sql.window import Window
+
+    # The gram stream explodes ONCE and shuffles ONCE (round-8
+    # optimization, second pass): the earlier agg + shuffled-hash-join
+    # shape shared one repartition("g") between the df aggregation and
+    # the probe side, but per-branch column pruning ((g, id) vs
+    # (id, pos, g)) kept the two exchange subtrees from canonicalizing,
+    # so the explode still evaluated twice and the stream shuffled twice.
+    # Computing document frequency as a window over the single
+    # partitioned stream removes the second evaluation, the second
+    # exchange and the join: the first-row-per-(g, doc) flag summed over
+    # the g frame IS count_distinct(__id) per gram (the flag skips NULL
+    # ids, matching count_distinct's NULL stance; within-doc repeats of
+    # a gram flag once).  Both window specs and the flag's lag share one
+    # within-partition sort on (g, __id); repartition(col) with no
     # explicit count stays AQE-coalescible, so tiny inputs do not pay a
     # fixed partition floor and cluster runs inherit shuffle.partitions.
     grams = _doc_grams(df, id_col, text_col, k).repartition("g")
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("__id").alias("__df"))
-        .filter(F.col("__df") >= min_df)
-        .select("g")
+    w_run = Window.partitionBy("g").orderBy("__id")
+    prev = F.lag("__id").over(w_run)
+    first_of_doc = F.when(
+        F.col("__id").isNotNull() & (prev.isNull() | (prev != F.col("__id"))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    counted = grams.withColumn("__new", first_of_doc).withColumn(
+        "__df", F.sum("__new").over(Window.partitionBy("g"))
     )
-    spans = grams.join(dup.hint("shuffle_hash"), "g").select(
+    spans = counted.filter(F.col("__df") >= min_df).select(
         "__id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e")
     )
     return _merge_token_spans(spans, "__id", id_col)

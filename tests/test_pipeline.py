@@ -1913,6 +1913,33 @@ def test_substring_dup_spans(spark):
         substring_dup_spans(df, "doc_id", "text", k=0)
 
 
+def test_substring_dup_spans_null_id_df_stance(spark):
+    """Document frequency counts DISTINCT NON-NULL doc ids (the
+    count_distinct stance, preserved across the round-8 window-based
+    restructure): a gram shared only between a NULL-id document and one
+    real document has df=1 and emits nothing at min_df=2; once two real
+    docs share it, spans appear for every containing document — including
+    a NULL-id one, whose span row carries the NULL id through."""
+    from supersonic_spark.pipeline.dedup import substring_dup_spans
+
+    shared = "alpha beta gamma delta"
+    only_null = spark.createDataFrame(
+        [(None, shared), (1, shared), (2, "totally unrelated words here")],
+        "doc_id int, text string",
+    )
+    assert substring_dup_spans(only_null, "doc_id", "text", k=4, min_df=2).count() == 0
+
+    two_real = spark.createDataFrame(
+        [(None, shared), (1, shared), (2, f"prefix {shared}")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in substring_dup_spans(two_real, "doc_id", "text", k=4, min_df=2).collect()
+    }
+    assert got == {(None, 1, 4), (1, 1, 4), (2, 2, 5)}
+
+
 def test_substring_gram_index_and_probe(spark, tmp_path):
     """Incremental substring decontamination: the gram index persists to
     parquet and a NEW batch probes it without touching corpus text; spans
