@@ -56,8 +56,6 @@ def test_tfidf_token_join_never_broadcasts_the_corpus_side(spark, qs):
         textstats.tfidf_topk(docs, "doc_id", "text", k=5),
         textstats.unigram_logprob(docs, "doc_id", "text"),
         textstats.bigram_logprob(docs, "doc_id", "text"),
-        # same fact<->aggregate-derived join shape: gram stream vs df set
-        _dedup.substring_dup_spans(docs, "doc_id", "text", k=4),
     ):
         plan = _plan(build)
         assert "ShuffledHashJoin" in plan
@@ -65,6 +63,15 @@ def test_tfidf_token_join_never_broadcasts_the_corpus_side(spark, qs):
         # no OTHER broadcast join may appear — i.e. never on a token key
         bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
         assert not bhj, f"token join broadcast a corpus-derived side: {bhj}"
+
+    # substring_dup_spans used to share this fact<->aggregate-derived join
+    # shape (gram stream vs doc-frequency set); the round-8 window
+    # restructure computes the doc frequency over the SAME partitioned gram
+    # stream, so its plan must now contain NO join at all — a join
+    # reappearing means the broadcast-flip exposure is back with it.
+    plan = _plan(_dedup.substring_dup_spans(docs, "doc_id", "text", k=4))
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert not joins, f"substring spans re-grew a join: {joins}"
 
 
 def test_topk_plans_take_ordered_not_full_sort(spark, qs):
