@@ -149,6 +149,30 @@ def with_char_shingles(
 _LONG_MAX = 9223372036854775807
 
 
+def _band_structs(sig_col: Column, num_hashes: int, bands: int) -> Column:
+    """array<struct<band:int, bucket:bigint>> banding expression: one
+    struct per band, bucket = xxhash64 over that band's signature slice.
+
+    Built as a single ``transform`` over ``sequence(0, bands-1)`` instead
+    of a Python listcomp of ``bands`` struct columns: the values are
+    identical (same slice bounds, same xxhash64), but the listcomp shape
+    cost ~100 py4j round trips to construct and re-analyzed a
+    ``bands``-wide projection on every DataFrame op — ~250 ms of DRIVER
+    time per query build at bands=16 (profiled round 9), all inside the
+    bench's timed region.  The HOF shape is ~10 calls and one small
+    expression node (§5 of the optimization guide: the driver should do
+    almost no work).  Runtime is the same or better (interleaved A/B at
+    sf0.1: banding pipeline 496 → 416 ms min-of-4, identical output)."""
+    rows = _band_rows(num_hashes, bands)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(sig_col, b * rows + 1, F.lit(rows))).alias("bucket"),
+        ),
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """array<long> MinHash signature: h_i = min over shingles of
     xxhash64(seed_i, xxhash64(shingle)).  Each shingle STRING is hashed
@@ -499,7 +523,6 @@ def minhash_lsh_pairs(
     """
     from supersonic_spark.operators.core import ensure_parallelism
 
-    rows = _band_rows(num_hashes, bands)
     make = with_word_shingles if shingle == "word" else with_char_shingles
     base = make(ensure_parallelism(df), id_col, text_col, shingle_words)
 
@@ -524,24 +547,16 @@ def minhash_lsh_pairs(
     # (64 casts + a 64-arg concat per band) that sat beyond the JIT's
     # compile appetite: at sf1 (50k docs) the first ~3 runs of the query
     # each burned 1900-7300 JVM-CPU-s in interpreted bytecode before C2
-    # warmed, then dropped to ~75 CPU-s.  The slice shape is a handful of
-    # expression nodes, compiles immediately, and is stable from run 1
-    # (sf1 A/B in the git history).
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.slice(F.col("__sigarr"), b * rows + 1, rows)
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
+    # warmed, then dropped to ~75 CPU-s.  The banding expression is ONE
+    # transform-over-sequence node (see _band_structs), compiles
+    # immediately, and costs ~10 py4j calls to build instead of ~100.
+    band_expr = _band_structs(F.col("__sigarr"), num_hashes, bands)
     if verify == "estimate":
-        return _estimate_pairs_from_sig(arr, band_cols, num_hashes, threshold, skew_salt)
+        return _estimate_pairs_from_sig(arr, band_expr, num_hashes, threshold, skew_salt)
     if verify != "exact":
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
 
-    banded = arr.select("__id", F.explode(F.array(*band_cols)).alias("__b")).select(
+    banded = arr.select("__id", F.explode(band_expr).alias("__b")).select(
         "__id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
     )
 
@@ -582,7 +597,7 @@ def minhash_lsh_pairs(
 
 def _estimate_pairs_from_sig(
     arr: DataFrame,
-    band_cols: list[Column],
+    band_expr: Column,
     num_hashes: int,
     threshold: float | None,
     skew_salt: int | str | None = None,
@@ -626,7 +641,7 @@ def _estimate_pairs_from_sig(
     arr_p = arr.select("__id", "__sigarr").repartition("__id")
     banded = arr_p.select(
         "__id",
-        F.explode(F.array(*band_cols)).alias("__b"),
+        F.explode(band_expr).alias("__b"),
     ).select("__id", F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket"))
     pairs = _bucket_self_pairs(banded, ["band", "bucket"], [], skew_salt)
     sigs = arr_p
@@ -732,23 +747,14 @@ def minhash_band_index(
     """
     from supersonic_spark.operators.core import ensure_parallelism
 
-    rows = _band_rows(num_hashes, bands)
     make = with_word_shingles if shingle == "word" else with_char_shingles
     base = make(ensure_parallelism(df), id_col, text_col, shingle_words)
     arr = base.select(
         "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sigarr")
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.slice(F.col("__sigarr"), b * rows + 1, rows)).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
     return arr.select(
-        "__id", "__sigarr", F.explode(F.array(*band_cols)).alias("__b")
+        "__id", "__sigarr",
+        F.explode(_band_structs(F.col("__sigarr"), num_hashes, bands)).alias("__b"),
     ).select(
         F.col("__id").alias(id_col),
         F.col("__b.band").alias("band"),
@@ -801,23 +807,14 @@ def dedup_against_index(
     # cheaper than forcing a corpus-wide repartition of the index rows.
     from supersonic_spark.operators.core import ensure_parallelism
 
-    rows = _band_rows(num_hashes, bands)
     make = with_word_shingles if shingle == "word" else with_char_shingles
     base_n = make(ensure_parallelism(new_df), id_col, text_col, shingle_words)
     arr_n = base_n.select(
         "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sigarr")
     ).repartition("__id")
-    nb = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.slice(F.col("__sigarr"), b * rows + 1, rows)).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
     probe = arr_n.select(
-        F.col("__id").alias(id_col), F.explode(F.array(*nb)).alias("__b")
+        F.col("__id").alias(id_col),
+        F.explode(_band_structs(F.col("__sigarr"), num_hashes, bands)).alias("__b"),
     ).select(
         id_col, F.col("__b.band").alias("band"), F.col("__b.bucket").alias("bucket")
     )
