@@ -213,6 +213,51 @@ def effective_scan_splits(df: DataFrame, max_files: int = 256) -> int | None:
     return bound if bound > 0 else None
 
 
+#: analyzed-plan nodes that preserve their single child's partition count
+_PARTITION_PRESERVING = frozenset(
+    {"Project", "Filter", "Generate", "SubqueryAlias", "MapInPandas",
+     "PythonMapInArrow", "MapInArrow"}
+)
+
+
+def _pinned_repartition_count(df: DataFrame) -> int | None:
+    """Output partition count provable from the ANALYZED logical plan
+    alone: walk partition-preserving single-child nodes down from the
+    root and return the explicit count of the first user repartition.
+
+    Exists because the obvious ``df.rdd.getNumPartitions()`` is not a
+    read-only probe under AQE: converting to an RDD forces
+    ``AdaptiveSparkPlanExec`` to MATERIALIZE every upstream exchange —
+    real shuffle jobs at query-CONSTRUCTION time, re-paid on every bench
+    run and wholly discarded (the construction-time job the round-9
+    profile found on each multimodal query).  Returns None whenever the
+    count is not statically certain (keyless repartition without an
+    explicit N is AQE-coalescible; joins/aggregates depend on runtime
+    coalescing) — callers then fall back to the dynamic probe.
+    """
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        for _ in range(200):
+            cls = node.getClass().getSimpleName()
+            if cls in _PARTITION_PRESERVING:
+                if node.children().size() != 1:
+                    return None
+                node = node.children().head()
+                continue
+            if cls == "Repartition":
+                # df.repartition(n): explicit count, exempt from AQE
+                # coalescing.  shuffle=False is coalesce(n) — its output
+                # is min(n, child count), not provable here.
+                return int(node.numPartitions()) if node.shuffle() else None
+            if cls == "RepartitionByExpression":
+                opt = node.optNumPartitions()
+                return int(opt.get()) if opt.isDefined() else None
+            return None
+    except Exception:  # pragma: no cover — e.g. Spark Connect
+        return None
+    return None
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Redistribute ``df`` round-robin when its plan yields fewer EFFECTIVE
     partitions than ``min_partitions`` (default: the cluster's default
@@ -239,6 +284,22 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    # Static fast paths first: df.rdd is NOT free under AQE (it
+    # materializes every upstream exchange as construction-time jobs —
+    # see _pinned_repartition_count), so only pay it when the decision
+    # genuinely needs the runtime partition count.
+    pinned = _pinned_repartition_count(df)
+    if pinned is not None:
+        # same decision the dynamic probe would make: an explicit user
+        # repartition is exempt from AQE coalescing, so its count IS the
+        # plan's output count through the partition-preserving ops above
+        return df if pinned >= min_partitions else df.repartition(min_partitions)
+    if _narrow_from_scan(df):
+        bound = effective_scan_splits(df)
+        if bound is not None and bound < min_partitions:
+            # the dynamic probe caps current at this bound, so it would
+            # repartition no matter what getNumPartitions() reports
+            return df.repartition(min_partitions)
     try:
         current = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - plan not convertible; don't block

@@ -1368,6 +1368,42 @@ def test_ensure_parallelism_detects_single_row_group_scan(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
+def test_ensure_parallelism_static_path_never_converts_to_rdd(spark, monkeypatch):
+    """Under AQE, ``df.rdd`` is not a read-only probe: it MATERIALIZES every
+    upstream exchange as real shuffle jobs at query-construction time (the
+    round-9 profile found one wasted construction-time job per multimodal
+    query, re-paid on every bench run).  When the plan's output partition
+    count is provable from an explicit user repartition through
+    partition-preserving ops, ensure_parallelism must decide WITHOUT
+    touching df.rdd — pinned here by making the .rdd property explode."""
+    from pyspark.sql import DataFrame
+
+    from supersonic_spark.operators.core import (
+        _pinned_repartition_count,
+        ensure_parallelism,
+    )
+
+    dp = spark.sparkContext.defaultParallelism
+    base = spark.range(1000).select(F.col("id").alias("doc_id"))
+
+    pinned = base.repartition(dp).select("doc_id").filter(F.col("doc_id") >= 0)
+    assert _pinned_repartition_count(pinned) == dp
+    low = base.repartition(2).select("doc_id")
+    assert _pinned_repartition_count(low) == 2
+    # keyed repartition without an explicit N is AQE-coalescible: not provable
+    assert _pinned_repartition_count(base.repartition("doc_id")) is None
+    # ...and so is anything below a join/aggregate
+    assert _pinned_repartition_count(base.groupBy("doc_id").count()) is None
+
+    def boom(self):  # pragma: no cover - the assertion is "never called"
+        raise AssertionError("ensure_parallelism touched df.rdd on a pinned plan")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    assert ensure_parallelism(pinned) is pinned
+    out = ensure_parallelism(low)  # provably 2 < dp: repartitions, still no .rdd
+    assert out is not low
+
+
 def test_effective_scan_splits_remote_listing_bound():
     """On remote stores (s3/gs/hdfs/...) the fat-file protection must not
     silently disappear: footers are never probed (a driver round-trip per
