@@ -354,10 +354,37 @@ def token_budget_sample(
         .sortWithinPartitions(*cols)
         .withColumn(pid, F.spark_partition_id())
     )
-    agg = arranged.groupBy(pid).agg(
-        F.sum(F.col(token_col).cast("long")).alias("s"),
-        F.min(F.col(token_col).cast("long")).alias("mn"),
-    ).collect()
+
+    # Per-partition subtotals as a SHUFFLE-FREE map pass: one (pid, sum,
+    # min) row per non-empty partition, collected directly.  The previous
+    # groupBy(pid) was semantically the same sums but Catalyst cannot see
+    # that pid IS the partitioning, so it paid a (tiny) aggregation
+    # exchange — two extra AQE stage-materialization jobs of pure driver
+    # latency per run at bench scale (profiled round 9).  int64 sums are
+    # exact either way; NULL tokens are rejected by the same astype the
+    # stamp pass already applies.
+    sub_schema = T.StructType(
+        [
+            T.StructField(pid, T.LongType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("mn", T.LongType(), False),
+        ]
+    )
+
+    def subtotals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p, s, mn = None, 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            p = int(pdf[pid].iloc[0])
+            col = pdf[token_col].astype("int64")
+            s += int(col.sum())
+            m = int(col.min())
+            mn = m if mn is None else min(mn, m)
+        if p is not None:
+            yield pd.DataFrame({pid: [p], "s": [s], "mn": [mn]})
+
+    agg = arranged.select(pid, token_col).mapInPandas(subtotals, sub_schema).collect()
     # the early-return in stamp() and the wholesale partition prune both
     # assume the running total is monotone — a negative token breaks that
     neg = [r for r in agg if r["mn"] is not None and r["mn"] < 0]

@@ -2696,8 +2696,6 @@ def q_sample_token_budget(spark, sf_dir):
     oracle.  Scale shape: distributed prefix sum (range partition +
     per-partition subtotals + offset stamp), never a single-task global
     window; partitions past the budget are dropped wholesale."""
-    from supersonic_spark.operators import sort as sort_ops
-    from supersonic_spark.operators.sort import SortKey
     from supersonic_spark.pipeline import sampling
 
     t = _t(spark, sf_dir)
@@ -2709,8 +2707,17 @@ def q_sample_token_budget(spark, sf_dir):
     out = sampling.token_budget_sample(
         docs, "n_tokens", 20000, [F.col("__q").desc(), F.col("doc_id")]
     )
-    return sort_ops.sort(
-        out.select("doc_id", "n_tokens", "cum_tokens"), [SortKey("doc_id")]
+    # Single-partition sort, NOT a global orderBy: the kept prefix is
+    # budget-bounded (≤ 20000 rows even if every document were one
+    # token), and orderBy's range sampler would EXECUTE the Arrow stamp
+    # pass a second time just to pick boundaries (profiled round 9: two
+    # identical 32-task Python stages per run, ~350 ms).  One explicit
+    # exchange pins the stamp to a single evaluation; a sorted single
+    # partition is the same total order the orderBy produced.
+    return (
+        out.select("doc_id", "n_tokens", "cum_tokens")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 
