@@ -415,9 +415,15 @@ def main() -> None:
             measure_streaming_throughput,
         )
 
+        # best-of-2 timed drains per operator (after the warm drain): the
+        # Python-state lane's wall time is jitter-amplified (see
+        # streaming/gate.py round-9 recalibration) — one co-tenant burst
+        # must not fail the gate alone
         streaming_rps = {
             k: round(v)
-            for k, v in measure_streaming_throughput(spark, orig_sf_dir).items()
+            for k, v in measure_streaming_throughput(
+                spark, orig_sf_dir, runs=2
+            ).items()
         }
         if sf == "0.1":
             violations = check_streaming_gate(streaming_rps)
