@@ -142,6 +142,7 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "dedup_incremental_minhash",  # r09 banding expr + r08 weak cell
     "sample_token_budget",      # r09 job-chain trim (6134f9c)
     "multimodal_decode_png",    # r09 ensure_parallelism representative (fa59bc3)
+    "tpch_q18_shape",           # r09 broadcast-build reuse of the big-order set
 ]
 
 #: Round-9 rotation pin: hold the ROUND-8 window (rotation index 7) so

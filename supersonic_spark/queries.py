@@ -855,10 +855,21 @@ def q_tpch_q18_shape(spark, sf_dir):
     li_big = join_ops.hash_join(
         li, big, on="l_orderkey", broadcast_right=True, unique_right=True
     )
+    # orders' key is renamed to l_orderkey on the STREAM side so both
+    # broadcast builds of ``big`` are byte-identical subtrees: Spark's
+    # ReuseExchange then materializes the big-order key set ONCE and ships
+    # one broadcast to both joins — renaming the build side instead (the
+    # previous shape) made the two BroadcastExchanges canonically different
+    # and the lineitem-wide aggregation behind ``big`` ran twice (round-9;
+    # the profiler showed two back-to-back stages re-reading the same
+    # aggregate exchange).
     orders = join_ops.hash_join(
-        t["orders"].select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
-        big.withColumnRenamed("l_orderkey", "o_orderkey"),
-        on="o_orderkey", broadcast_right=True, unique_right=True,
+        t["orders"].select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_custkey", "o_orderdate", "o_totalprice",
+        ),
+        big,
+        on="l_orderkey", broadcast_right=True, unique_right=True,
     )
     ord_c = join_ops.hash_join(
         orders,
@@ -867,10 +878,7 @@ def q_tpch_q18_shape(spark, sf_dir):
         ),
         on="o_custkey", broadcast_right=True,
     )
-    j = join_ops.hash_join(
-        li_big, ord_c.withColumnRenamed("o_orderkey", "l_orderkey"),
-        on="l_orderkey",
-    )
+    j = join_ops.hash_join(li_big, ord_c, on="l_orderkey")
     out = agg.group_aggregate(
         j,
         ["c_name", "o_custkey", "l_orderkey", "o_orderdate", "o_totalprice"],
