@@ -263,6 +263,24 @@ def test_prefilter_join_pushes_in_list_to_scan(spark, qs):
     assert "In(l_partkey" in plan
 
 
+def test_q18_big_order_broadcast_builds_once(spark, qs):
+    """tpch_q18_shape broadcasts the HAVING-filtered big-order key set into
+    BOTH lineitem and orders.  Round 9 renamed the STREAM side (orders)
+    instead of the build side so the two BroadcastExchange subtrees are
+    byte-identical and AQE's stage cache resolves the second to
+    ReusedExchange — without it the lineitem-wide aggregation behind the
+    key set runs twice per query (at 100 TB, a full extra final-agg pass
+    over the groupBy exchange).  Reuse is a runtime stage-cache decision,
+    so the assertion surface is the FINAL plan after one execution."""
+    df = qs["tpch_q18_shape"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedExchange" in plan, (
+        "big-order broadcast build no longer reused - the second "
+        "BroadcastExchange subtree stopped canonicalizing equal"
+    )
+
+
 def test_plan_to_dot(spark, tables):
     """DOT plan rendering (dot_drawer parity): valid digraph, scan at a
     leaf, join and aggregate nodes present, edges child→parent."""
